@@ -1,0 +1,70 @@
+"""Connected components via min-label propagation (reference parity:
+test/connected_components.c:88-112 — per iteration each vertex takes
+min(own label, min over neighbor labels) through the fused
+``hvr_neighbors_min`` aggregate, src/hoover.cpp:2058-2110; here the
+neighbor-min is the engine's combiner-reduced 'min' shuffle).
+
+Labels start as the vertex id; at convergence every vertex carries the
+minimum vertex id of its (undirected) component — exact-match oracle:
+union-find on the same edge list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..engine import SuperstepEngine, VertexProgram
+
+
+class CCProgram(VertexProgram):
+    reduce = "min"
+    state_columns = ("label",)
+
+    def init_state(self, ctx):
+        return {"label": ctx.verts.copy()}
+
+    def message(self, ctx):
+        return ctx.state["label"][ctx.edge_src_idx]
+
+    def apply(self, ctx, idx, vals, g):
+        lab = ctx.state["label"]
+        changed = 0
+        if len(idx):
+            new = np.minimum(lab[idx], vals)
+            changed = int((new != lab[idx]).sum())
+            lab[idx] = new
+        return {"changed": changed}
+
+    def driver_step(self, stats, g, it):
+        changed = int(sum(s["changed"] for s in stats))
+        return g, changed == 0, {"labels_changed": changed}
+
+
+def connected_components(
+    edges,
+    num_parts: int = 8,
+    max_iters: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    engine: SuperstepEngine | None = None,
+):
+    """edges Dataset (src, dst; treated undirected) -> (Dataset(v, label), summary).
+
+    Note: min-label propagation converges in O(diameter) supersteps —
+    fine for web graphs (small diameter); a pointer-doubling variant is
+    the scale path for long chains.
+    """
+    eng = engine or SuperstepEngine(num_parts=num_parts, symmetrize=True).load_edges(edges)
+    summary = eng.run(
+        CCProgram(), max_iters=max_iters, checkpoint_dir=checkpoint_dir, resume=resume
+    )
+    out = eng.state_dataset(id_col="v", columns=["label"])
+    if eng.signed_ids:
+        import pyarrow as pa
+
+        def cast(t: pa.Table) -> pa.Table:
+            lab = t.column("label").to_numpy().view(np.int64)
+            return pa.table({"v": t.column("v"), "label": pa.array(lab)})
+
+        out = out.map_batches(cast, batch_format="pyarrow")
+    return out, summary, eng

@@ -1,0 +1,80 @@
+"""PageRank as a vertex program on the superstep engine.
+
+Semantics follow the reference's comparison benchmarks (reference
+bench/graphx/PageRankExample.scala:45-47 and
+bench/giraph/SimplePageRankComputation.java — HOOVER itself ships no
+PageRank app, SURVEY.md §2.5):
+
+    rank' = (1-d)/N + d * (sum_in(rank_src / outdeg_src) + dangling_mass / N)
+
+with dangling mass (rank held by zero-out-degree vertices) redistributed
+uniformly, converging when sum(|delta|) < tol.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..engine import SuperstepEngine, VertexProgram
+
+
+class PageRankProgram(VertexProgram):
+    reduce = "sum"
+    state_columns = ("rank",)
+
+    def __init__(self, damping: float = 0.85, tol: float = 1e-8):
+        self.d = damping
+        self.tol = tol
+
+    def init_state(self, ctx):
+        n = ctx.n_local
+        return {"rank": np.full(n, 1.0 / max(ctx.n_total, 1), dtype=np.float64)}
+
+    def init_stats(self, ctx):
+        dangling = float(ctx.state["rank"][ctx.out_deg == 0].sum())
+        return {"dangling": dangling}
+
+    def driver_init(self, stats):
+        return {"dangling": float(sum(s["dangling"] for s in stats))}
+
+    def message(self, ctx):
+        # contribution per edge: rank(src) / outdeg(src), vectorized
+        return ctx.state["rank"][ctx.edge_src_idx] * ctx.inv_outdeg_edge
+
+    def apply(self, ctx, idx, vals, g):
+        n, N, d = ctx.n_local, max(ctx.n_total, 1), self.d
+        incoming = np.zeros(n, dtype=np.float64)
+        if len(idx):
+            incoming[idx] = vals
+        new = (1.0 - d) / N + d * (incoming + g["dangling"] / N)
+        delta = float(np.abs(new - ctx.state["rank"]).sum())
+        ctx.state["rank"] = new
+        return {
+            "delta": delta,
+            "dangling": float(new[ctx.out_deg == 0].sum()),
+        }
+
+    def driver_step(self, stats, g, it):
+        delta = float(sum(s["delta"] for s in stats))
+        g = {"dangling": float(sum(s["dangling"] for s in stats))}
+        return g, delta < self.tol, {"delta": delta}
+
+
+def pagerank(
+    edges,
+    num_parts: int = 8,
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    max_iters: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    engine: SuperstepEngine | None = None,
+):
+    """edges Dataset (src, dst) -> (Dataset(v, rank), summary metrics)."""
+    eng = engine or SuperstepEngine(num_parts=num_parts).load_edges(edges)
+    prog = PageRankProgram(damping=damping, tol=tol)
+    summary = eng.run(
+        prog, max_iters=max_iters, checkpoint_dir=checkpoint_dir, resume=resume
+    )
+    out = eng.state_dataset(id_col="v", columns=["rank"])
+    return out, summary, eng

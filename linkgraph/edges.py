@@ -1,0 +1,61 @@
+"""Edge-table construction and degree materialization (SURVEY.md §7 steps 2-3).
+
+pages -> ExtractEdges (stateless map_batches, in-batch dedup combiner)
+      -> global dedup via groupby((src, dst))  [the first shuffle]
+degrees: per-batch partial counts (pyarrow group_by combiner) -> small
+groupby-sum shuffle, the scalable pre-aggregation pattern for power-law
+hubs (SURVEY.md §4 skew row).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from .extract import ExtractEdges
+
+
+def build_edges(pages: Dataset, dedup: bool = True) -> Dataset:
+    """pages(url, html) -> deduplicated hashed edge table (src, dst) uint64.
+
+    Reference parity: explicit-edge creation + idempotent upsert
+    (reference src/hoover.cpp:2289-2355, 450-600 `update_edge_info`
+    early-return on existing edge) expressed as extract + distinct.
+    """
+    edges = pages.map_batches(ExtractEdges(), batch_format="pyarrow")
+    if dedup:
+        edges = distinct_edges(edges)
+    return edges
+
+
+def distinct_edges(edges: Dataset) -> Dataset:
+    """Exact dedup on (src, dst) — hash-shuffle groupby, keep one per key."""
+    return edges.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def _partial_counts(key: str, out: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(key).aggregate([(key, "count")])
+        return g.rename_columns([key, out])
+
+    return fn
+
+
+def out_degrees(edges: Dataset, src_col: str = "src", out: str = "out_deg") -> Dataset:
+    """(src, out_deg) — combiner per batch, then a small groupby-sum."""
+    partial = edges.map_batches(_partial_counts(src_col, "_c"), batch_format="pyarrow")
+    return partial.groupby(src_col).aggregate(Sum("_c", alias_name=out))
+
+
+def in_degrees(edges: Dataset, dst_col: str = "dst", out: str = "in_deg") -> Dataset:
+    partial = edges.map_batches(_partial_counts(dst_col, "_c"), batch_format="pyarrow")
+    return partial.groupby(dst_col).aggregate(Sum("_c", alias_name=out))
+
+
+def degree_histogram(edges: Dataset, col: str = "src") -> Dataset:
+    """(degree, n_vertices) — the skew profile the partitioner cares about."""
+    degs = out_degrees(edges, src_col=col, out="deg")
+    partial = degs.map_batches(_partial_counts("deg", "_c"), batch_format="pyarrow")
+    return partial.groupby("deg").aggregate(Sum("_c", alias_name="n_vertices"))

@@ -1,0 +1,510 @@
+"""BSP superstep engine: partition-pinned actor pool + vertex programs.
+
+This is the Ray-native analogue of the reference's per-iteration runtime
+pipeline (``hvr_body``, reference src/hoover.cpp:3804-3947): each
+iteration is scatter (send_vertex_updates, src/hoover.cpp:2548-2590) →
+gather/apply (process_vertex_updates + update_vertices,
+src/hoover.cpp:1895-2013, 2420-2487) → global convergence aggregate
+(update_coupled_values, src/hoover.cpp:2819-3183). Differences by
+design (SURVEY.md §1.2, §4):
+
+- Vertex ownership is ``v % P`` over stable 64-bit hashed ids — identity
+  decoupled from placement (the reference pins vertices to the creating
+  PE via the id encoding, inc/hvr_common.h:53-67).
+- Synchronous BSP supersteps instead of the reference's asynchronous
+  eventual consistency — a *stricter* ordering (its HVR_STRICT mode,
+  src/hoover.cpp:3938-3944), so converged results match exactly.
+- Messages are pre-aggregated per destination vertex *inside the source
+  partition* (combiner via ``np.{add,minimum}.reduceat`` over edges
+  pre-sorted by (dst_part, dst) at load time). A hub vertex with k
+  in-edges receives at most P messages per superstep regardless of k —
+  the explicit power-law skew handling the north rule demands.
+- Exchange is P×P small objects through the object store per superstep
+  (num_returns=P scatter → per-partition gather); no stage ever
+  materializes the full edge set.
+- Per-partition Parquet checkpoints + a manifest + metrics JSONL give
+  mid-convergence resume (the analogue of dead-PE state pulls,
+  src/hoover.cpp:774-802, done the lineage way).
+
+Scale notes (multi-node): edge loading is a Ray Data hash shuffle
+(``groupby(part)``), so the build streams; per-superstep traffic is
+O(P^2) tiny objects + combiner-reduced payloads. At very large P the
+P^2 ref fan-out would move to a tree/hierarchical exchange; P here is
+sized ~ cluster cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+from ray.data import Dataset
+
+from . import segops
+
+
+# --------------------------------------------------------------------------
+# Vertex programs
+# --------------------------------------------------------------------------
+
+
+class VertexProgram:
+    """Per-vertex program run by the engine (reference `update_metadata`
+    callback surface, inc/hoover.h:51-52, vectorized over partitions).
+
+    reduce: 'sum' | 'min' | 'labelvote' — how per-edge messages combine.
+    """
+
+    reduce: str = "sum"
+    state_columns: tuple[str, ...] = ()
+
+    def init_state(self, ctx) -> dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def init_stats(self, ctx) -> Any:
+        return None
+
+    def message(self, ctx) -> np.ndarray:
+        """Per-edge message values, aligned to ctx edge order (sum/min)."""
+        raise NotImplementedError
+
+    def edge_labels(self, ctx) -> np.ndarray:
+        """Per-edge integer labels (labelvote reduce)."""
+        raise NotImplementedError
+
+    def apply(self, ctx, idx: np.ndarray, vals: np.ndarray, g: dict) -> Any:
+        """Update ctx.state given aggregated messages; return local stats."""
+        raise NotImplementedError
+
+    def driver_init(self, stats: list[Any]) -> dict:
+        return {}
+
+    def driver_step(self, stats: list[Any], g: dict, it: int) -> tuple[dict, bool, dict]:
+        """-> (globals for next iter, converged, metrics row)."""
+        return g, False, {}
+
+
+@dataclass
+class PartCtx:
+    """What a program sees inside one partition actor."""
+
+    part_id: int
+    num_parts: int
+    verts: np.ndarray  # sorted owned vertex ids (uint64)
+    out_deg: np.ndarray  # per owned vertex (int64)
+    n_total: int  # global vertex count
+    edge_src_idx: np.ndarray  # per stored edge: local index of src
+    state: dict[str, np.ndarray] = field(default_factory=dict)
+
+    @property
+    def n_local(self) -> int:
+        return len(self.verts)
+
+
+# --------------------------------------------------------------------------
+# Partition actor
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+class GraphPartition:
+    """Owns one hash-partition: CSR-ish edge arrays + vertex state.
+
+    Analogue of one PE's vertex pool + edge matrix (reference
+    inc/hvr_vertex_cache.h, inc/hvr_irregular_matrix.h) as numpy arrays.
+    """
+
+    def __init__(self, part_id: int, num_parts: int):
+        self.pid = part_id
+        self.P = num_parts
+        self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._vert_chunks: list[np.ndarray] = []
+        self.prog: VertexProgram | None = None
+
+    # ---- load phase -------------------------------------------------
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+        self._edge_chunks.append((src, dst))
+
+    def add_vertices(self, ids: np.ndarray) -> None:
+        self._vert_chunks.append(ids)
+
+    def finalize(self) -> tuple[int, int]:
+        """Build sorted vertex index + (dst_part, dst)-sorted edge arrays
+        with per-destination-partition segment structure for reduceat.
+        Returns (n_local_vertices, n_local_edges)."""
+        P = self.P
+        if self._vert_chunks:
+            self.verts = np.unique(np.concatenate(self._vert_chunks))
+        else:
+            self.verts = np.empty(0, np.uint64)
+        self._vert_chunks = []
+        if self._edge_chunks:
+            src = np.concatenate([c[0] for c in self._edge_chunks])
+            dst = np.concatenate([c[1] for c in self._edge_chunks])
+        else:
+            src = np.empty(0, np.uint64)
+            dst = np.empty(0, np.uint64)
+        self._edge_chunks = []
+
+        n = len(self.verts)
+        src_idx = np.searchsorted(self.verts, src).astype(np.int64)
+        out_deg = np.bincount(src_idx, minlength=n).astype(np.int64) if n else np.zeros(0, np.int64)
+
+        dpart = (dst % np.uint64(P)).astype(np.int64)
+        order = np.lexsort((dst, dpart))
+        self.edge_dst = dst[order]
+        self.edge_src_idx = src_idx[order]
+        dpart = dpart[order]
+        self.part_starts = np.searchsorted(dpart, np.arange(P + 1))
+        # per destination partition: unique dst ids + reduceat segment starts
+        self.seg_udst: list[np.ndarray] = []
+        self.seg_starts: list[np.ndarray] = []
+        for q in range(P):
+            a, b = self.part_starts[q], self.part_starts[q + 1]
+            d = self.edge_dst[a:b]
+            if len(d) == 0:
+                self.seg_udst.append(np.empty(0, dst.dtype))
+                self.seg_starts.append(np.empty(0, np.int64))
+                continue
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            self.seg_udst.append(d[starts])
+            self.seg_starts.append(starts)
+        self.out_deg = out_deg
+        self.n_edges = len(self.edge_dst)
+        with np.errstate(divide="ignore"):
+            inv = 1.0 / out_deg.astype(np.float64)
+        inv[out_deg == 0] = 0.0
+        self.inv_outdeg_edge = inv[self.edge_src_idx] if self.n_edges else np.zeros(0)
+        return n, self.n_edges
+
+    # ---- program lifecycle ------------------------------------------
+    def init_program(self, prog: VertexProgram, n_total: int) -> Any:
+        self.prog = prog
+        self.ctx = PartCtx(
+            part_id=self.pid,
+            num_parts=self.P,
+            verts=self.verts,
+            out_deg=self.out_deg,
+            n_total=n_total,
+            edge_src_idx=self.edge_src_idx,
+        )
+        self.ctx.inv_outdeg_edge = self.inv_outdeg_edge  # type: ignore[attr-defined]
+        self.ctx.state = self.prog.init_state(self.ctx)
+        return self.prog.init_stats(self.ctx)
+
+    def scatter(self, g: dict):
+        """Compute per-edge messages, combiner-aggregate per (dst_part, dst).
+
+        Returns P objects, one per destination partition (num_returns=P).
+        """
+        P, prog = self.P, self.prog
+        if prog.reduce in ("sum", "min"):
+            vals = prog.message(self.ctx)
+            red = np.add if prog.reduce == "sum" else np.minimum
+            out = []
+            for q in range(P):
+                a, b = self.part_starts[q], self.part_starts[q + 1]
+                if a == b:
+                    out.append(None)
+                    continue
+                agg = red.reduceat(vals[a:b], self.seg_starts[q])
+                out.append((self.seg_udst[q], agg))
+        elif prog.reduce == "labelvote":
+            labels = prog.edge_labels(self.ctx)
+            out = []
+            for q in range(P):
+                a, b = self.part_starts[q], self.part_starts[q + 1]
+                if a == b:
+                    out.append(None)
+                    continue
+                d = self.edge_dst[a:b]
+                lab = labels[a:b]
+                order = np.lexsort((lab, d))
+                ds_, ls_ = d[order], lab[order]
+                new = np.r_[True, (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])]
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.r_[starts, len(ds_)])
+                out.append((ds_[starts], ls_[starts], cnt.astype(np.int64)))
+        else:  # pragma: no cover
+            raise ValueError(self.prog.reduce)
+        if P == 1:
+            return out[0]
+        return tuple(out)
+
+    def gather_apply(self, g: dict, *msgs) -> Any:
+        """Combine incoming per-partition message blocks, apply program."""
+        prog = self.prog
+        live = [m for m in msgs if m is not None]
+        if prog.reduce == "labelvote":
+            if live:
+                idx = np.searchsorted(self.verts, np.concatenate([m[0] for m in live]))
+                labs = np.concatenate([m[1] for m in live])
+                cnts = np.concatenate([m[2] for m in live])
+                ci, cl, cc = segops.label_count_combine(idx, labs, cnts)
+                ui, uv = segops.label_vote(ci, cl, cc)
+            else:
+                ui = np.empty(0, np.int64)
+                uv = np.empty(0, np.int64)
+            return prog.apply(self.ctx, ui, uv, g)
+        if live:
+            idx = np.searchsorted(self.verts, np.concatenate([m[0] for m in live]))
+            vals = np.concatenate([m[1] for m in live])
+            if prog.reduce == "sum":
+                ui, uv = segops.seg_sum_sparse(idx, vals)
+            else:
+                ui, uv = segops.seg_min_sparse(idx, vals)
+        else:
+            ui = np.empty(0, np.int64)
+            uv = np.empty(0, np.float64)
+        return prog.apply(self.ctx, ui, uv, g)
+
+    # ---- results / checkpoint ---------------------------------------
+    def state_table(self, id_col: str, columns: list[str], signed_ids: bool) -> pa.Table:
+        ids = self.verts.view(np.int64) if signed_ids else self.verts
+        cols = {id_col: pa.array(ids)}
+        for c in columns:
+            cols[c] = pa.array(self.ctx.state[c])
+        return pa.table(cols)
+
+    def save_checkpoint(self, path: str, it: int) -> str:
+        os.makedirs(path, exist_ok=True)
+        cols = {"v": pa.array(self.verts)}
+        for c, arr in self.ctx.state.items():
+            cols[c] = pa.array(arr)
+        f = os.path.join(path, f"part-{self.pid:05d}.parquet")
+        tmp = f + ".tmp"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, f)
+        return f
+
+    def load_checkpoint(self, path: str) -> int:
+        t = pq.read_table(os.path.join(path, f"part-{self.pid:05d}.parquet"))
+        v = t.column("v").to_numpy().astype(np.uint64, copy=False)
+        if len(v) != len(self.verts) or not np.array_equal(v, self.verts):
+            raise RuntimeError(f"checkpoint partition {self.pid} does not match graph")
+        for c in t.column_names:
+            if c != "v":
+                self.ctx.state[c] = t.column(c).to_numpy().copy()
+        return len(v)
+
+
+# --------------------------------------------------------------------------
+# Loader helpers (Ray Data shuffle -> pinned actors)
+# --------------------------------------------------------------------------
+
+
+def _loader(actors, P: int):
+    """map_groups fn: one group per partition; registers edges with the
+    owning src-partition actor and dst vertex ids with their owners.
+    Runs on workers — data never touches the driver."""
+
+    def fn(df):
+        src = df["src"].to_numpy().astype(np.uint64, copy=False)
+        dst = df["dst"].to_numpy().astype(np.uint64, copy=False)
+        if len(src):
+            pid = int(src[0] % np.uint64(P))
+            refs = [actors[pid].add_edges.remote(src, dst)]
+            refs.append(actors[pid].add_vertices.remote(np.unique(src)))
+            dpart = (dst % np.uint64(P)).astype(np.int64)
+            order = np.argsort(dpart, kind="stable")
+            ds_, dp_ = dst[order], dpart[order]
+            bounds = np.searchsorted(dp_, np.arange(P + 1))
+            for q in range(P):
+                a, b = bounds[q], bounds[q + 1]
+                if a < b:
+                    refs.append(actors[q].add_vertices.remote(np.unique(ds_[a:b])))
+            ray.get(refs)
+        import pandas as pd
+
+        return pd.DataFrame({"n": [len(src)]})
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# Engine driver
+# --------------------------------------------------------------------------
+
+
+class SuperstepEngine:
+    """Build partition-pinned graph state from an edge Dataset, then run
+    vertex programs to convergence with checkpoint/resume + metrics."""
+
+    def __init__(self, num_parts: int = 8, symmetrize: bool = False):
+        self.P = num_parts
+        self.symmetrize = symmetrize
+        self.actors: list = []
+        self.n_total = 0
+        self.n_edges = 0
+        self.signed_ids = False
+        self._loaded = False
+
+    # ---- graph build -------------------------------------------------
+    def load_edges(self, edges: Dataset, src_col: str = "src", dst_col: str = "dst") -> "SuperstepEngine":
+        P = self.P
+        self.actors = [GraphPartition.remote(i, P) for i in range(P)]
+        schema = edges.schema()
+        dtype = dict(zip(schema.names, schema.types))[src_col]
+        self.signed_ids = pa.types.is_signed_integer(dtype)
+
+        def prep(batch: pa.Table) -> pa.Table:
+            s = batch.column(src_col).to_numpy().astype(np.uint64, copy=False)
+            d = batch.column(dst_col).to_numpy().astype(np.uint64, copy=False)
+            if self.symmetrize:
+                s, d = np.concatenate([s, d]), np.concatenate([d, s])
+            part = (s % np.uint64(P)).astype(np.int64)
+            return pa.table(
+                {"src": pa.array(s), "dst": pa.array(d), "part": pa.array(part)}
+            )
+
+        prepped = edges.map_batches(prep, batch_format="pyarrow")
+        # hash shuffle by src partition; each group streams into its pinned actor
+        sink = prepped.groupby("part").map_groups(
+            _loader(self.actors, P), batch_format="pandas"
+        )
+        sink.count()  # consume -> all add_edges/add_vertices complete
+        sizes = ray.get([a.finalize.remote() for a in self.actors])
+        self.n_total = int(sum(s[0] for s in sizes))
+        self.n_edges = int(sum(s[1] for s in sizes))
+        self.part_sizes = sizes
+        self._loaded = True
+        return self
+
+    # ---- run ---------------------------------------------------------
+    def run(
+        self,
+        prog: VertexProgram,
+        max_iters: int = 50,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        resume: bool = False,
+    ) -> dict:
+        """Run to convergence. Returns summary metrics dict."""
+        assert self._loaded, "call load_edges first"
+        P = self.P
+        stats0 = ray.get([a.init_program.remote(prog, self.n_total) for a in self.actors])
+        g = prog.driver_init(stats0)
+        start_iter = 0
+        metrics_path = None
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
+            if resume:
+                start_iter, g = self._try_resume(checkpoint_dir, g)
+
+        history: list[dict] = []
+        converged = False
+        it = start_iter
+        t_run = time.perf_counter()
+        for it in range(start_iter, max_iters):
+            t0 = time.perf_counter()
+            if P == 1:
+                sc = [[self.actors[0].scatter.remote(g)]]
+            else:
+                sc = [
+                    list(a.scatter.options(num_returns=P).remote(g))
+                    for a in self.actors
+                ]
+            stats = ray.get(
+                [
+                    self.actors[q].gather_apply.remote(g, *[sc[i][q] for i in range(P)])
+                    for q in range(P)
+                ]
+            )
+            g, converged, m = prog.driver_step(stats, g, it)
+            m = {
+                "iter": it,
+                "sec": round(time.perf_counter() - t0, 6),
+                "edges": self.n_edges,
+                **m,
+            }
+            history.append(m)
+            if checkpoint_dir and (
+                converged or (it + 1) % checkpoint_every == 0 or it + 1 == max_iters
+            ):
+                self._checkpoint(checkpoint_dir, it, g, metrics_path, history)
+                history = []
+            if converged:
+                break
+        wall = time.perf_counter() - t_run
+        iters_run = it + 1 - start_iter
+        return {
+            "iterations": it + 1,
+            "converged": converged,
+            "wall_sec": wall,
+            "edges_per_sec": self.n_edges * max(iters_run, 1) / wall if wall > 0 else 0.0,
+            "n_vertices": self.n_total,
+            "n_edges": self.n_edges,
+        }
+
+    # ---- checkpoint / resume ----------------------------------------
+    def _checkpoint(self, ckdir: str, it: int, g: dict, metrics_path: str, rows: list[dict]):
+        path = os.path.join(ckdir, f"iter={it:06d}")
+        ray.get([a.save_checkpoint.remote(path, it) for a in self.actors])
+        manifest = {
+            "iter": it,
+            "num_parts": self.P,
+            "n_vertices": self.n_total,
+            "n_edges": self.n_edges,
+            "globals": _jsonable(g),
+            "lineage": {"symmetrize": self.symmetrize, "signed_ids": self.signed_ids},
+        }
+        tmp = os.path.join(path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, "MANIFEST.json"))
+        with open(metrics_path, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def _try_resume(self, ckdir: str, g: dict) -> tuple[int, dict]:
+        best = None
+        if os.path.isdir(ckdir):
+            for d in sorted(os.listdir(ckdir)):
+                mf = os.path.join(ckdir, d, "MANIFEST.json")
+                if d.startswith("iter=") and os.path.exists(mf):
+                    with open(mf) as f:
+                        m = json.load(f)
+                    if m.get("num_parts") == self.P:
+                        best = (int(m["iter"]), m, os.path.join(ckdir, d))
+        if best is None:
+            return 0, g
+        it, manifest, path = best
+        ray.get([a.load_checkpoint.remote(path) for a in self.actors])
+        g2 = dict(g)
+        g2.update(manifest.get("globals", {}))
+        return it + 1, g2
+
+    # ---- results -----------------------------------------------------
+    def state_dataset(self, id_col: str = "v", columns: list[str] | None = None) -> Dataset:
+        import ray.data
+
+        prog_cols = columns or []
+        refs = [
+            a.state_table.remote(id_col, prog_cols, self.signed_ids)
+            for a in self.actors
+        ]
+        return ray.data.from_arrow_refs(refs)
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+        self._loaded = False
+
+
+def _jsonable(g: dict) -> dict:
+    out = {}
+    for k, v in g.items():
+        if isinstance(v, (np.floating, np.integer)):
+            v = v.item()
+        out[k] = v
+    return out

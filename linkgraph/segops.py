@@ -1,0 +1,64 @@
+"""Vectorized segment aggregation kernels (numpy) used by the engine.
+
+These replace the reference's fused neighbor aggregates
+(``hvr_neighbors_min``, reference src/hoover.cpp:2058-2110) with
+sort + ``reduceat`` segment kernels over whole partitions — no per-row
+Python in any per-iteration path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def seg_sum(idx: np.ndarray, vals: np.ndarray, n: int) -> np.ndarray:
+    """Dense sum of `vals` grouped by local index (0..n-1)."""
+    return np.bincount(idx, weights=vals, minlength=n)
+
+
+def seg_min_sparse(idx: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique_idx, min_per_idx) via sort + minimum.reduceat."""
+    if len(idx) == 0:
+        return idx, vals
+    order = np.argsort(idx, kind="stable")
+    si, sv = idx[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    return si[starts], np.minimum.reduceat(sv, starts)
+
+
+def seg_sum_sparse(idx: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if len(idx) == 0:
+        return idx, vals
+    order = np.argsort(idx, kind="stable")
+    si, sv = idx[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    return si[starts], np.add.reduceat(sv, starts)
+
+
+def label_count_combine(
+    idx: np.ndarray, labels: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Combine (idx, label, count) triples: sum counts per (idx, label)."""
+    if len(idx) == 0:
+        return idx, labels, counts
+    order = np.lexsort((labels, idx))
+    si, sl, sc = idx[order], labels[order], counts[order]
+    new = np.r_[True, (si[1:] != si[:-1]) | (sl[1:] != sl[:-1])]
+    starts = np.flatnonzero(new)
+    return si[starts], sl[starts], np.add.reduceat(sc, starts)
+
+
+def label_vote(
+    idx: np.ndarray, labels: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per idx: label with max count, ties -> smallest label.
+
+    Input must be unique (idx, label) pairs. Returns (unique_idx, winner).
+    """
+    if len(idx) == 0:
+        return idx, labels
+    # order by (idx asc, count desc, label asc); first row per idx wins
+    order = np.lexsort((labels, -counts, idx))
+    si, sl = idx[order], labels[order]
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    return si[starts], sl[starts]
