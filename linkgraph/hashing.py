@@ -16,8 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# Fixed key so hashes are stable across processes/runs/machines.
-_HASH_KEY = "linkgraph-stable-0"
+# Fixed 16-byte key so hashes are stable across processes/runs/machines.
+_HASH_KEY = "linkgraph2024#01"
 
 
 def hash64_str(values) -> np.ndarray:
@@ -36,11 +36,12 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     Used for deterministic, order-independent synthetic data generation
     (every derived quantity is a pure function of the row index).
     """
-    z = x.astype(np.uint64, copy=True)
-    z += np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        z = x.astype(np.uint64, copy=True)
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
     return z
 
 
