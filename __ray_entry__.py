@@ -1,44 +1,468 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the linkgraph engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (documents -> derived edge table
+-> PageRank + connected components) on sf0.001. ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (iterative fixpoints are unrolled or expressed as
+recursive CTEs; heuristic/probabilistic ops are rows-only with pytest
+oracles in tests/).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before importing this module — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DAMPING = 0.85
+PR_ITERS = 5
+LP_ITERS = 3
+JACCARD_T = 0.7
+# the driver embeddings are near-orthogonal random vectors (max pairwise
+# cosine ~0.51 at sf0.01); 0.4 keeps the result non-empty for the
+# value-hash compare while still selecting the "near-dup" tail
+COS_T = 0.4
+KNN_K = 10
+KNN_QUERIES = [0, 1, 2, 3, 4]
+NUM_PARTS = 8
+
+
+def _read(sf_dir: str, name: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def _doc_edges_ds(sf_dir: str):
+    from linkgraph.docgraph import doc_edges
+
+    return doc_edges(_read(sf_dir, "documents"), _n_docs(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+
+def q_doc_edges(sf_dir: str):
+    return _doc_edges_ds(sf_dir).to_pandas()
+
+
+def q_out_degree(sf_dir: str):
+    from linkgraph.edges import out_degrees
+
+    return out_degrees(_doc_edges_ds(sf_dir)).to_pandas()
+
+
+def q_in_degree(sf_dir: str):
+    from linkgraph.edges import in_degrees
+
+    return in_degrees(_doc_edges_ds(sf_dir)).to_pandas()
+
+
+def q_degree_hist(sf_dir: str):
+    from linkgraph.edges import degree_histogram
+
+    return degree_histogram(_doc_edges_ds(sf_dir)).to_pandas()
+
+
+def q_pagerank(sf_dir: str):
+    from linkgraph.algos import pagerank
+
+    out, _, eng = pagerank(
+        _doc_edges_ds(sf_dir), num_parts=NUM_PARTS, damping=DAMPING,
+        tol=0.0, max_iters=PR_ITERS,
+    )
+    df = out.to_pandas()
+    eng.shutdown()
+    return pd.DataFrame({"v": df["v"], "pr_rank": np.round(df["rank"], 8)})
+
+
+def q_cc(sf_dir: str):
+    from linkgraph.algos import connected_components
+
+    out, _, eng = connected_components(_doc_edges_ds(sf_dir), num_parts=NUM_PARTS)
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
+def q_labelprop(sf_dir: str):
+    from linkgraph.algos import label_propagation
+
+    out, _, eng = label_propagation(
+        _doc_edges_ds(sf_dir), num_parts=NUM_PARTS, max_iters=LP_ITERS
+    )
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
+def q_triangles(sf_dir: str):
+    from linkgraph.algos import triangle_count
+
+    n = triangle_count(_doc_edges_ds(sf_dir))
+    return pd.DataFrame({"n_triangles": [n]})
+
+
+def q_exact_dedup(sf_dir: str):
+    from linkgraph.ops import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents")).to_pandas()
+
+
+def q_token_counts(sf_dir: str):
+    from linkgraph.ops import TokenCount
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return docs.map_batches(TokenCount, batch_format="pyarrow", concurrency=2).to_pandas()
+
+
+def q_char_classes(sf_dir: str):
+    from linkgraph.ops import CharClasses
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return docs.map_batches(CharClasses, batch_format="pyarrow", concurrency=2).to_pandas()
+
+
+def q_near_dup_shingle(sf_dir: str):
+    from linkgraph.ops import shingle_jaccard_pairs
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return shingle_jaccard_pairs(docs, k=3, threshold=JACCARD_T).to_pandas()
+
+
+def q_langid(sf_dir: str):
+    from linkgraph.ops import LangId
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
+
+
+def q_fingerprint(sf_dir: str):
+    from linkgraph.ops import Fingerprint
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return docs.map_batches(Fingerprint(), batch_format="pyarrow").to_pandas()
+
+
+def q_minhash_dedup(sf_dir: str):
+    from linkgraph.ops import minhash_dedup_pairs
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    df = minhash_dedup_pairs(docs, threshold=JACCARD_T).to_pandas()
+    return df[["a", "b"]] if len(df) else df
+
+
+def q_simhash_dedup(sf_dir: str):
+    from linkgraph.ops import simhash_dedup_pairs
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return simhash_dedup_pairs(docs).to_pandas()
+
+
+def q_embedding_dup(sf_dir: str):
+    from linkgraph.ops import embedding_dup_pairs
+
+    df = embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=COS_T).to_pandas()
+    if "a" not in df.columns:  # empty result may lose schema
+        df = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    return df
+
+
+def q_knn(sf_dir: str):
+    from linkgraph.ops import knn_cosine
+
+    out = knn_cosine(_read(sf_dir, "embeddings"), KNN_QUERIES, k=KNN_K)
+    df = out.to_pandas()
+    return df.rename(columns={"rank": "nn_rank"})
+
+
+def q_tumbling(sf_dir: str):
+    from linkgraph.ops import tumbling_window
+
+    df = tumbling_window(_read(sf_dir, "events"), minutes=60).to_pandas()
+    return pd.DataFrame(
+        {
+            "window_start": (df["window_start"].astype("int64") // 10**9).astype("int64"),
+            "event_type": df["event_type"],
+            "n_events": df["n_events"].astype("int64"),
+            "total_value": np.round(df["total_value"], 6),
+        }
+    )
+
+
+def q_sessionize(sf_dir: str):
+    from linkgraph.ops import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_minutes=30).to_pandas()
+
+
+def q_q1(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "rev": rev,
+                "one": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("rev", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "qty", "rev", "one"])
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("rev", alias_name="revenue"),
+            Sum("one", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    agg["sum_qty"] = np.round(agg["sum_qty"], 4)
+    agg["revenue"] = np.round(agg["revenue"], 4)
+    return agg
+
+
+def q_media_features(sf_dir: str):
+    # multimodal plumbing demo: synthetic media table (no media files in
+    # the driver tables), deterministic fake decode
+    from linkgraph.ops.multimodal import decode_features, synth_media_dataset
+
+    return decode_features(synth_media_dataset(64)).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents -> edge table -> PageRank + CC join."""
+    sf_dir = "/root/testdata/sf0.001"
+    from linkgraph.algos import connected_components, pagerank
+
+    edges = _doc_edges_ds(sf_dir).materialize()
+    pr, _, eng1 = pagerank(edges, num_parts=4, tol=1e-10, max_iters=50)
+    prdf = pr.to_pandas()
+    eng1.shutdown()
+    cc, _, eng2 = connected_components(edges, num_parts=4)
+    ccdf = cc.to_pandas()
+    eng2.shutdown()
+    return prdf.merge(ccdf, on="v", how="inner")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "doc_edges": q_doc_edges,
+        "out_degree": q_out_degree,
+        "in_degree": q_in_degree,
+        "degree_hist": q_degree_hist,
+        "pagerank_5": q_pagerank,
+        "cc_labels": q_cc,
+        "labelprop_3": q_labelprop,
+        "triangle_count": q_triangles,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "char_classes": q_char_classes,
+        "near_dup_shingle": q_near_dup_shingle,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_dup": q_embedding_dup,
+        "knn_cosine": q_knn,
+        "tumbling_1h": q_tumbling,
+        "sessionize": q_sessionize,
+        "q1_lineitem": q_q1,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _edges_cte() -> str:
+    from linkgraph.docgraph import derive_edges_sql
+
+    return f"e AS ({derive_edges_sql()})"
+
+
+_VERTS = "verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)"
+_UE = "ue AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e)"
+
+
+def _pagerank_sql() -> str:
+    d = DAMPING
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "outd AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT v, 1.0/(SELECT n FROM nv) AS r FROM verts)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"dang{i} AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM {p} p "
+            f"LEFT JOIN outd o ON p.v = o.v WHERE o.v IS NULL)"
+        )
+        ctes.append(
+            f"msg{i} AS (SELECT e.dst AS v, sum(p.r / o.deg) AS s FROM e "
+            f"JOIN {p} p ON e.src = p.v JOIN outd o ON e.src = o.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT verts.v, (1 - {d})/(SELECT n FROM nv) + {d} * "
+            f"(coalesce(m.s, 0.0) + (SELECT dm FROM dang{i})/(SELECT n FROM nv)) AS r "
+            f"FROM verts LEFT JOIN msg{i} m ON verts.v = m.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, round(r, 8) AS pr_rank FROM r{PR_ITERS}"
+    )
+
+
+def _labelprop_sql() -> str:
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        _UE,
+        "l0 AS (SELECT v, v AS label FROM verts)",
+    ]
+    for i in range(1, LP_ITERS + 1):
+        p = f"l{i-1}"
+        ctes.append(
+            f"c{i} AS (SELECT ue.a AS v, p.label AS label, count(*) AS c FROM ue "
+            f"JOIN {p} p ON ue.b = p.v GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT v, label, row_number() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c{i})"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT verts.v, coalesce(w.label, p.label) AS label FROM verts "
+            f"LEFT JOIN (SELECT v, label FROM w{i} WHERE rn = 1) w ON verts.v = w.v "
+            f"JOIN {p} p ON verts.v = p.v)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{LP_ITERS}"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    e = _edges_cte()
+    return {
+        "doc_edges": f"WITH {e} SELECT src, dst FROM e",
+        "out_degree": f"WITH {e} SELECT src, count(*) AS out_deg FROM e GROUP BY src",
+        "in_degree": f"WITH {e} SELECT dst, count(*) AS in_deg FROM e GROUP BY dst",
+        "degree_hist": (
+            f"WITH {e}, d AS (SELECT src, count(*) AS deg FROM e GROUP BY src) "
+            "SELECT deg, count(*) AS n_vertices FROM d GROUP BY deg"
+        ),
+        "pagerank_5": _pagerank_sql(),
+        "cc_labels": (
+            f"WITH RECURSIVE {e},\n{_VERTS},\n{_UE},\n"
+            "reach(v, label) AS ("
+            " SELECT v, v FROM verts"
+            " UNION"
+            " SELECT ue.b, reach.label FROM reach JOIN ue ON reach.v = ue.a)\n"
+            "SELECT v, min(label) AS label FROM reach GROUP BY v"
+        ),
+        "labelprop_3": _labelprop_sql(),
+        "triangle_count": (
+            f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM e) "
+            "SELECT count(*) AS n_triangles FROM c e1 "
+            "JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "char_classes": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, "
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, "
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space "
+            "FROM documents"
+        ),
+        "near_dup_shingle": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+            "FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r "
+            "WHERE len(t) >= 3), "
+            "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i FROM sh x "
+            "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT a, b FROM inter "
+            "JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b "
+            f"WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {JACCARD_T}"
+        ),
+        "embedding_dup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COS_T}"
+        ),
+        "knn_cosine": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            f"WHERE vec_id IN ({', '.join(str(v) for v in KNN_QUERIES)})), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS nn_rank FROM s) "
+            f"SELECT query_id, neighbor_id, nn_rank FROM r WHERE nn_rank <= {KNN_K}"
+        ),
+        "tumbling_1h": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
+            "event_type, count(*) AS n_events, round(sum(value), 6) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH o AS (SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "m AS (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev > "
+            "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS s FROM o) "
+            "SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM m GROUP BY user_id"
+        ),
+        "q1_lineitem": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+            "count(*) AS n FROM lineitem GROUP BY 1, 2"
+        ),
+        # langid / fingerprint / minhash_dedup / simhash_dedup /
+        # media_features: heuristic or probabilistic — rows-only check;
+        # pytest oracles cover them (tests/test_ops.py).
+    }

@@ -122,9 +122,10 @@ class GraphPartition:
     inc/hvr_vertex_cache.h, inc/hvr_irregular_matrix.h) as numpy arrays.
     """
 
-    def __init__(self, part_id: int, num_parts: int):
+    def __init__(self, part_id: int, num_parts: int, dedup: bool = True):
         self.pid = part_id
         self.P = num_parts
+        self.dedup = dedup
         self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self._vert_chunks: list[np.ndarray] = []
         self.prog: VertexProgram | None = None
@@ -153,6 +154,12 @@ class GraphPartition:
             src = np.empty(0, np.uint64)
             dst = np.empty(0, np.uint64)
         self._edge_chunks = []
+        if self.dedup and len(src):
+            # all edges with this src live here, so local dedup == global
+            # dedup (keeps simple-graph semantics after symmetrize, matching
+            # the reference's idempotent edge upsert, src/hoover.cpp:485)
+            pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+            src, dst = pairs[:, 0], pairs[:, 1]
 
         n = len(self.verts)
         src_idx = np.searchsorted(self.verts, src).astype(np.int64)
@@ -338,9 +345,10 @@ class SuperstepEngine:
     """Build partition-pinned graph state from an edge Dataset, then run
     vertex programs to convergence with checkpoint/resume + metrics."""
 
-    def __init__(self, num_parts: int = 8, symmetrize: bool = False):
+    def __init__(self, num_parts: int = 8, symmetrize: bool = False, dedup: bool = True):
         self.P = num_parts
         self.symmetrize = symmetrize
+        self.dedup = dedup
         self.actors: list = []
         self.n_total = 0
         self.n_edges = 0
@@ -350,7 +358,7 @@ class SuperstepEngine:
     # ---- graph build -------------------------------------------------
     def load_edges(self, edges: Dataset, src_col: str = "src", dst_col: str = "dst") -> "SuperstepEngine":
         P = self.P
-        self.actors = [GraphPartition.remote(i, P) for i in range(P)]
+        self.actors = [GraphPartition.remote(i, P, self.dedup) for i in range(P)]
         schema = edges.schema()
         dtype = dict(zip(schema.names, schema.types))[src_col]
         self.signed_ids = pa.types.is_signed_integer(dtype)

@@ -1,0 +1,25 @@
+from .text import TokenCount, CharClasses, LangId, Fingerprint
+from .dedup import (
+    exact_dedup,
+    shingle_jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+    embedding_dup_pairs,
+)
+from .knn import knn_cosine
+from .windows import tumbling_window, sessionize
+
+__all__ = [
+    "TokenCount",
+    "CharClasses",
+    "LangId",
+    "Fingerprint",
+    "exact_dedup",
+    "shingle_jaccard_pairs",
+    "minhash_dedup_pairs",
+    "simhash_dedup_pairs",
+    "embedding_dup_pairs",
+    "knn_cosine",
+    "tumbling_window",
+    "sessionize",
+]

@@ -1,0 +1,409 @@
+"""Deduplication family over the ``documents`` table.
+
+All stages are Ray-Data-first: vectorized map_batches for per-doc
+signatures, groupby shuffles only over combiner-reduced candidate rows
+(never all-pairs), exact verification last. The reference's analogue is
+edge/clique dedup (reference src/hoover.cpp:485 idempotent edge upsert,
+test/community_detection.cpp:246-260 clique dedup); the MinHash/SimHash
+ops are the standard large-scale web-corpus extensions (SURVEY build
+brief) built on the same groupby-bucket pattern.
+
+Scale notes: candidate generation is bucketed (LSH bands / simhash
+chunks / shared shingles), so cost tracks the number of true near-dup
+collisions, not n^2. The exact shingle-Jaccard op is the small-scale
+oracle-checkable path; MinHash-LSH is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min, Sum
+
+from ..hashing import hash64_str, splitmix64
+from .text import md5_digest_series
+
+_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: Dataset) -> Dataset:
+    """Exact duplicate groups by content hash -> (doc_id=min kept id, n_copies).
+
+    hash-partition + per-group first (md5 digest matches DuckDB's md5())."""
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "digest": md5_digest_series(df["text"])}
+        )
+
+    d = docs.map_batches(digest, batch_format="pandas")
+    return (
+        d.groupby("digest")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .select_columns(["doc_id", "n_copies"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(text: str, k: int) -> list[str]:
+    toks = _TOKEN.findall(text.lower())
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+class _ShingleRows:
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_sh = [], []
+        for i, t in zip(ids, texts):
+            for sh in _doc_shingles(t, self.k):
+                out_id.append(i)
+                out_sh.append(sh)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "shingle": pa.array(out_sh, pa.string()),
+            }
+        )
+
+
+def shingle_jaccard_pairs(
+    docs: Dataset,
+    k: int = 3,
+    threshold: float = 0.7,
+    num_partitions: int = 4,
+    max_df: int | None = None,
+) -> Dataset:
+    """Exact k-shingle Jaccard near-dup pairs (a < b, J >= threshold).
+
+    shingle rows -> inverted index groupby(shingle) -> co-occurrence
+    pairs (combiner-counted) -> join per-doc shingle counts ->
+    J = inter / (na + nb - inter). ``max_df`` optionally drops
+    ubiquitous shingles (the skew cap) — leave None for exact parity
+    with the SQL oracle."""
+    rows = docs.map_batches(_ShingleRows(k), batch_format="pyarrow")
+    counts = rows.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if max_df is not None and len(ids) > max_df:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        i, j = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    cand = rows.groupby("shingle").map_groups(pairs, batch_format="pandas")
+    if cand.count() == 0:
+        return cand
+    inter = (
+        cand.map_batches(_pair_partial_counts, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("_c", alias_name="inter"))
+    )
+    j1 = inter.join(
+        counts, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("doc_id",),
+    )
+    j1 = _rename(j1, {"n_sh": "na"})
+    j2 = j1.join(
+        counts, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("doc_id",),
+    )
+    j2 = _rename(j2, {"n_sh": "nb"})
+
+    def verify(t: pa.Table) -> pa.Table:
+        inter_ = t.column("inter").to_numpy().astype(np.float64)
+        na = t.column("na").to_numpy().astype(np.float64)
+        nb = t.column("nb").to_numpy().astype(np.float64)
+        jac = inter_ / (na + nb - inter_)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(t.column("a").to_numpy()[keep]),
+                "b": pa.array(t.column("b").to_numpy()[keep]),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def _pair_partial_counts(t: pa.Table) -> pa.Table:
+    g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+    return g.rename_columns(["a", "b", "_c"])
+
+
+def _rename(ds: Dataset, mapping: dict) -> Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class _MinHashSig:
+    """Per-doc MinHash signature over k-shingles, vectorized per batch:
+    shingle string hashes ^ per-permutation keys -> splitmix64 -> min."""
+
+    def __init__(self, k: int, num_perm: int, seed: int = 0x5EED):
+        self.k = k
+        self.keys = splitmix64(
+            np.arange(num_perm, dtype=np.uint64) + np.uint64(seed)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sigs = np.empty((len(ids), len(self.keys)), np.uint64)
+        for r, t in enumerate(texts):
+            sh = _doc_shingles(t, self.k)
+            if not sh:
+                sigs[r] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                continue
+            h = hash64_str(sh)  # (m,)
+            sigs[r] = splitmix64(h[None, :] ^ self.keys[:, None]).min(axis=1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_signatures(docs: Dataset, k: int = 3, num_perm: int = 128) -> Dataset:
+    return docs.map_batches(
+        _MinHashSig(k, num_perm), batch_format="pyarrow", concurrency=None
+    )
+
+
+def minhash_dedup_pairs(
+    docs: Dataset,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+) -> Dataset:
+    """MinHash+LSH near-dup candidate pairs verified by signature-estimated
+    Jaccard >= threshold. Returns (a, b, est_jaccard).
+
+    shingle -> minhash -> band rows (band_id, band_hash, doc_id) ->
+    groupby band bucket -> candidate pairs -> verify via signature
+    agreement. The 100 TB dedup path (cost ~ collisions, not n^2)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(docs, k, num_perm).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sig = np.stack(t.column("sig").to_numpy(zero_copy_only=False))  # (n, P)
+        n = len(ids)
+        banded = sig.reshape(n, bands, r)
+        bh = banded[:, :, 0].copy()
+        for i in range(1, r):
+            bh = splitmix64(bh ^ banded[:, :, i])
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "doc_id": pa.array(np.repeat(ids, bands)),
+            }
+        )
+
+    rows = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        i, j = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    cand = rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    if cand.count() == 0:
+        return cand
+
+    # verify: estimated Jaccard = fraction of agreeing minhashes.
+    # Signatures are broadcast once via the object store (small side).
+    import ray
+
+    sig_map = {}
+    for t in sigs.to_arrow_refs():
+        tt = ray.get(t)
+        ids = tt.column("doc_id").to_numpy()
+        ss = np.stack(tt.column("sig").to_numpy(zero_copy_only=False))
+        for i, d in enumerate(ids):
+            sig_map[int(d)] = ss[i]
+    ref = ray.put(sig_map)
+
+    class Verify:
+        def __init__(self, ref):
+            self.sigs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy()
+            b = t.column("b").to_numpy()
+            est = np.empty(len(a), np.float64)
+            for i in range(len(a)):
+                sa, sb = self.sigs[int(a[i])], self.sigs[int(b[i])]
+                est[i] = float((sa == sb).mean())
+            keep = est >= threshold
+            return pa.table(
+                {
+                    "a": pa.array(a[keep]),
+                    "b": pa.array(b[keep]),
+                    "est_jaccard": pa.array(est[keep]),
+                }
+            )
+
+    return cand.map_batches(
+        Verify, batch_format="pyarrow", concurrency=2, fn_constructor_args=(ref,)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_dedup_pairs(
+    docs: Dataset, max_hamming: int = 3, n_chunks: int = 4
+) -> Dataset:
+    """SimHash near-dup pairs (a < b, hamming(sig) <= max_hamming).
+
+    64-bit token-set simhash; candidates via pigeonhole chunking (a pair
+    within hamming<=3 agrees on >=1 of 4 16-bit chunks) -> bucket
+    groupby -> exact hamming verify. Returns (a, b, hamming)."""
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        sigs = np.empty(len(ids), np.uint64)
+        for i, txt in enumerate(texts):
+            toks = list(set(_TOKEN.findall(txt.lower())))
+            if not toks:
+                sigs[i] = 0
+                continue
+            h = hash64_str(toks)  # (m,) uint64
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            vote = (2 * bits - 1).sum(axis=0)
+            sigs[i] = np.uint64(
+                int("".join("1" if v > 0 else "0" for v in vote[::-1]), 2)
+            )
+        return pa.table({"doc_id": pa.array(ids), "sig": pa.array(sigs)})
+
+    sigs = docs.map_batches(sig_rows, batch_format="pyarrow").materialize()
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sg = t.column("sig").to_numpy()
+        w = 64 // n_chunks
+        mask = np.uint64((1 << w) - 1)
+        out_c, out_v, out_d, out_s = [], [], [], []
+        for c in range(n_chunks):
+            val = (sg >> np.uint64(c * w)) & mask
+            out_c.append(np.full(len(ids), c, np.int64))
+            out_v.append(val)
+            out_d.append(ids)
+            out_s.append(sg)
+        return pa.table(
+            {
+                "chunk": pa.array(np.concatenate(out_c)),
+                "val": pa.array(np.concatenate(out_v)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "sig": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    rows = sigs.map_batches(chunk_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sg = g["sig"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
+        i, j = np.triu_indices(len(ids), 1)
+        x = sg[i] ^ sg[j]
+        ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep], "hamming": ham[keep]})
+
+    pairs = rows.groupby(["chunk", "val"]).map_groups(bucket_pairs, batch_format="pandas")
+    if pairs.count() == 0:
+        return pairs
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    embeddings: Dataset, threshold: float = 0.95, id_col: str = "vec_id"
+) -> Dataset:
+    """Near-dup pairs by embedding cosine >= threshold (a < b).
+
+    Brute-force per batch against the broadcast normalized matrix
+    (ray.put once, read in every task) — exact baseline; the scale path
+    is LSH bucketing on random hyperplanes (see simhash) or IVF."""
+    import ray
+
+    mat_t = embeddings.select_columns([id_col, "embedding"]).to_pandas()
+    ids_all = mat_t[id_col].to_numpy().astype(np.int64)
+    M = np.stack(mat_t["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids_all, M))
+
+    class Sim:
+        def __init__(self, ref):
+            self.ids, self.M = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bid = t.column(id_col).to_numpy().astype(np.int64)
+            B = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            sims = B @ self.M.T  # (b, n)
+            ii, jj = np.nonzero(sims >= threshold)
+            a = bid[ii]
+            b = self.ids[jj]
+            keep = a < b
+            return pa.table(
+                {"a": pa.array(a[keep]), "b": pa.array(b[keep])}
+            )
+
+    return embeddings.map_batches(
+        Sim, batch_format="pyarrow", concurrency=2, fn_constructor_args=(ref,)
+    )

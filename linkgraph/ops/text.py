@@ -1,0 +1,130 @@
+"""Text-analysis stages over the ``documents`` table — actor-pool
+map_batches stages with per-actor compiled regexes (setup in __init__,
+never per batch).
+
+Tokenization spec shared with the DuckDB oracles: ASCII word tokens
+``[A-Za-z0-9]+`` (locale-free so Python re and DuckDB RE2 agree).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+
+# marker stopwords per language for the n-gram/stopword language id
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "a", "to", "is", "in"},
+    "de": {"der", "die", "und", "ist", "ein", "das", "mit"},
+    "fr": {"le", "la", "et", "est", "une", "les", "des"},
+    "es": {"el", "la", "y", "es", "una", "los", "con"},
+}
+
+
+class TokenCount:
+    """(doc_id, text) -> (doc_id, n_tokens). Exact parity with
+    ``len(regexp_extract_all(text, '[A-Za-z0-9]+'))`` in DuckDB."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(self.tok.findall(t)) for t in texts), np.int64, len(texts))
+        return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n)})
+
+
+class CharClasses:
+    """(doc_id, text) -> exact character-class counts (quality signals)."""
+
+    def __init__(self):
+        self.alpha = re.compile(r"[A-Za-z]")
+        self.digit = re.compile(r"[0-9]")
+        self.space = re.compile(r" ")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(np.fromiter((len(t) for t in texts), np.int64, n)),
+                "n_alpha": pa.array(
+                    np.fromiter((len(self.alpha.findall(t)) for t in texts), np.int64, n)
+                ),
+                "n_digit": pa.array(
+                    np.fromiter((len(self.digit.findall(t)) for t in texts), np.int64, n)
+                ),
+                "n_space": pa.array(
+                    np.fromiter((len(self.space.findall(t)) for t in texts), np.int64, n)
+                ),
+            }
+        )
+
+
+class LangId:
+    """Stopword-marker language id heuristic: argmax of per-language
+    marker hit counts, ties -> 'und'. Not SQL-expressible; tested with
+    a pytest oracle on synthetic pages with known languages."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_RE)
+        self.markers = _LANG_MARKERS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            toks = self.tok.findall(t.lower())
+            scores = {
+                lang: sum(w in marks for w in toks)
+                for lang, marks in self.markers.items()
+            }
+            best = max(scores.values())
+            winners = sorted(l for l, s in scores.items() if s == best)
+            preds.append(winners[0] if best > 0 and len(winners) == 1 else "und")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, pa.string())}
+        )
+
+
+class Fingerprint:
+    """(doc_id, text) -> 64-bit content fingerprint: md5-based whole-doc
+    hash plus a rolling-window min-hash (winnowing-style robust
+    fingerprint over 8-byte windows)."""
+
+    W = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        full = np.empty(len(texts), np.uint64)
+        rolling = np.empty(len(texts), np.uint64)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            full[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+            if len(b) >= self.W:
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                # polynomial rolling hash of each W-byte window, vectorized
+                win = np.lib.stride_tricks.sliding_window_view(a, self.W)
+                coeff = np.uint64(257) ** np.arange(self.W, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    hashes = (win * coeff).sum(axis=1)
+                rolling[i] = hashes.min()
+            else:
+                rolling[i] = full[i]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp_full": pa.array(full),
+                "fp_rolling_min": pa.array(rolling),
+            }
+        )
+
+
+def md5_digest_series(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
