@@ -1,0 +1,264 @@
+"""Training-data ops vs in-test oracles (documents / embeddings / events
+tables at sf0.001)."""
+
+import hashlib
+import re
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_pdf():
+    return pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _shingles(text, k=3):
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _true_jaccard_pairs(docs_pdf, k=3, threshold=0.7):
+    sh = {r.doc_id: _shingles(r.text, k) for r in docs_pdf.itertuples()}
+    ids = sorted(sh)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                if j >= threshold:
+                    out[(a, b)] = j
+    return out
+
+
+def test_exact_dedup(docs_ds, docs_pdf):
+    from linkgraph.ops import exact_dedup
+
+    got = exact_dedup(docs_ds).to_pandas()
+    md5 = docs_pdf["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    want = (
+        docs_pdf.assign(d=md5)
+        .groupby("d")["doc_id"]
+        .agg(doc_id="min", n_copies="size")
+        .reset_index(drop=True)
+    )
+    assert sorted(map(tuple, got.values.tolist())) == sorted(map(tuple, want.values.tolist()))
+
+
+def test_shingle_jaccard_exact(docs_ds, docs_pdf):
+    from linkgraph.ops import shingle_jaccard_pairs
+
+    got = shingle_jaccard_pairs(docs_ds.select_columns(["doc_id", "text"]), k=3, threshold=0.7)
+    got_pairs = {(r["a"], r["b"]) for r in got.take_all()}
+    want = set(_true_jaccard_pairs(docs_pdf, 3, 0.7))
+    assert got_pairs == want
+    assert len(want) > 0
+
+
+def test_minhash_lsh_recall_precision(docs_ds, docs_pdf):
+    from linkgraph.ops import minhash_dedup_pairs
+
+    got = minhash_dedup_pairs(docs_ds.select_columns(["doc_id", "text"]), threshold=0.7)
+    rows = got.take_all()
+    got_pairs = {(r["a"], r["b"]) for r in rows}
+    truth = _true_jaccard_pairs(docs_pdf, 3, 0.0)  # all overlapping pairs w/ jaccard
+    high = {p for p, j in truth.items() if j >= 0.9}
+    # recall: every strong near-dup found
+    assert high <= got_pairs
+    # precision: everything reported has substantial true similarity
+    for p in got_pairs:
+        assert truth.get(p, 0.0) >= 0.5, (p, truth.get(p, 0.0))
+    # estimates close to truth
+    for r in rows:
+        assert abs(r["est_jaccard"] - truth[(r["a"], r["b"])]) < 0.2
+
+
+def test_simhash_hamming(docs_ds, docs_pdf):
+    from linkgraph.ops import simhash_dedup_pairs
+
+    rows = simhash_dedup_pairs(docs_ds.select_columns(["doc_id", "text"]), max_hamming=3).take_all()
+    assert all(r["hamming"] <= 3 and r["a"] < r["b"] for r in rows)
+    # exact duplicates must collide at hamming 0
+    md5 = docs_pdf["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    groups = docs_pdf.assign(d=md5).groupby("d")["doc_id"].apply(list)
+    dup_pairs = {
+        (min(a, b), max(a, b))
+        for ids in groups
+        if len(ids) > 1
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    got = {(r["a"], r["b"]) for r in rows}
+    assert dup_pairs <= got
+
+
+def test_embedding_dup_exact(emb_ds, emb_pdf):
+    from linkgraph.ops import embedding_dup_pairs
+
+    thr = 0.4
+    got = {(r["a"], r["b"]) for r in embedding_dup_pairs(emb_ds, threshold=thr).take_all()}
+    M = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = emb_pdf["vec_id"].to_numpy()
+    sims = M @ M.T
+    i, j = np.triu_indices(len(ids), 1)
+    want = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(i[sims[i, j] >= thr], j[sims[i, j] >= thr])
+    }
+    assert got == want and len(want) > 0
+
+
+def test_knn_exact(emb_ds, emb_pdf):
+    from linkgraph.ops import knn_cosine
+
+    k, queries = 5, [0, 1, 2]
+    got = knn_cosine(emb_ds, queries, k=k).to_pandas()
+    M = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = emb_pdf["vec_id"].to_numpy()
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for q in queries:
+        sims = M[idx[q]] @ M.T
+        order = sorted(
+            (int(v) for v in ids if v != q), key=lambda v: (-sims[idx[v]], v)
+        )[:k]
+        g = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert g == order
+
+
+def test_knn_lsh_overlaps_exact(emb_ds, emb_pdf):
+    from linkgraph.ops.knn import knn_cosine, knn_cosine_lsh
+
+    exact = knn_cosine(emb_ds, [0], k=10).to_pandas()
+    approx = knn_cosine_lsh(emb_ds, [0], k=10, n_tables=16, n_planes=6).to_pandas()
+    inter = set(exact["neighbor_id"]) & set(approx["neighbor_id"])
+    assert len(inter) >= 5  # decent recall on 500 vectors
+
+
+def test_langid_on_synth_pages():
+    from linkgraph import synth
+    from linkgraph.ops import LangId
+
+    n = 200
+    recs = [synth.page_record(k, n, 8) for k in range(n)]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": r["text"]} for i, r in enumerate(recs)]
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).take_all()}
+    correct = sum(got[i] == r["lang"] for i, r in enumerate(recs))
+    assert correct / n >= 0.9
+
+
+def test_token_and_char_counts(docs_ds, docs_pdf):
+    from linkgraph.ops import CharClasses, TokenCount
+
+    tok = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(TokenCount, batch_format="pyarrow", concurrency=2)
+        .take_all()
+    }
+    for r in docs_pdf.itertuples():
+        assert tok[r.doc_id] == len(re.findall(r"[A-Za-z0-9]+", r.text))
+    cc = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(CharClasses, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for r in docs_pdf.head(50).itertuples():
+        assert cc.loc[r.doc_id, "n_chars"] == len(r.text)
+        assert cc.loc[r.doc_id, "n_space"] == r.text.count(" ")
+
+
+def test_fingerprint_deterministic(docs_ds):
+    from linkgraph.ops import Fingerprint
+
+    a = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(Fingerprint(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    b = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(Fingerprint(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (a["fp_full"].values == b["fp_full"].values).all()
+    assert (a["fp_rolling_min"].values == b["fp_rolling_min"].values).all()
+
+
+def test_windows_vs_pandas():
+    from linkgraph.ops import sessionize, tumbling_window
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    pdf = pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+    got = tumbling_window(ev, minutes=60).to_pandas()
+    want = (
+        pdf.assign(w=pdf["ts"].dt.floor("60min"))
+        .groupby(["w", "event_type"])
+        .agg(n_events=("event_id", "size"), total_value=("value", "sum"))
+        .reset_index()
+    )
+    got = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    want = want.sort_values(["w", "event_type"]).reset_index(drop=True)
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert np.allclose(got["total_value"].values, want["total_value"].values)
+
+    got_s = sessionize(ev, gap_minutes=30).to_pandas().set_index("user_id")
+    gap = pd.Timedelta(minutes=30)
+    for uid, g in pdf.groupby("user_id"):
+        ts = g["ts"].sort_values()
+        want_n = int((ts.diff() > gap).sum()) + 1
+        assert got_s.loc[uid, "n_sessions"] == want_n
+
+
+def test_multimodal_plumbing():
+    from linkgraph.ops.multimodal import (
+        FakeDecoder,
+        decode_features,
+        decode_stub,
+        synth_media_dataset,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "image")
+    out = decode_features(synth_media_dataset(32), concurrency=2).to_pandas()
+    assert len(out) == 32
+    assert set(out.columns) == {"media_id", "kind", "features"}
+    assert all(len(f) == FakeDecoder.DIM for f in out["features"])
+    # deterministic across runs
+    out2 = decode_features(synth_media_dataset(32), concurrency=2).to_pandas()
+    m1 = {r.media_id: list(r.features) for r in out.itertuples()}
+    m2 = {r.media_id: list(r.features) for r in out2.itertuples()}
+    assert m1 == m2
