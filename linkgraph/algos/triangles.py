@@ -1,19 +1,23 @@
-"""Triangle counting as joins over the canonical edge table.
+"""Triangle counting over the canonical edge table — bucketed joins.
 
 Reference parity: test/count_triangles.c:90-133 counts each triangle at
-its minimum-id vertex by intersecting adjacency lists. Here we use the
-standard scalable formulation — degree orientation + wedge join:
+one distinguished vertex by adjacency intersection. Here: degree
+orientation + wedge closure, expressed as hash-bucketed map_groups
+rounds (every shuffle has exactly B groups, every group body is
+vectorized numpy / pandas-merge — no per-vertex Python, no broadcast of
+the edge set):
 
-  1. canonicalize: undirected unique (u, v) with u < v
-  2. orient each edge from the endpoint with smaller (degree, id) to the
-     larger — every triangle becomes exactly one wedge + one closing
-     edge, and max out-degree after orientation is O(sqrt(m)), which
-     bounds hub wedge explosion (the skew handling for this op)
-  3. wedges: per source, all ordered out-neighbor pairs
-     (vectorized np.triu_indices inside map_groups)
-  4. closure: count wedges whose (b, c) exists in the oriented edge set
-     via a groupby((b, c)) match — a shuffle join, no broadcast of the
-     full edge set.
+  1. canonicalize (u < v unique) — bucket by pair hash, np.unique per bucket
+  2. degrees — partial counts per batch, combined inside the join buckets
+  3. orient each edge from smaller (degree, id) to larger: max out-degree
+     becomes O(sqrt(m)), bounding hub wedge explosion (the power-law
+     skew handling for this operator)
+  4. wedges per source, pairs keyed (min_id, max_id)
+  5. closure: wedge (b, c) joins canonical edge (b, c) — bucketed merge,
+     sum of wedge multiplicities = triangle count.
+
+All rows travel in one uniform narrow schema (part, kind, k1, k2, w) so
+tagged unions stay zero-copy Arrow.
 """
 
 from __future__ import annotations
@@ -23,12 +27,29 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
-
-from ..edges import _partial_counts
 
 
-def _canonical(edges: Dataset) -> Dataset:
+def _rows(part, kind, k1, k2, w) -> pa.Table:
+    n = len(part)
+    return pa.table(
+        {
+            "part": pa.array(part, pa.int64()),
+            "kind": pa.array(np.broadcast_to(np.int64(kind), (n,)) if np.isscalar(kind) else kind, pa.int64()),
+            "k1": pa.array(k1, pa.int64()),
+            "k2": pa.array(k2, pa.int64()),
+            "w": pa.array(w if not np.isscalar(w) else np.broadcast_to(np.int64(w), (n,)), pa.int64()),
+        }
+    )
+
+
+def _empty_rows() -> pa.Table:
+    z = np.empty(0, np.int64)
+    return _rows(z, z, z, z, z)
+
+
+def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
+    """unique (u < v) pairs, bucketed by pair hash with per-bucket np.unique."""
+
     def canon(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy().astype(np.int64, copy=False)
         d = t.column("dst").to_numpy().astype(np.int64, copy=False)
@@ -36,125 +57,153 @@ def _canonical(edges: Dataset) -> Dataset:
         s, d = s[keep], d[keep]
         u = np.minimum(s, d)
         v = np.maximum(s, d)
-        pairs = np.unique(np.stack([u, v], axis=1), axis=0)
-        return pa.table({"u": pa.array(pairs[:, 0]), "v": pa.array(pairs[:, 1])})
+        pairs = np.unique(np.stack([u, v], axis=1), axis=0)  # in-batch combiner
+        u, v = pairs[:, 0], pairs[:, 1]
+        part = (u + 31 * v) % B
+        return _rows(part, 0, u, v, 0)
 
-    e = edges.map_batches(canon, batch_format="pyarrow")
-    return e.groupby(["u", "v"]).count().select_columns(["u", "v"])
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.unique(
+            np.stack([g["k1"].to_numpy(), g["k2"].to_numpy()], axis=1), axis=0
+        )
+        return pd.DataFrame({"u": pairs[:, 0], "v": pairs[:, 1]})
 
-
-def _degrees(canon: Dataset) -> Dataset:
-    def both(t: pa.Table) -> pa.Table:
-        u = t.column("u").to_numpy()
-        v = t.column("v").to_numpy()
-        x = np.concatenate([u, v])
-        ids, cnt = np.unique(x, return_counts=True)
-        return pa.table({"x": pa.array(ids), "_c": pa.array(cnt.astype(np.int64))})
-
-    partial = canon.map_batches(both, batch_format="pyarrow")
-    return partial.groupby("x").aggregate(Sum("_c", alias_name="deg"))
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+    )
 
 
 def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
-    """Global triangle count of the undirected simple graph.
+    """Global triangle count of the undirected simple graph."""
+    B = num_partitions or 32
+    canon = _canonical_bucketed(edges, B).materialize()
+    if canon.count() == 0:
+        return 0
 
-    num_partitions sizes each hash-join's aggregator pool; it must leave
-    CPU room for the map stages (a pool that reserves every CPU
-    deadlocks the pipeline), so default = cluster CPUs / 4.
-    """
-    if num_partitions is None:
-        import ray
+    # --- degree partials ------------------------------------------------
+    def deg_partial(t: pa.Table) -> pa.Table:
+        x = np.concatenate(
+            [t.column("u").to_numpy(), t.column("v").to_numpy()]
+        )
+        ids, cnt = np.unique(x, return_counts=True)
+        return _rows(ids % B, 1, ids, np.zeros(len(ids), np.int64), cnt.astype(np.int64))
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 4)
-    canon = _canonical(edges).materialize()
-    deg = _degrees(canon)
+    partials = canon.map_batches(deg_partial, batch_format="pyarrow")
 
-    # join degrees onto both endpoints (hash join on the key)
-    with_du = canon.join(
-        deg, join_type="inner", num_partitions=num_partitions, on=("u",), right_on=("x",)
+    # --- join degree onto endpoint col (two bucketed rounds) -----------
+    def tag_edges(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy()
+            v = t.column("v").to_numpy()
+            du = (
+                t.column("du").to_numpy()
+                if "du" in t.column_names
+                else np.zeros(len(u), np.int64)
+            )
+            key = u if col == "u" else v
+            return _rows(key % B, 0, u, v, du)
+
+        return fn
+
+    def join_round(col: str):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["kind"] == 0]
+            d = g[g["kind"] == 1].groupby("k1", as_index=False)["w"].sum()
+            if len(e) == 0:
+                return pd.DataFrame({"u": [], "v": [], "du": [], "dv": []}).astype(np.int64)
+            key = e["k1"] if col == "u" else e["k2"]
+            m = pd.DataFrame(
+                {"u": e["k1"].to_numpy(), "v": e["k2"].to_numpy(), "prev": e["w"].to_numpy(), "key": key.to_numpy()}
+            ).merge(d.rename(columns={"k1": "key", "w": "deg"}), on="key", how="left")
+            if col == "u":
+                return pd.DataFrame({"u": m["u"], "v": m["v"], "du": m["deg"].astype(np.int64)})
+            return pd.DataFrame(
+                {"u": m["u"], "v": m["v"], "du": m["prev"], "dv": m["deg"].astype(np.int64)}
+            )
+
+        return fn
+
+    r1 = (
+        canon.map_batches(tag_edges("u"), batch_format="pyarrow")
+        .union(partials)
+        .groupby("part")
+        .map_groups(join_round("u"), batch_format="pandas")
     )
-    with_du = _rename(with_du, {"deg": "du", "x": "_x"})
-    full = with_du.join(
-        deg, join_type="inner", num_partitions=num_partitions, on=("v",), right_on=("x",)
-    )
-    full = _rename(full, {"deg": "dv", "x": "_x2"})
 
+    def tag_r1(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy()
+        return _rows(v % B, 0, t.column("u").to_numpy(), v, t.column("du").to_numpy())
+
+    r2 = (
+        r1.map_batches(tag_r1, batch_format="pyarrow")
+        .union(partials)
+        .groupby("part")
+        .map_groups(join_round("v"), batch_format="pandas")
+    )
+
+    # --- orient + wedges ------------------------------------------------
     def orient(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy()
         v = t.column("v").to_numpy()
         du = t.column("du").to_numpy()
         dv = t.column("dv").to_numpy()
-        # orient from smaller (deg, id) to larger
         fwd = (du < dv) | ((du == dv) & (u < v))
         a = np.where(fwd, u, v)
         b = np.where(fwd, v, u)
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+        return _rows(a % B, 0, a, b, 0)
 
-    oriented = full.map_batches(orient, batch_format="pyarrow").materialize()
-
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        ns = np.sort(g["b"].to_numpy())
-        k = len(ns)
-        if k < 2:
+    def wedge_gen(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["k1"].to_numpy()
+        b = g["k2"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        outs = []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            nb = b[s:e]
+            outs.append(np.stack([nb[i], nb[j]], axis=1))
+        if not outs:
             return pd.DataFrame({"b": [], "c": [], "w": []}).astype(np.int64)
-        i, j = np.triu_indices(k, 1)
-        # orientation is by (deg, id); within one source the pair order on
-        # plain id may disagree with the (deg, id) order, so emit both
-        # candidate orders collapsed to the oriented edge's direction by
-        # matching against the oriented edge set on (b, c) AND (c, b).
-        return pd.DataFrame({"b": ns[i], "c": ns[j], "w": np.ones(len(i), np.int64)})
+        pairs = np.concatenate(outs)  # already (min, max): nb sorted ascending
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame({"b": uniq[:, 0], "c": uniq[:, 1], "w": cnt.astype(np.int64)})
 
-    wedge_ds = oriented.groupby("a").map_groups(wedges, batch_format="pandas")
-    # combine duplicate wedges before the closure shuffle
-    wedge_agg = (
-        wedge_ds.map_batches(_partial_wedge_counts, batch_format="pyarrow")
-        .groupby(["b", "c"])
-        .aggregate(Sum("w", alias_name="w"))
-    ).materialize()
-    if wedge_agg.count() == 0:
-        return 0
+    wedges = (
+        r2.map_batches(orient, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedge_gen, batch_format="pandas")
+    )
 
-    def edge_key(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy()
-        b = t.column("b").to_numpy()
-        # closure probe is direction-insensitive: key on (min, max)
-        return pa.table(
-            {
-                "b": pa.array(np.minimum(a, b)),
-                "c": pa.array(np.maximum(a, b)),
-                "is_edge": pa.array(np.ones(len(a), np.int64)),
-            }
-        )
-
-    def wedge_key(t: pa.Table) -> pa.Table:
+    # --- closure: wedge (b,c) must be a canonical edge ------------------
+    def tag_wedges(t: pa.Table) -> pa.Table:
         b = t.column("b").to_numpy()
         c = t.column("c").to_numpy()
-        return pa.table(
-            {
-                "b": pa.array(np.minimum(b, c)),
-                "c": pa.array(np.maximum(b, c)),
-                "w": t.column("w"),
-            }
-        )
+        return _rows((b + 31 * c) % B, 1, b, c, t.column("w").to_numpy())
 
-    probe = oriented.map_batches(edge_key, batch_format="pyarrow")
-    wk = wedge_agg.map_batches(wedge_key, batch_format="pyarrow")
-    joined = wk.join(
-        probe, join_type="inner", num_partitions=num_partitions, on=("b", "c")
+    def tag_canon(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        return _rows((u + 31 * v) % B, 0, u, v, 0)
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["k1", "k2"]]
+        w = g[g["kind"] == 1][["k1", "k2", "w"]]
+        if len(e) == 0 or len(w) == 0:
+            return pd.DataFrame({"t": [0]})
+        m = w.merge(e, on=["k1", "k2"], how="inner")
+        return pd.DataFrame({"t": [int(m["w"].sum())]})
+
+    closed = (
+        wedges.map_batches(tag_wedges, batch_format="pyarrow")
+        .union(canon.map_batches(tag_canon, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(close, batch_format="pandas")
     )
-    n = joined.aggregate(Sum("w", alias_name="t"))
-    return int(n["t"]) if n and n.get("t") is not None else 0
-
-
-def _partial_wedge_counts(t: pa.Table) -> pa.Table:
-    g = t.group_by(["b", "c"]).aggregate([("w", "sum")])
-    return g.rename_columns(["b", "c", "w"])
-
-
-def _rename(ds: Dataset, mapping: dict) -> Dataset:
-    def fn(t: pa.Table) -> pa.Table:
-        names = [mapping.get(c, c) for c in t.column_names]
-        return t.rename_columns(names)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return int(sum(r["t"] for r in closed.take_all()))

@@ -142,8 +142,10 @@ class GraphPartition:
         with per-destination-partition segment structure for reduceat.
         Returns (n_local_vertices, n_local_edges)."""
         P = self.P
-        if self._vert_chunks:
-            self.verts = np.unique(np.concatenate(self._vert_chunks))
+        chunks = list(self._vert_chunks)
+        chunks.extend(c[0] for c in self._edge_chunks)  # local srcs self-register
+        if chunks:
+            self.verts = np.unique(np.concatenate(chunks))
         else:
             self.verts = np.empty(0, np.uint64)
         self._vert_chunks = []
@@ -308,30 +310,40 @@ class GraphPartition:
 # --------------------------------------------------------------------------
 
 
-def _loader(actors, P: int):
-    """map_groups fn: one group per partition; registers edges with the
-    owning src-partition actor and dst vertex ids with their owners.
-    Runs on workers — data never touches the driver."""
+def _router(actors, P: int, symmetrize: bool):
+    """map_batches fn: split each Arrow batch by owner partition and push
+    the slices straight to the pinned actors (worker -> object store ->
+    actor; the driver never sees the data, and no separate hash-shuffle
+    materialization is needed — the actor-side accumulate IS the
+    repartition-by-vertex-hash)."""
 
-    def fn(df):
-        src = df["src"].to_numpy().astype(np.uint64, copy=False)
-        dst = df["dst"].to_numpy().astype(np.uint64, copy=False)
-        if len(src):
-            pid = int(src[0] % np.uint64(P))
-            refs = [actors[pid].add_edges.remote(src, dst)]
-            refs.append(actors[pid].add_vertices.remote(np.unique(src)))
-            dpart = (dst % np.uint64(P)).astype(np.int64)
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.uint64, copy=False)
+        d = batch.column("dst").to_numpy().astype(np.uint64, copy=False)
+        if symmetrize:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+        refs = []
+        if len(s):
+            part = (s % np.uint64(P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            s_, d_, p_ = s[order], d[order], part[order]
+            bounds = np.searchsorted(p_, np.arange(P + 1))
+            for q in range(P):
+                a, b = bounds[q], bounds[q + 1]
+                if a < b:
+                    refs.append(actors[q].add_edges.remote(s_[a:b].copy(), d_[a:b].copy()))
+            # register dst vertices with their owners (srcs register on
+            # the edge-owning actor in finalize)
+            dpart = (d % np.uint64(P)).astype(np.int64)
             order = np.argsort(dpart, kind="stable")
-            ds_, dp_ = dst[order], dpart[order]
+            dd_, dp_ = d[order], dpart[order]
             bounds = np.searchsorted(dp_, np.arange(P + 1))
             for q in range(P):
                 a, b = bounds[q], bounds[q + 1]
                 if a < b:
-                    refs.append(actors[q].add_vertices.remote(np.unique(ds_[a:b])))
+                    refs.append(actors[q].add_vertices.remote(np.unique(dd_[a:b])))
             ray.get(refs)
-        import pandas as pd
-
-        return pd.DataFrame({"n": [len(src)]})
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
 
     return fn
 
@@ -363,20 +375,13 @@ class SuperstepEngine:
         dtype = dict(zip(schema.names, schema.types))[src_col]
         self.signed_ids = pa.types.is_signed_integer(dtype)
 
-        def prep(batch: pa.Table) -> pa.Table:
-            s = batch.column(src_col).to_numpy().astype(np.uint64, copy=False)
-            d = batch.column(dst_col).to_numpy().astype(np.uint64, copy=False)
-            if self.symmetrize:
-                s, d = np.concatenate([s, d]), np.concatenate([d, s])
-            part = (s % np.uint64(P)).astype(np.int64)
-            return pa.table(
-                {"src": pa.array(s), "dst": pa.array(d), "part": pa.array(part)}
+        cols = edges
+        if set(edges.schema().names) != {"src", "dst"} or src_col != "src":
+            cols = edges.select_columns([src_col, dst_col]).map_batches(
+                lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"
             )
-
-        prepped = edges.map_batches(prep, batch_format="pyarrow")
-        # hash shuffle by src partition; each group streams into its pinned actor
-        sink = prepped.groupby("part").map_groups(
-            _loader(self.actors, P), batch_format="pandas"
+        sink = cols.map_batches(
+            _router(self.actors, P, self.symmetrize), batch_format="pyarrow"
         )
         sink.count()  # consume -> all add_edges/add_vertices complete
         sizes = ray.get([a.finalize.remote() for a in self.actors])

@@ -91,10 +91,13 @@ class ExtractEdges:
                 dst_urls.append(link)
         if not src_urls:
             return pa.table(
-                {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64())}
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
             )
-        src = hash64_str(src_urls)
-        dst = hash64_str(dst_urls)
+        # int64 bit-view of the 64-bit hash: Ray Data's hash shuffle
+        # handles int64 keys natively (uint64 keys fall back to pickled
+        # objects), and the bit pattern keeps full hash entropy.
+        src = hash64_str(src_urls).view(np.int64)
+        dst = hash64_str(dst_urls).view(np.int64)
         keep = src != dst  # drop self loops
         src, dst = src[keep], dst[keep]
         # in-batch dedup (combiner before the global dedup shuffle)
@@ -102,7 +105,7 @@ class ExtractEdges:
         pairs = np.unique(pairs, axis=0)
         return pa.table(
             {
-                "src": pa.array(pairs[:, 0], pa.uint64()),
-                "dst": pa.array(pairs[:, 1], pa.uint64()),
+                "src": pa.array(pairs[:, 0], pa.int64()),
+                "dst": pa.array(pairs[:, 1], pa.int64()),
             }
         )

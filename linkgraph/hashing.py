@@ -30,6 +30,16 @@ def hash64_one(value: str) -> int:
     return int(hash64_str([value])[0])
 
 
+def hash64_str_signed(values) -> np.ndarray:
+    """int64 bit-view of hash64_str — the vertex-id dtype of the edge
+    table (Ray Data shuffles int64 keys natively; uint64 keys don't)."""
+    return hash64_str(values).view(np.int64)
+
+
+def hash64_one_signed(value: str) -> int:
+    return int(hash64_str_signed([value])[0])
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — uniform mixing of uint64 ints.
 

@@ -103,14 +103,39 @@ def shingle_jaccard_pairs(
     rows = docs.map_batches(_ShingleRows(k), batch_format="pyarrow")
     counts = rows.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if max_df is not None and len(ids) > max_df:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        i, j = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    # bucket shingles by hash so the shuffle has B groups, not one per
+    # shingle; pair generation loops only over collision segments
+    B = 64
 
-    cand = rows.groupby("shingle").map_groups(pairs, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash64_str(t.column("shingle").to_pylist()).view(np.int64) % B
+        return t.append_column("part", pa.array(part))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["shingle"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        ids = g["doc_id"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        outs = []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2 or (max_df is not None and k > max_df):
+                continue
+            seg = np.sort(ids[s:e])
+            i, j = np.triu_indices(k, 1)
+            outs.append(np.stack([seg[i], seg[j]], axis=1))
+        if not outs:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        p = np.concatenate(outs)
+        return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
+
+    cand = (
+        rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+    )
     if cand.count() == 0:
         return cand
     inter = (
@@ -223,26 +248,45 @@ def minhash_dedup_pairs(
         for i in range(1, r):
             bh = splitmix64(bh ^ banded[:, :, i])
         band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        bh64 = bh.reshape(-1).view(np.int64)
         return pa.table(
             {
                 "band_id": pa.array(band_id),
-                "band_hash": pa.array(bh.reshape(-1)),
+                "band_hash": pa.array(bh64),
                 "doc_id": pa.array(np.repeat(ids, bands)),
+                "part": pa.array(bh64 % np.int64(64)),
             }
         )
 
     rows = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+        # segment by (band_id, band_hash) inside the hash bucket; pairs
+        # only from collision segments (vectorized sort + boundaries)
+        bi = g["band_id"].to_numpy()
+        bv = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, bv, bi))
+        bi, bv, ids = bi[order], bv[order], ids[order]
+        new = np.r_[True, (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(bi)]
+        outs = []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            seg = np.unique(ids[s:e])
+            if len(seg) < 2:
+                continue
+            i, j = np.triu_indices(len(seg), 1)
+            outs.append(np.stack([seg[i], seg[j]], axis=1))
+        if not outs:
             return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        i, j = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+        p = np.unique(np.concatenate(outs), axis=0)  # in-bucket combiner
+        return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
 
-    cand = rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    cand = rows.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
     cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
     if cand.count() == 0:
         return cand
@@ -327,35 +371,63 @@ def simhash_dedup_pairs(
         mask = np.uint64((1 << w) - 1)
         out_c, out_v, out_d, out_s = [], [], [], []
         for c in range(n_chunks):
-            val = (sg >> np.uint64(c * w)) & mask
+            val = ((sg >> np.uint64(c * w)) & mask).astype(np.int64)
             out_c.append(np.full(len(ids), c, np.int64))
             out_v.append(val)
             out_d.append(ids)
-            out_s.append(sg)
+            out_s.append(sg.view(np.int64))
+        val = np.concatenate(out_v)
+        chunk = np.concatenate(out_c)
         return pa.table(
             {
-                "chunk": pa.array(np.concatenate(out_c)),
-                "val": pa.array(np.concatenate(out_v)),
+                "chunk": pa.array(chunk),
+                "val": pa.array(val),
                 "doc_id": pa.array(np.concatenate(out_d)),
                 "sig": pa.array(np.concatenate(out_s)),
+                "part": pa.array((val * np.int64(n_chunks) + chunk) % np.int64(64)),
             }
         )
 
     rows = sigs.map_batches(chunk_rows, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ch = g["chunk"].to_numpy()
+        val = g["val"].to_numpy()
         ids = g["doc_id"].to_numpy()
-        sg = g["sig"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
+        sg = g["sig"].to_numpy().view(np.uint64)
+        order = np.lexsort((ids, val, ch))
+        ch, val, ids, sg = ch[order], val[order], ids[order], sg[order]
+        new = np.r_[True, (ch[1:] != ch[:-1]) | (val[1:] != val[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ch)]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            a, b = ids[s:e][i], ids[s:e][j]
+            x = sg[s:e][i] ^ sg[s:e][j]
+            ham = np.zeros(len(x), np.int64)  # popcount via nibble loop
+            v = x.copy()
+            while v.any():
+                ham += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+            keep = (ham <= max_hamming) & (a != b)
+            out_a.append(np.minimum(a[keep], b[keep]))
+            out_b.append(np.maximum(a[keep], b[keep]))
+            out_h.append(ham[keep])
+        if not out_a:
             return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
-        i, j = np.triu_indices(len(ids), 1)
-        x = sg[i] ^ sg[j]
-        ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep], "hamming": ham[keep]})
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
 
-    pairs = rows.groupby(["chunk", "val"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = rows.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
     if pairs.count() == 0:
         return pairs
     return (

@@ -99,15 +99,74 @@ def page_record(k: int, n_pages: int, n_sites: int, avg_out: int = 8) -> dict:
 
 
 def pages_table(ids: np.ndarray, n_pages: int, n_sites: int, avg_out: int = 8) -> pa.Table:
-    """Arrow pages table for the given page ids (vector of row indices)."""
-    recs = [page_record(int(k), n_pages, n_sites, avg_out) for k in ids]
+    """Arrow pages table for the given page ids — vectorized generation
+    (bit-exact with the scalar ``page_record`` reference; tests assert
+    parity). All mixing is batched numpy; only string assembly loops."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+                "html": pa.array([], pa.binary()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+            }
+        )
+    kint = ids.astype(np.int64)
+    site = (kint % n_sites).astype(np.int64)
+    n_out = 1 + (mix2(ids, np.zeros(n, np.uint64)) % np.uint64(2 * avg_out - 1)).astype(
+        np.int64
+    )
+    max_out = int(n_out.max())
+    J = np.arange(1, max_out + 1, dtype=np.uint64)
+    u = uniform01(mix2(ids[:, None], J[None, :]))  # (n, max_out)
+    t = np.minimum((n_pages * u**_ZIPF_BETA).astype(np.int64), n_pages - 1)
+    # rooted-href columns (j % 3 == 1, 0-based j = column index)
+    for j in range(1, max_out, 3):
+        t2 = np.minimum((t[:, j] // n_sites) * n_sites + site, n_pages - 1)
+        t2 = np.where(t2 % n_sites != site, site, t2)
+        t[:, j] = t2
+    widx = (
+        mix2(ids[:, None], (np.uint64(100) + np.arange(20, dtype=np.uint64))[None, :])
+        % np.uint64(10)
+    ).astype(np.int64)
+
+    urls, htmls, texts, langs = [], [], [], []
+    for i in range(n):
+        k = int(kint[i])
+        lang = page_lang(k)
+        vocab = _VOCAB[lang]
+        para = " ".join(vocab[w] for w in widx[i])
+        title = f"title {k}"
+        m = int(n_out[i])
+        targets = []
+        for j in range(m):
+            tj = int(t[i, j])
+            if j % 3 == 1:
+                targets.append((tj, f"/p/{tj}"))
+            else:
+                targets.append((tj, page_url(tj, n_sites)))
+        if m >= 6:
+            targets.append(targets[0])
+            targets.append((k, f"/p/{k}"))
+        anchors = "".join(f'<a href="{href}">link {tt}</a>' for tt, href in targets)
+        html = (
+            f"<html><head><title>{title}</title></head>"
+            f"<body><p>{para}</p>{anchors}</body></html>"
+        )
+        urls.append(page_url(k, n_sites))
+        htmls.append(html.encode("utf-8"))
+        texts.append("\n".join([title, para] + [f"link {tt}" for tt, _ in targets]))
+        langs.append(lang)
     return pa.table(
         {
-            "url": pa.array([r["url"] for r in recs], pa.string()),
-            "warc_ts": pa.array([r["warc_ts"] for r in recs], pa.timestamp("us")),
-            "html": pa.array([r["html"] for r in recs], pa.binary()),
-            "text": pa.array([r["text"] for r in recs], pa.string()),
-            "lang": pa.array([r["lang"] for r in recs], pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array((EPOCH_US + kint * 1_000_000), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
         }
     )
 

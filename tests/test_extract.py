@@ -7,7 +7,7 @@ import pytest
 
 from linkgraph import extract, synth
 from linkgraph.edges import build_edges
-from linkgraph.hashing import hash64_one
+from linkgraph.hashing import hash64_one_signed
 
 N_PAGES, N_SITES = 64, 4
 
@@ -47,7 +47,7 @@ def test_edge_table_matches_expected_set():
     rows = edges.take_all()
     got = {(r["src"], r["dst"]) for r in rows}
     expected = {
-        (hash64_one(s), hash64_one(d))
+        (hash64_one_signed(s), hash64_one_signed(d))
         for s, d in synth.expected_edge_set(N_PAGES, N_SITES)
     }
     assert got == expected
