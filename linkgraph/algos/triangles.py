@@ -69,7 +69,7 @@ def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
         return pd.DataFrame({"u": pairs[:, 0], "v": pairs[:, 1]})
 
     return (
-        edges.map_batches(canon, batch_format="pyarrow")
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=131072)
         .groupby("part")
         .map_groups(dedup, batch_format="pandas")
     )
@@ -90,7 +90,7 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         ids, cnt = np.unique(x, return_counts=True)
         return _rows(ids % B, 1, ids, np.zeros(len(ids), np.int64), cnt.astype(np.int64))
 
-    partials = canon.map_batches(deg_partial, batch_format="pyarrow")
+    partials = canon.map_batches(deg_partial, batch_format="pyarrow", batch_size=131072)
 
     # --- join degree onto endpoint col (two bucketed rounds) -----------
     def tag_edges(col: str):
@@ -126,7 +126,7 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         return fn
 
     r1 = (
-        canon.map_batches(tag_edges("u"), batch_format="pyarrow")
+        canon.map_batches(tag_edges("u"), batch_format="pyarrow", batch_size=131072)
         .union(partials)
         .groupby("part")
         .map_groups(join_round("u"), batch_format="pandas")
@@ -137,7 +137,7 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         return _rows(v % B, 0, t.column("u").to_numpy(), v, t.column("du").to_numpy())
 
     r2 = (
-        r1.map_batches(tag_r1, batch_format="pyarrow")
+        r1.map_batches(tag_r1, batch_format="pyarrow", batch_size=131072)
         .union(partials)
         .groupby("part")
         .map_groups(join_round("v"), batch_format="pandas")
@@ -176,7 +176,7 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         return pd.DataFrame({"b": uniq[:, 0], "c": uniq[:, 1], "w": cnt.astype(np.int64)})
 
     wedges = (
-        r2.map_batches(orient, batch_format="pyarrow")
+        r2.map_batches(orient, batch_format="pyarrow", batch_size=131072)
         .groupby("part")
         .map_groups(wedge_gen, batch_format="pandas")
     )
@@ -201,8 +201,8 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         return pd.DataFrame({"t": [int(m["w"].sum())]})
 
     closed = (
-        wedges.map_batches(tag_wedges, batch_format="pyarrow")
-        .union(canon.map_batches(tag_canon, batch_format="pyarrow"))
+        wedges.map_batches(tag_wedges, batch_format="pyarrow", batch_size=131072)
+        .union(canon.map_batches(tag_canon, batch_format="pyarrow", batch_size=131072))
         .groupby("part")
         .map_groups(close, batch_format="pandas")
     )

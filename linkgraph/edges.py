@@ -24,7 +24,7 @@ def build_edges(pages: Dataset, dedup: bool = True) -> Dataset:
     (reference src/hoover.cpp:2289-2355, 450-600 `update_edge_info`
     early-return on existing edge) expressed as extract + distinct.
     """
-    edges = pages.map_batches(ExtractEdges(), batch_format="pyarrow")
+    edges = pages.map_batches(ExtractEdges(), batch_format="pyarrow", batch_size=4096)
     if dedup:
         edges = distinct_edges(edges)
     return edges
@@ -45,17 +45,17 @@ def _partial_counts(key: str, out: str):
 
 def out_degrees(edges: Dataset, src_col: str = "src", out: str = "out_deg") -> Dataset:
     """(src, out_deg) — combiner per batch, then a small groupby-sum."""
-    partial = edges.map_batches(_partial_counts(src_col, "_c"), batch_format="pyarrow")
+    partial = edges.map_batches(_partial_counts(src_col, "_c"), batch_format="pyarrow", batch_size=131072)
     return partial.groupby(src_col).aggregate(Sum("_c", alias_name=out))
 
 
 def in_degrees(edges: Dataset, dst_col: str = "dst", out: str = "in_deg") -> Dataset:
-    partial = edges.map_batches(_partial_counts(dst_col, "_c"), batch_format="pyarrow")
+    partial = edges.map_batches(_partial_counts(dst_col, "_c"), batch_format="pyarrow", batch_size=131072)
     return partial.groupby(dst_col).aggregate(Sum("_c", alias_name=out))
 
 
 def degree_histogram(edges: Dataset, col: str = "src") -> Dataset:
     """(degree, n_vertices) — the skew profile the partitioner cares about."""
     degs = out_degrees(edges, src_col=col, out="deg")
-    partial = degs.map_batches(_partial_counts("deg", "_c"), batch_format="pyarrow")
+    partial = degs.map_batches(_partial_counts("deg", "_c"), batch_format="pyarrow", batch_size=131072)
     return partial.groupby("deg").aggregate(Sum("_c", alias_name="n_vertices"))

@@ -381,7 +381,9 @@ class SuperstepEngine:
                 lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"
             )
         sink = cols.map_batches(
-            _router(self.actors, P, self.symmetrize), batch_format="pyarrow"
+            _router(self.actors, P, self.symmetrize),
+            batch_format="pyarrow",
+            batch_size=262144,
         )
         sink.count()  # consume -> all add_edges/add_vertices complete
         sizes = ray.get([a.finalize.remote() for a in self.actors])

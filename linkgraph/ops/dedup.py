@@ -46,7 +46,7 @@ def exact_dedup(docs: Dataset) -> Dataset:
             {"doc_id": df["doc_id"], "digest": md5_digest_series(df["text"])}
         )
 
-    d = docs.map_batches(digest, batch_format="pandas")
+    d = docs.map_batches(digest, batch_format="pandas", batch_size=8192)
     return (
         d.groupby("digest")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
@@ -100,7 +100,7 @@ def shingle_jaccard_pairs(
     J = inter / (na + nb - inter). ``max_df`` optionally drops
     ubiquitous shingles (the skew cap) — leave None for exact parity
     with the SQL oracle."""
-    rows = docs.map_batches(_ShingleRows(k), batch_format="pyarrow")
+    rows = docs.map_batches(_ShingleRows(k), batch_format="pyarrow", batch_size=8192)
     counts = rows.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
 
     # bucket shingles by hash so the shuffle has B groups, not one per
@@ -132,14 +132,14 @@ def shingle_jaccard_pairs(
         return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
 
     cand = (
-        rows.map_batches(add_part, batch_format="pyarrow")
+        rows.map_batches(add_part, batch_format="pyarrow", batch_size=131072)
         .groupby("part")
         .map_groups(pairs, batch_format="pandas")
     )
     if cand.count() == 0:
         return cand
     inter = (
-        cand.map_batches(_pair_partial_counts, batch_format="pyarrow")
+        cand.map_batches(_pair_partial_counts, batch_format="pyarrow", batch_size=131072)
         .groupby(["a", "b"])
         .aggregate(Sum("_c", alias_name="inter"))
     )
@@ -258,7 +258,7 @@ def minhash_dedup_pairs(
             }
         )
 
-    rows = sigs.map_batches(band_rows, batch_format="pyarrow")
+    rows = sigs.map_batches(band_rows, batch_format="pyarrow", batch_size=65536)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # segment by (band_id, band_hash) inside the hash bucket; pairs
@@ -362,7 +362,7 @@ def simhash_dedup_pairs(
             )
         return pa.table({"doc_id": pa.array(ids), "sig": pa.array(sigs)})
 
-    sigs = docs.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    sigs = docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=4096).materialize()
 
     def chunk_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
@@ -388,7 +388,7 @@ def simhash_dedup_pairs(
             }
         )
 
-    rows = sigs.map_batches(chunk_rows, batch_format="pyarrow")
+    rows = sigs.map_batches(chunk_rows, batch_format="pyarrow", batch_size=65536)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ch = g["chunk"].to_numpy()

@@ -32,7 +32,7 @@ def tumbling_window(events: Dataset, minutes: int = 60) -> Dataset:
         g.index.names = ["window_start", "event_type"]
         return g.reset_index()
 
-    p = events.map_batches(partial, batch_format="pandas")
+    p = events.map_batches(partial, batch_format="pandas", batch_size=131072)
     return p.groupby(["window_start", "event_type"]).aggregate(
         Sum("_n", alias_name="n_events"), Sum("_v", alias_name="total_value")
     )
