@@ -198,7 +198,7 @@ def q_tumbling(sf_dir: str):
     df = tumbling_window(_read(sf_dir, "events"), minutes=60).to_pandas()
     return pd.DataFrame(
         {
-            "window_start": (df["window_start"].astype("int64") // 10**9).astype("int64"),
+            "window_start": df["window_start"].astype("int64"),  # epoch seconds
             "event_type": df["event_type"],
             "n_events": df["n_events"].astype("int64"),
             "total_value": np.round(df["total_value"], 6),

@@ -21,11 +21,14 @@ from ray.data.aggregate import Sum
 
 def tumbling_window(events: Dataset, minutes: int = 60) -> Dataset:
     """Tumbling event-time window per event_type:
-    (window_start, event_type, n_events, total_value)."""
-    step = np.timedelta64(minutes * 60 * 1_000_000, "us")
+    (window_start: int64 epoch seconds, event_type, n_events, total_value).
+
+    window_start is epoch seconds (not a timestamp) — int64 groupby keys
+    shuffle an order of magnitude faster than timestamp keys here."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        w = df["ts"].dt.floor(f"{minutes}min")
+        sec = df["ts"].astype("datetime64[s]").astype("int64")  # epoch seconds
+        w = (sec // (minutes * 60)) * (minutes * 60)
         g = df.groupby([w, "event_type"], sort=False).agg(
             _n=("event_id", "size"), _v=("value", "sum")
         )
