@@ -30,16 +30,14 @@ class PageRankProgram(VertexProgram):
         n = ctx.n_local
         return {"rank": np.full(n, 1.0 / max(ctx.n_total, 1), dtype=np.float64)}
 
-    def init_stats(self, ctx):
-        dangling = float(ctx.state["rank"][ctx.out_deg == 0].sum())
-        return {"dangling": dangling}
-
-    def driver_init(self, stats):
-        return {"dangling": float(sum(s["dangling"] for s in stats))}
-
     def message(self, ctx):
         # contribution per edge: rank(src) / outdeg(src), vectorized
         return ctx.state["rank"][ctx.edge_src_idx] * ctx.inv_outdeg_edge
+
+    def scatter_extras(self, ctx):
+        # dangling mass of the ranks being scattered; summed across
+        # partitions inside the exchange — no driver round-trip
+        return {"dangling": float(ctx.state["rank"][ctx.out_deg == 0].sum())}
 
     def apply(self, ctx, idx, vals, g):
         n, N, d = ctx.n_local, max(ctx.n_total, 1), self.d
@@ -49,14 +47,10 @@ class PageRankProgram(VertexProgram):
         new = (1.0 - d) / N + d * (incoming + g["dangling"] / N)
         delta = float(np.abs(new - ctx.state["rank"]).sum())
         ctx.state["rank"] = new
-        return {
-            "delta": delta,
-            "dangling": float(new[ctx.out_deg == 0].sum()),
-        }
+        return {"delta": delta}
 
     def driver_step(self, stats, g, it):
         delta = float(sum(s["delta"] for s in stats))
-        g = {"dangling": float(sum(s["dangling"] for s in stats))}
         return g, delta < self.tol, {"delta": delta}
 
 

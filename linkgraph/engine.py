@@ -80,6 +80,13 @@ class VertexProgram:
         """Per-edge integer labels (labelvote reduce)."""
         raise NotImplementedError
 
+    def scatter_extras(self, ctx) -> dict:
+        """Numeric partials summed across partitions and merged into the
+        globals seen by apply() in the SAME superstep (e.g. dangling rank
+        mass) — the coupled-metric channel (reference inc/hoover.h:61-68)
+        piggybacked on the message exchange."""
+        return {}
+
     def apply(self, ctx, idx: np.ndarray, vals: np.ndarray, g: dict) -> Any:
         """Update ctx.state given aggregated messages; return local stats."""
         raise NotImplementedError
@@ -209,11 +216,16 @@ class GraphPartition:
         self.ctx.state = self.prog.init_state(self.ctx)
         return self.prog.init_stats(self.ctx)
 
-    def scatter(self, g: dict):
-        """Compute per-edge messages, combiner-aggregate per (dst_part, dst).
+    def scatter_packed(self, g: dict):
+        """Compute per-edge messages, combiner-aggregate per (dst_part, dst),
+        return ONE packed object: ([per-dst-part msgs], extras).
 
-        Returns P objects, one per destination partition (num_returns=P).
-        """
+        One object per source partition per superstep: on a node every
+        gather reads it zero-copy from the shared object store; across
+        nodes it ships once per node. (The split alternative — P^2 tiny
+        objects via num_returns=P — is latency-bound at web-graph message
+        sizes.) ``extras`` carries program globals partials (e.g. dangling
+        rank mass) so globals need no extra driver round-trip."""
         P, prog = self.P, self.prog
         if prog.reduce in ("sum", "min"):
             vals = prog.message(self.ctx)
@@ -244,13 +256,17 @@ class GraphPartition:
                 out.append((ds_[starts], ls_[starts], cnt.astype(np.int64)))
         else:  # pragma: no cover
             raise ValueError(self.prog.reduce)
-        if P == 1:
-            return out[0]
-        return tuple(out)
+        return (out, prog.scatter_extras(self.ctx))
 
-    def gather_apply(self, g: dict, *msgs) -> Any:
-        """Combine incoming per-partition message blocks, apply program."""
+    def _gather_apply(self, g: dict, packed) -> Any:
+        """Combine incoming packed message blocks, apply program."""
         prog = self.prog
+        summed: dict = {}
+        for _, ex in packed:
+            for k, v in ex.items():
+                summed[k] = summed.get(k, 0.0) + v
+        g2 = {**g, **summed}
+        msgs = [pk[0][self.pid] for pk in packed]
         live = [m for m in msgs if m is not None]
         if prog.reduce == "labelvote":
             if live:
@@ -262,7 +278,7 @@ class GraphPartition:
             else:
                 ui = np.empty(0, np.int64)
                 uv = np.empty(0, np.int64)
-            return prog.apply(self.ctx, ui, uv, g)
+            return prog.apply(self.ctx, ui, uv, g2)
         if live:
             idx = np.searchsorted(self.verts, np.concatenate([m[0] for m in live]))
             vals = np.concatenate([m[1] for m in live])
@@ -273,7 +289,13 @@ class GraphPartition:
         else:
             ui = np.empty(0, np.int64)
             uv = np.empty(0, np.float64)
-        return prog.apply(self.ctx, ui, uv, g)
+        return prog.apply(self.ctx, ui, uv, g2)
+
+    def step(self, g: dict, *packed):
+        """One fused superstep: apply incoming messages, then produce the
+        next superstep's packed messages. Returns (local stats, packed)."""
+        stats = self._gather_apply(g, packed)
+        return stats, self.scatter_packed(g)
 
     # ---- results / checkpoint ---------------------------------------
     def state_table(self, id_col: str, columns: list[str], signed_ids: bool) -> pa.Table:
@@ -419,21 +441,16 @@ class SuperstepEngine:
         converged = False
         it = start_iter
         t_run = time.perf_counter()
+        # bootstrap messages from current state (also how resume restarts)
+        packed = [a.scatter_packed.remote(g) for a in self.actors]
         for it in range(start_iter, max_iters):
             t0 = time.perf_counter()
-            if P == 1:
-                sc = [[self.actors[0].scatter.remote(g)]]
-            else:
-                sc = [
-                    list(a.scatter.options(num_returns=P).remote(g))
-                    for a in self.actors
-                ]
-            stats = ray.get(
-                [
-                    self.actors[q].gather_apply.remote(g, *[sc[i][q] for i in range(P)])
-                    for q in range(P)
-                ]
-            )
+            res = [
+                a.step.options(num_returns=2).remote(g, *packed)
+                for a in self.actors
+            ]
+            stats = ray.get([r[0] for r in res])
+            packed = [r[1] for r in res]
             g, converged, m = prog.driver_step(stats, g, it)
             m = {
                 "iter": it,
