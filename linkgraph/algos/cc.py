@@ -19,6 +19,10 @@ from ..engine import SuperstepEngine, VertexProgram
 class CCProgram(VertexProgram):
     reduce = "min"
     state_columns = ("label",)
+    conv_tol = 0.5  # stop when no labels changed
+
+    def conv_stat(self, stats):
+        return float(stats["changed"])
 
     def init_state(self, ctx):
         return {"label": ctx.verts.copy()}

@@ -26,6 +26,10 @@ from ..engine import SuperstepEngine, VertexProgram
 class LabelPropProgram(VertexProgram):
     reduce = "labelvote"
     state_columns = ("label",)
+    conv_tol = 0.5  # stop when no labels changed
+
+    def conv_stat(self, stats):
+        return float(stats["changed"])
 
     def init_state(self, ctx):
         return {"label": ctx.verts.copy()}

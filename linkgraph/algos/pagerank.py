@@ -25,6 +25,10 @@ class PageRankProgram(VertexProgram):
     def __init__(self, damping: float = 0.85, tol: float = 1e-8):
         self.d = damping
         self.tol = tol
+        self.conv_tol = tol if tol > 0 else None
+
+    def conv_stat(self, stats):
+        return stats["delta"]
 
     def init_state(self, ctx):
         n = ctx.n_local

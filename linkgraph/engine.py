@@ -65,6 +65,17 @@ class VertexProgram:
 
     reduce: str = "sum"
     state_columns: tuple[str, ...] = ()
+    # convergence: when conv_tol is not None, each superstep's exchange
+    # carries the PREVIOUS superstep's global conv_stat sum; every actor
+    # sees the same value and stops the burst at the same iteration —
+    # exactly one deterministic superstep past the fixpoint, independent
+    # of burst alignment (so interrupted+resumed runs match bit-for-bit).
+    conv_tol: float | None = None
+    burst_safe: bool = True
+
+    def conv_stat(self, stats: Any) -> float:
+        """Local convergence contribution (summed across partitions)."""
+        return float("inf")
 
     def init_state(self, ctx) -> dict[str, np.ndarray]:
         raise NotImplementedError
@@ -214,6 +225,8 @@ class GraphPartition:
         )
         self.ctx.inv_outdeg_edge = self.inv_outdeg_edge  # type: ignore[attr-defined]
         self.ctx.state = self.prog.init_state(self.ctx)
+        self._last_conv = float("inf")
+        self._global_prev_conv = float("inf")
         return self.prog.init_stats(self.ctx)
 
     def scatter_packed(self, g: dict):
@@ -256,7 +269,10 @@ class GraphPartition:
                 out.append((ds_[starts], ls_[starts], cnt.astype(np.int64)))
         else:  # pragma: no cover
             raise ValueError(self.prog.reduce)
-        return (out, prog.scatter_extras(self.ctx))
+        extras = prog.scatter_extras(self.ctx)
+        if prog.conv_tol is not None:
+            extras["__conv"] = self._last_conv
+        return (out, extras)
 
     def _gather_apply(self, g: dict, packed) -> Any:
         """Combine incoming packed message blocks, apply program."""
@@ -265,6 +281,7 @@ class GraphPartition:
         for _, ex in packed:
             for k, v in ex.items():
                 summed[k] = summed.get(k, 0.0) + v
+        self._global_prev_conv = summed.pop("__conv", float("inf"))
         g2 = {**g, **summed}
         msgs = [pk[0][self.pid] for pk in packed]
         live = [m for m in msgs if m is not None]
@@ -278,7 +295,10 @@ class GraphPartition:
             else:
                 ui = np.empty(0, np.int64)
                 uv = np.empty(0, np.int64)
-            return prog.apply(self.ctx, ui, uv, g2)
+            stats = prog.apply(self.ctx, ui, uv, g2)
+            if prog.conv_tol is not None:
+                self._last_conv = prog.conv_stat(stats)
+            return stats
         if live:
             idx = np.searchsorted(self.verts, np.concatenate([m[0] for m in live]))
             vals = np.concatenate([m[1] for m in live])
@@ -289,13 +309,63 @@ class GraphPartition:
         else:
             ui = np.empty(0, np.int64)
             uv = np.empty(0, np.float64)
-        return prog.apply(self.ctx, ui, uv, g2)
+        stats = prog.apply(self.ctx, ui, uv, g2)
+        if prog.conv_tol is not None:
+            self._last_conv = prog.conv_stat(stats)
+        return stats
 
-    def step(self, g: dict, *packed):
-        """One fused superstep: apply incoming messages, then produce the
-        next superstep's packed messages. Returns (local stats, packed)."""
-        stats = self._gather_apply(g, packed)
-        return stats, self.scatter_packed(g)
+    # ---- burst mode: actor-to-actor mailboxes -----------------------
+    def set_peers(self, peers: list) -> None:
+        """Handles to all partition actors (incl. self) for direct
+        message delivery — the reference's per-PE mailboxes
+        (inc/hvr_mailbox.h) as actor calls + object-store refs."""
+        self.peers = peers
+        self._inbox: dict[int, dict] = {}
+        self._inbox_events: dict[int, Any] = {}
+
+    async def deliver(self, it: int, src_pid: int, packed) -> None:
+        box = self._inbox.setdefault(it, {})
+        box[src_pid] = packed
+        ev = self._inbox_events.get(it)
+        if ev is not None and len(box) == self.P:
+            ev.set()
+
+    async def run_burst(self, g: dict, start_iter: int, n_iters: int) -> list:
+        """Run n_iters BSP supersteps with direct peer exchange; the
+        driver is only involved at burst boundaries. Messages for a
+        future iteration buffer in the inbox (bounded by one burst), so
+        faster partitions can run ahead one exchange — the same slack
+        the reference allows between coupled PEs (doc/text/runtime.tex:22-31)
+        while our per-iteration gather barrier keeps results exactly BSP."""
+        import asyncio
+
+        stats_hist = []
+        for it in range(start_iter, start_iter + n_iters):
+            pk = self.scatter_packed(g)
+            ref = ray.put(pk)
+            box = self._inbox.setdefault(it, {})
+            box[self.pid] = pk  # self-delivery short-circuit
+            for q, peer in enumerate(self.peers):
+                if q != self.pid:
+                    peer.deliver.remote(it, self.pid, ref)
+            if len(box) < self.P:
+                ev = asyncio.Event()
+                self._inbox_events[it] = ev
+                if len(box) == self.P:  # raced with deliver
+                    ev.set()
+                await ev.wait()
+                del self._inbox_events[it]
+            packed = [box[q] for q in range(self.P)]
+            del self._inbox[it]
+            stats_hist.append(self._gather_apply(g, packed))
+            # every actor sees the same summed previous-superstep conv
+            # metric -> all stop the burst at the same iteration
+            if (
+                self.prog.conv_tol is not None
+                and self._global_prev_conv < self.prog.conv_tol
+            ):
+                break
+        return stats_hist
 
     # ---- results / checkpoint ---------------------------------------
     def state_table(self, id_col: str, columns: list[str], signed_ids: bool) -> pa.Table:
@@ -423,11 +493,21 @@ class SuperstepEngine:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         resume: bool = False,
+        burst_size: int | None = None,
     ) -> dict:
-        """Run to convergence. Returns summary metrics dict."""
+        """Run to convergence. Returns summary metrics dict.
+
+        Supersteps execute in bursts of ``burst_size`` with direct
+        actor-to-actor exchange; the driver syncs (convergence check,
+        metrics, checkpoint) only at burst boundaries. Convergence may
+        overshoot by up to burst_size-1 supersteps — safe for fixpoint
+        programs (extra supersteps are no-ops at the fixpoint); programs
+        whose driver_step mutates the globals must set burst_safe=False.
+        """
         assert self._loaded, "call load_edges first"
         P = self.P
         stats0 = ray.get([a.init_program.remote(prog, self.n_total) for a in self.actors])
+        ray.get([a.set_peers.remote(self.actors) for a in self.actors])
         g = prog.driver_init(stats0)
         start_iter = 0
         metrics_path = None
@@ -437,39 +517,42 @@ class SuperstepEngine:
             if resume:
                 start_iter, g = self._try_resume(checkpoint_dir, g)
 
+        if not getattr(prog, "burst_safe", True):
+            burst = 1
+        else:
+            burst = burst_size or (checkpoint_every if checkpoint_dir else 8)
+
         history: list[dict] = []
         converged = False
         it = start_iter
+        logical_iters = start_iter
         t_run = time.perf_counter()
-        # bootstrap messages from current state (also how resume restarts)
-        packed = [a.scatter_packed.remote(g) for a in self.actors]
-        for it in range(start_iter, max_iters):
+        while it < max_iters and not converged:
+            k = min(burst, max_iters - it)
             t0 = time.perf_counter()
-            res = [
-                a.step.options(num_returns=2).remote(g, *packed)
-                for a in self.actors
-            ]
-            stats = ray.get([r[0] for r in res])
-            packed = [r[1] for r in res]
-            g, converged, m = prog.driver_step(stats, g, it)
-            m = {
-                "iter": it,
-                "sec": round(time.perf_counter() - t0, 6),
-                "edges": self.n_edges,
-                **m,
-            }
-            history.append(m)
-            if checkpoint_dir and (
-                converged or (it + 1) % checkpoint_every == 0 or it + 1 == max_iters
-            ):
-                self._checkpoint(checkpoint_dir, it, g, metrics_path, history)
+            hists = ray.get([a.run_burst.remote(g, it, k) for a in self.actors])
+            dt = time.perf_counter() - t0
+            k = len(hists[0])  # burst may stop early at global convergence
+            for j in range(k):
+                stats = [hists[p][j] for p in range(P)]
+                g, converged, m = prog.driver_step(stats, g, it + j)
+                history.append(
+                    {"iter": it + j, "sec": round(dt / k, 6), "edges": self.n_edges, **m}
+                )
+                if converged:
+                    logical_iters = it + j + 1
+                    break
+            it += k
+            if not converged:
+                logical_iters = it
+            if checkpoint_dir:
+                # state is at iteration it-1 (post-burst)
+                self._checkpoint(checkpoint_dir, it - 1, g, metrics_path, history)
                 history = []
-            if converged:
-                break
         wall = time.perf_counter() - t_run
-        iters_run = it + 1 - start_iter
+        iters_run = it - start_iter
         return {
-            "iterations": it + 1,
+            "iterations": logical_iters,
             "converged": converged,
             "wall_sec": wall,
             "edges_per_sec": self.n_edges * max(iters_run, 1) / wall if wall > 0 else 0.0,
