@@ -227,6 +227,7 @@ class GraphPartition:
         self.ctx.state = self.prog.init_state(self.ctx)
         self._last_conv = float("inf")
         self._global_prev_conv = float("inf")
+        self._last_packed = None
         return self.prog.init_stats(self.ctx)
 
     def scatter_packed(self, g: dict):
@@ -272,7 +273,9 @@ class GraphPartition:
         extras = prog.scatter_extras(self.ctx)
         if prog.conv_tol is not None:
             extras["__conv"] = self._last_conv
-        return (out, extras)
+        result = (out, extras)
+        self._last_packed = result
+        return result
 
     def _gather_apply(self, g: dict, packed) -> Any:
         """Combine incoming packed message blocks, apply program."""
@@ -314,58 +317,33 @@ class GraphPartition:
             self._last_conv = prog.conv_stat(stats)
         return stats
 
-    # ---- burst mode: actor-to-actor mailboxes -----------------------
-    def set_peers(self, peers: list) -> None:
-        """Handles to all partition actors (incl. self) for direct
-        message delivery — the reference's per-PE mailboxes
-        (inc/hvr_mailbox.h) as actor calls + object-store refs."""
-        self.peers = peers
-        self._inbox: dict[int, dict] = {}
-        self._inbox_events: dict[int, Any] = {}
+    def step(self, g: dict, *packed):
+        """One fused superstep: apply incoming messages, then produce the
+        next superstep's packed messages. Returns (local stats, packed).
 
-    async def deliver(self, it: int, src_pid: int, packed) -> None:
-        box = self._inbox.setdefault(it, {})
-        box[src_pid] = packed
-        ev = self._inbox_events.get(it)
-        if ev is not None and len(box) == self.P:
-            ev.set()
+        Supersteps are submitted several-at-a-time by the driver; the
+        object-store dependencies between step calls ARE the BSP barrier,
+        so iteration latency is actor-to-actor, not driver round-trips.
+        Once the piggybacked global convergence metric drops below
+        conv_tol the step becomes a no-op (returns the cached packed
+        messages — a fixpoint — and None stats), so pre-submitted
+        overshoot iterations cost nothing.
 
-    async def run_burst(self, g: dict, start_iter: int, n_iters: int) -> list:
-        """Run n_iters BSP supersteps with direct peer exchange; the
-        driver is only involved at burst boundaries. Messages for a
-        future iteration buffer in the inbox (bounded by one burst), so
-        faster partitions can run ahead one exchange — the same slack
-        the reference allows between coupled PEs (doc/text/runtime.tex:22-31)
-        while our per-iteration gather barrier keeps results exactly BSP."""
-        import asyncio
-
-        stats_hist = []
-        for it in range(start_iter, start_iter + n_iters):
-            pk = self.scatter_packed(g)
-            ref = ray.put(pk)
-            box = self._inbox.setdefault(it, {})
-            box[self.pid] = pk  # self-delivery short-circuit
-            for q, peer in enumerate(self.peers):
-                if q != self.pid:
-                    peer.deliver.remote(it, self.pid, ref)
-            if len(box) < self.P:
-                ev = asyncio.Event()
-                self._inbox_events[it] = ev
-                if len(box) == self.P:  # raced with deliver
-                    ev.set()
-                await ev.wait()
-                del self._inbox_events[it]
-            packed = [box[q] for q in range(self.P)]
-            del self._inbox[it]
-            stats_hist.append(self._gather_apply(g, packed))
-            # every actor sees the same summed previous-superstep conv
-            # metric -> all stop the burst at the same iteration
-            if (
-                self.prog.conv_tol is not None
-                and self._global_prev_conv < self.prog.conv_tol
-            ):
-                break
-        return stats_hist
+        (A direct actor-to-actor mailbox exchange — the reference's
+        hvr_mailbox design — was measured strictly slower here: P^2
+        actor-call latency per superstep vs P task launches with shared
+        zero-copy packed objects.)"""
+        prog = self.prog
+        if (
+            prog.conv_tol is not None
+            and self._global_prev_conv < prog.conv_tol
+            and self._last_packed is not None
+        ):
+            return None, self._last_packed
+        stats = self._gather_apply(g, packed)
+        out = self.scatter_packed(g)
+        self._last_packed = out
+        return stats, out
 
     # ---- results / checkpoint ---------------------------------------
     def state_table(self, id_col: str, columns: list[str], signed_ids: bool) -> pa.Table:
@@ -497,17 +475,19 @@ class SuperstepEngine:
     ) -> dict:
         """Run to convergence. Returns summary metrics dict.
 
-        Supersteps execute in bursts of ``burst_size`` with direct
-        actor-to-actor exchange; the driver syncs (convergence check,
-        metrics, checkpoint) only at burst boundaries. Convergence may
-        overshoot by up to burst_size-1 supersteps — safe for fixpoint
-        programs (extra supersteps are no-ops at the fixpoint); programs
-        whose driver_step mutates the globals must set burst_safe=False.
+        Supersteps are submitted ``burst_size`` at a time as a pre-wired
+        task DAG: each step's packed-message outputs are the next step's
+        inputs, so the BSP barrier is object-store dependencies, not
+        driver round-trips. The driver reads stats off the critical
+        path at chunk boundaries. Pre-submitted supersteps past
+        convergence no-op inside the actors (deterministic: the
+        converged state is identical whatever the chunk alignment).
+        Programs whose driver_step mutates the globals must set
+        burst_safe=False (chunk size 1).
         """
         assert self._loaded, "call load_edges first"
         P = self.P
         stats0 = ray.get([a.init_program.remote(prog, self.n_total) for a in self.actors])
-        ray.get([a.set_peers.remote(self.actors) for a in self.actors])
         g = prog.driver_init(stats0)
         start_iter = 0
         metrics_path = None
@@ -527,27 +507,34 @@ class SuperstepEngine:
         it = start_iter
         logical_iters = start_iter
         t_run = time.perf_counter()
+        packed = [a.scatter_packed.remote(g) for a in self.actors]
         while it < max_iters and not converged:
             k = min(burst, max_iters - it)
             t0 = time.perf_counter()
-            hists = ray.get([a.run_burst.remote(g, it, k) for a in self.actors])
+            stats_futs = []
+            for _ in range(k):
+                res = [
+                    a.step.options(num_returns=2).remote(g, *packed)
+                    for a in self.actors
+                ]
+                stats_futs.append([r[0] for r in res])
+                packed = [r[1] for r in res]
+            all_stats = [ray.get(f) for f in stats_futs]
             dt = time.perf_counter() - t0
-            k = len(hists[0])  # burst may stop early at global convergence
-            for j in range(k):
-                stats = [hists[p][j] for p in range(P)]
+            for j, stats in enumerate(all_stats):
+                if any(s is None for s in stats):
+                    converged = True  # actors no-opped past convergence
+                    break
                 g, converged, m = prog.driver_step(stats, g, it + j)
                 history.append(
                     {"iter": it + j, "sec": round(dt / k, 6), "edges": self.n_edges, **m}
                 )
+                logical_iters = it + j + 1
                 if converged:
-                    logical_iters = it + j + 1
                     break
             it += k
-            if not converged:
-                logical_iters = it
             if checkpoint_dir:
-                # state is at iteration it-1 (post-burst)
-                self._checkpoint(checkpoint_dir, it - 1, g, metrics_path, history)
+                self._checkpoint(checkpoint_dir, logical_iters - 1, g, metrics_path, history)
                 history = []
         wall = time.perf_counter() - t_run
         iters_run = it - start_iter
