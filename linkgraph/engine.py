@@ -49,6 +49,14 @@ import ray
 from ray.data import Dataset
 
 from . import segops
+from .hashing import splitmix64
+
+
+def part_of(v: "np.ndarray", P: int) -> "np.ndarray":
+    """Partition owner of vertex ids: hash-mod (splitmix64 decorrelates
+    biased id bit patterns — raw ``v % P`` collapses power-law RMAT/web
+    ids onto low partitions)."""
+    return (splitmix64(np.asarray(v, dtype=np.uint64)) % np.uint64(P)).astype(np.int64)
 
 
 # --------------------------------------------------------------------------
@@ -155,6 +163,15 @@ class GraphPartition:
     def add_vertices(self, ids: np.ndarray) -> None:
         self._vert_chunks.append(ids)
 
+    def add_chunk(self, src, dst, vert_ids) -> None:
+        """One combined load call per (router task, actor): edge slice
+        owned by this partition plus raw dst ids owned by it (dedup
+        deferred to finalize)."""
+        if src is not None:
+            self._edge_chunks.append((src, dst))
+        if vert_ids is not None:
+            self._vert_chunks.append(vert_ids)
+
     def finalize(self) -> tuple[int, int]:
         """Build sorted vertex index + (dst_part, dst)-sorted edge arrays
         with per-destination-partition segment structure for reduceat.
@@ -185,7 +202,7 @@ class GraphPartition:
         src_idx = np.searchsorted(self.verts, src).astype(np.int64)
         out_deg = np.bincount(src_idx, minlength=n).astype(np.int64) if n else np.zeros(0, np.int64)
 
-        dpart = (dst % np.uint64(P)).astype(np.int64)
+        dpart = part_of(dst, P)
         order = np.lexsort((dst, dpart))
         self.edge_dst = dst[order]
         self.edge_src_idx = src_idx[order]
@@ -244,67 +261,85 @@ class GraphPartition:
         if prog.reduce in ("sum", "min"):
             vals = prog.message(self.ctx)
             red = np.add if prog.reduce == "sum" else np.minimum
-            out = []
+            us, vs, off = [], [], np.zeros(P + 1, np.int64)
             for q in range(P):
                 a, b = self.part_starts[q], self.part_starts[q + 1]
-                if a == b:
-                    out.append(None)
-                    continue
-                agg = red.reduceat(vals[a:b], self.seg_starts[q])
-                out.append((self.seg_udst[q], agg))
+                if a < b:
+                    us.append(self.seg_udst[q])
+                    vs.append(red.reduceat(vals[a:b], self.seg_starts[q]))
+                off[q + 1] = off[q] + (len(us[-1]) if a < b else 0)
+            out = {
+                "u": np.concatenate(us) if us else np.empty(0, np.uint64),
+                "v": np.concatenate(vs) if vs else np.empty(0, np.float64),
+                "c": None,
+                "off": off,
+            }
         elif prog.reduce == "labelvote":
             labels = prog.edge_labels(self.ctx)
-            out = []
+            us, vs, cs, off = [], [], [], np.zeros(P + 1, np.int64)
             for q in range(P):
                 a, b = self.part_starts[q], self.part_starts[q + 1]
-                if a == b:
-                    out.append(None)
-                    continue
-                d = self.edge_dst[a:b]
-                lab = labels[a:b]
-                order = np.lexsort((lab, d))
-                ds_, ls_ = d[order], lab[order]
-                new = np.r_[True, (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])]
-                starts = np.flatnonzero(new)
-                cnt = np.diff(np.r_[starts, len(ds_)])
-                out.append((ds_[starts], ls_[starts], cnt.astype(np.int64)))
+                if a < b:
+                    d = self.edge_dst[a:b]
+                    lab = labels[a:b]
+                    order = np.lexsort((lab, d))
+                    ds_, ls_ = d[order], lab[order]
+                    new = np.r_[True, (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])]
+                    starts = np.flatnonzero(new)
+                    cnt = np.diff(np.r_[starts, len(ds_)])
+                    us.append(ds_[starts])
+                    vs.append(ls_[starts])
+                    cs.append(cnt.astype(np.int64))
+                    off[q + 1] = off[q] + len(starts)
+                else:
+                    off[q + 1] = off[q]
+            out = {
+                "u": np.concatenate(us) if us else np.empty(0, np.uint64),
+                "v": np.concatenate(vs) if vs else np.empty(0, np.uint64),
+                "c": np.concatenate(cs) if cs else np.empty(0, np.int64),
+                "off": off,
+            }
         else:  # pragma: no cover
             raise ValueError(self.prog.reduce)
         extras = prog.scatter_extras(self.ctx)
         if prog.conv_tol is not None:
             extras["__conv"] = self._last_conv
-        result = (out, extras)
-        self._last_packed = result
-        return result
+        out["extras"] = extras
+        self._last_packed = out
+        return out
 
     def _gather_apply(self, g: dict, packed) -> Any:
-        """Combine incoming packed message blocks, apply program."""
+        """Combine incoming packed message blocks, apply program.
+
+        Each packed block holds contiguous (u, v[, c]) arrays with
+        per-destination-partition offsets; this partition reads its
+        slice zero-copy."""
         prog = self.prog
+        pid = self.pid
         summed: dict = {}
-        for _, ex in packed:
-            for k, v in ex.items():
+        for pk in packed:
+            for k, v in pk["extras"].items():
                 summed[k] = summed.get(k, 0.0) + v
         self._global_prev_conv = summed.pop("__conv", float("inf"))
         g2 = {**g, **summed}
-        msgs = [pk[0][self.pid] for pk in packed]
-        live = [m for m in msgs if m is not None]
+        slices = []
+        for pk in packed:
+            a, b = pk["off"][pid], pk["off"][pid + 1]
+            if a < b:
+                slices.append((pk["u"][a:b], pk["v"][a:b], None if pk["c"] is None else pk["c"][a:b]))
         if prog.reduce == "labelvote":
-            if live:
-                idx = np.searchsorted(self.verts, np.concatenate([m[0] for m in live]))
-                labs = np.concatenate([m[1] for m in live])
-                cnts = np.concatenate([m[2] for m in live])
+            if slices:
+                idx = np.searchsorted(self.verts, np.concatenate([s[0] for s in slices]))
+                labs = np.concatenate([s[1] for s in slices])
+                cnts = np.concatenate([s[2] for s in slices])
                 ci, cl, cc = segops.label_count_combine(idx, labs, cnts)
                 ui, uv = segops.label_vote(ci, cl, cc)
             else:
                 ui = np.empty(0, np.int64)
                 uv = np.empty(0, np.int64)
-            stats = prog.apply(self.ctx, ui, uv, g2)
-            if prog.conv_tol is not None:
-                self._last_conv = prog.conv_stat(stats)
-            return stats
-        if live:
-            idx = np.searchsorted(self.verts, np.concatenate([m[0] for m in live]))
-            vals = np.concatenate([m[1] for m in live])
+        elif slices:
+            idx = np.searchsorted(self.verts, np.concatenate([s[0] for s in slices]))
+            vals = np.concatenate([s[1] for s in slices])
             if prog.reduce == "sum":
                 ui, uv = segops.seg_sum_sparse(idx, vals)
             else:
@@ -317,9 +352,14 @@ class GraphPartition:
             self._last_conv = prog.conv_stat(stats)
         return stats
 
-    def step(self, g: dict, *packed):
+    def step(self, g: dict, packed_refs: list):
         """One fused superstep: apply incoming messages, then produce the
         next superstep's packed messages. Returns (local stats, packed).
+
+        ``packed_refs`` is a plain list of ObjectRefs (NOT unpacked by
+        Ray): the driver's submission cost stays O(1) per task instead of
+        O(P) dependency args, and the actor's own ray.get provides the
+        BSP wait (actor tasks are ordered, so no deadlock).
 
         Supersteps are submitted several-at-a-time by the driver; the
         object-store dependencies between step calls ARE the BSP barrier,
@@ -340,9 +380,12 @@ class GraphPartition:
             and self._last_packed is not None
         ):
             return None, self._last_packed
+        if packed_refs and isinstance(packed_refs[0], ray.ObjectRef):
+            packed = ray.get(list(packed_refs))
+        else:
+            packed = packed_refs  # pre-merged list of packed dicts
         stats = self._gather_apply(g, packed)
         out = self.scatter_packed(g)
-        self._last_packed = out
         return stats, out
 
     # ---- results / checkpoint ---------------------------------------
@@ -375,6 +418,16 @@ class GraphPartition:
         return len(v)
 
 
+@ray.remote
+def _merge_packed(*packed):
+    """Fan-in relay: collect the P packed message objects of one
+    superstep into one shared object. The driver submits ONE task with P
+    ref args plus P step tasks with a single ref arg each — O(P) driver
+    work per superstep instead of O(P^2) ref-arg processing; each actor
+    then reads the merged object zero-copy from the local store."""
+    return list(packed)
+
+
 # --------------------------------------------------------------------------
 # Loader helpers (Ray Data shuffle -> pinned actors)
 # --------------------------------------------------------------------------
@@ -394,24 +447,27 @@ def _router(actors, P: int, symmetrize: bool):
             s, d = np.concatenate([s, d]), np.concatenate([d, s])
         refs = []
         if len(s):
-            part = (s % np.uint64(P)).astype(np.int64)
+            part = part_of(s, P)
             order = np.argsort(part, kind="stable")
-            s_, d_, p_ = s[order], d[order], part[order]
-            bounds = np.searchsorted(p_, np.arange(P + 1))
+            s_, d_ = s[order], d[order]
+            bounds = np.searchsorted(part[order], np.arange(P + 1))
+            # dst vertices register with their owners; dedup deferred to
+            # finalize (srcs self-register on the edge-owning actor)
+            dpart = part_of(d, P)
+            dorder = np.argsort(dpart, kind="stable")
+            dd_ = d[dorder]
+            dbounds = np.searchsorted(dpart[dorder], np.arange(P + 1))
             for q in range(P):
                 a, b = bounds[q], bounds[q + 1]
-                if a < b:
-                    refs.append(actors[q].add_edges.remote(s_[a:b].copy(), d_[a:b].copy()))
-            # register dst vertices with their owners (srcs register on
-            # the edge-owning actor in finalize)
-            dpart = (d % np.uint64(P)).astype(np.int64)
-            order = np.argsort(dpart, kind="stable")
-            dd_, dp_ = d[order], dpart[order]
-            bounds = np.searchsorted(dp_, np.arange(P + 1))
-            for q in range(P):
-                a, b = bounds[q], bounds[q + 1]
-                if a < b:
-                    refs.append(actors[q].add_vertices.remote(np.unique(dd_[a:b])))
+                da, db = dbounds[q], dbounds[q + 1]
+                if a < b or da < db:
+                    refs.append(
+                        actors[q].add_chunk.remote(
+                            s_[a:b].copy() if a < b else None,
+                            d_[a:b].copy() if a < b else None,
+                            dd_[da:db].copy() if da < db else None,
+                        )
+                    )
             ray.get(refs)
         return pa.table({"n": pa.array([len(s)], pa.int64())})
 
@@ -453,7 +509,7 @@ class SuperstepEngine:
         sink = cols.map_batches(
             _router(self.actors, P, self.symmetrize),
             batch_format="pyarrow",
-            batch_size=262144,
+            batch_size=1 << 20,
         )
         sink.count()  # consume -> all add_edges/add_vertices complete
         sizes = ray.get([a.finalize.remote() for a in self.actors])
@@ -513,8 +569,9 @@ class SuperstepEngine:
             t0 = time.perf_counter()
             stats_futs = []
             for _ in range(k):
+                merged = _merge_packed.remote(*packed)
                 res = [
-                    a.step.options(num_returns=2).remote(g, *packed)
+                    a.step.options(num_returns=2).remote(g, merged)
                     for a in self.actors
                 ]
                 stats_futs.append([r[0] for r in res])

@@ -188,6 +188,38 @@ def pages_dataset(n_pages: int, n_sites: int = 16, avg_out: int = 8, parallelism
     )
 
 
+def rmat_edges(ids: np.ndarray, scale: int, a: float = 0.57, b: float = 0.19, c: float = 0.19, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Graph500 Kronecker/RMAT edges for the given edge
+    indices (mirrors the reference's power-law generator,
+    tools/generate_graph.c:8-35). Pure function of the edge index —
+    order-independent, reproducible, parallel-friendly."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    u = np.zeros(len(ids), np.int64)
+    v = np.zeros(len(ids), np.int64)
+    ab, abc = a + b, a + b + c
+    for i in range(scale):
+        r = uniform01(mix2(ids, np.uint64(seed * 1000 + i)))
+        bit_u = (r >= ab).astype(np.int64)
+        bit_v = ((r >= abc) | ((r >= a) & (r < ab))).astype(np.int64)
+        u |= bit_u << i
+        v |= bit_v << i
+    return u, v
+
+
+def rmat_dataset(n_edges: int, scale: int, seed: int = 1, parallelism: int = 128):
+    """Lazy Dataset of RMAT edges (src, dst), self-loops dropped."""
+    import pyarrow as pa
+    import ray.data
+
+    def gen(batch) -> pa.Table:
+        u, v = rmat_edges(batch["id"], scale, seed=seed)
+        keep = u != v
+        return pa.table({"src": pa.array(u[keep]), "dst": pa.array(v[keep])})
+
+    ds = ray.data.range(n_edges, override_num_blocks=parallelism)
+    return ds.map_batches(gen, batch_format="numpy", batch_size=1 << 20)
+
+
 def expected_edge_set(n_pages: int, n_sites: int, avg_out: int = 8) -> set[tuple[str, str]]:
     """Oracle: the exact deduplicated (src_url, dst_url) set, self-loops dropped."""
     out = set()
