@@ -569,9 +569,8 @@ class SuperstepEngine:
             t0 = time.perf_counter()
             stats_futs = []
             for _ in range(k):
-                merged = _merge_packed.remote(*packed)
                 res = [
-                    a.step.options(num_returns=2).remote(g, merged)
+                    a.step.options(num_returns=2).remote(g, packed)
                     for a in self.actors
                 ]
                 stats_futs.append([r[0] for r in res])
