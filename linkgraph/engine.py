@@ -8,9 +8,9 @@ src/hoover.cpp:1895-2013, 2420-2487) → global convergence aggregate
 (update_coupled_values, src/hoover.cpp:2819-3183). Differences by
 design (SURVEY.md §1.2, §4):
 
-- Vertex ownership is ``v % P`` over stable 64-bit hashed ids — identity
-  decoupled from placement (the reference pins vertices to the creating
-  PE via the id encoding, inc/hvr_common.h:53-67).
+- Vertex ownership is ``splitmix64(v) % P`` over stable 64-bit hashed
+  ids — identity decoupled from placement (the reference pins vertices
+  to the creating PE via the id encoding, inc/hvr_common.h:53-67).
 - Synchronous BSP supersteps instead of the reference's asynchronous
   eventual consistency — a *stricter* ordering (its HVR_STRICT mode,
   src/hoover.cpp:3938-3944), so converged results match exactly.
@@ -19,9 +19,9 @@ design (SURVEY.md §1.2, §4):
   pre-sorted by (dst_part, dst) at load time). A hub vertex with k
   in-edges receives at most P messages per superstep regardless of k —
   the explicit power-law skew handling the north rule demands.
-- Exchange is P×P small objects through the object store per superstep
-  (num_returns=P scatter → per-partition gather); no stage ever
-  materializes the full edge set.
+- Exchange is one packed object per source partition per superstep
+  (contiguous arrays + per-destination offsets, read zero-copy by every
+  gather); no stage ever materializes the full edge set.
 - Per-partition Parquet checkpoints + a manifest + metrics JSONL give
   mid-convergence resume (the analogue of dead-PE state pulls,
   src/hoover.cpp:774-802, done the lineage way).
