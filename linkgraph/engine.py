@@ -396,11 +396,20 @@ class GraphPartition:
             cols[c] = pa.array(self.ctx.state[c])
         return pa.table(cols)
 
+    def export_state_matrix(self, key: str, signed_ids: bool) -> pa.Table:
+        """Export a 2-D state matrix as (v, h0..h{d-1}) columns."""
+        ids = self.verts.view(np.int64) if signed_ids else self.verts
+        h = self.ctx.state[key]
+        cols = {"v": pa.array(ids)}
+        for j in range(h.shape[1]):
+            cols[f"h{j}"] = pa.array(h[:, j])
+        return pa.table(cols)
+
     def save_checkpoint(self, path: str, it: int) -> str:
         os.makedirs(path, exist_ok=True)
         cols = {"v": pa.array(self.verts)}
         for c, arr in self.ctx.state.items():
-            cols[c] = pa.array(arr)
+            cols[c] = pa.array(list(arr)) if arr.ndim == 2 else pa.array(arr)
         f = os.path.join(path, f"part-{self.pid:05d}.parquet")
         tmp = f + ".tmp"
         pq.write_table(pa.table(cols), tmp)

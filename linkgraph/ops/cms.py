@@ -1,0 +1,135 @@
+"""Count-min sketch + streaming edge anomaly scoring (reference parity:
+test/count_min_sketch.{hpp,cpp} and the MIDAS app, test/midas.cpp:19-88).
+
+The sketch is a (depth x width) counter matrix with seeded splitmix64
+row hashes — mergeable (element-wise add), so per-batch sketches
+combine associatively: the standard Ray pattern of "emit one sketch per
+batch, merge in a tiny second stage".
+
+``edge_anomaly_scores`` is the MIDAS-R-style detector: a stateful actor
+(pool size 1 = one ordered stream, matching the reference's per-PE
+stream) keeps a historical sketch and a current-window sketch; an
+edge's score is the chi-squared-like deviation of its current rate from
+its historical mean. Ordering assumption: batches arrive in stream
+order within one actor (state the reference also assumes per PE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..hashing import splitmix64
+
+
+class CountMinSketch:
+    def __init__(self, width: int = 1024, depth: int = 4, seed: int = 7):
+        self.width = width
+        self.depth = depth
+        self.seeds = splitmix64(np.arange(depth, dtype=np.uint64) + np.uint64(seed))
+        self.table = np.zeros((depth, width), np.int64)
+        self.total = 0
+
+    def _cols(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        return np.stack(
+            [splitmix64(keys ^ s) % np.uint64(self.width) for s in self.seeds]
+        )  # (depth, n)
+
+    def add(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        cols = self._cols(keys)
+        w = np.ones(cols.shape[1], np.int64) if counts is None else np.asarray(counts)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], w)
+        self.total += int(w.sum())
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        cols = self._cols(keys)
+        est = np.min(
+            np.stack([self.table[d][cols[d]] for d in range(self.depth)]), axis=0
+        )
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.table.shape == other.table.shape
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def serialize(self) -> bytes:
+        return self.table.tobytes()
+
+
+def sketch_edge_counts(edges: Dataset, width: int = 4096, depth: int = 4) -> CountMinSketch:
+    """Mergeable distributed sketch of (src,dst) edge multiplicities:
+    one sketch per batch on workers, merged on the driver."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        cms = CountMinSketch(width, depth)
+        s = t.column("src").to_numpy().astype(np.uint64, copy=False)
+        d = t.column("dst").to_numpy().astype(np.uint64, copy=False)
+        keys = splitmix64(s) ^ d
+        cms.add(keys)
+        return pa.table(
+            {
+                "sketch": pa.array([cms.table.reshape(-1)], pa.list_(pa.int64())),
+                "total": pa.array([cms.total], pa.int64()),
+            }
+        )
+
+    out = CountMinSketch(width, depth)
+    for row in edges.map_batches(per_batch, batch_format="pyarrow", batch_size=1 << 18).take_all():
+        other = CountMinSketch(width, depth)
+        other.table = np.asarray(row["sketch"], np.int64).reshape(depth, width)
+        other.total = int(row["total"])
+        out.merge(other)
+    return out
+
+
+class _MidasScorer:
+    """Stateful stream scorer: current-tick vs historical edge rates."""
+
+    def __init__(self, width: int = 2048, depth: int = 4, ticks: int = 16):
+        self.hist = CountMinSketch(width, depth)
+        self.ticks = ticks
+        self.tick_no = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.uint64, copy=False)
+        d = t.column("dst").to_numpy().astype(np.uint64, copy=False)
+        keys = splitmix64(s) ^ d
+        cur = CountMinSketch(self.hist.width, self.hist.depth)
+        cur.add(keys)
+        self.tick_no += 1
+        a = cur.query(keys).astype(np.float64)  # count this tick
+        self.hist.merge(cur)
+        total = self.hist.query(keys).astype(np.float64)  # lifetime count
+        n = float(self.tick_no)
+        # MIDAS score: (a - total/n)^2 * n^2 / (total * (n - 1)), 0 on first tick
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = (a - total / n) ** 2 * n**2 / (total * max(n - 1.0, 1.0))
+        score[~np.isfinite(score)] = 0.0
+        if n == 1.0:
+            score[:] = 0.0
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "tick": pa.array(np.full(len(s), self.tick_no - 1, np.int64)),
+                "score": pa.array(score),
+            }
+        )
+
+
+def edge_anomaly_scores(edge_stream: Dataset, batch_size: int = 4096) -> Dataset:
+    """MIDAS-style anomaly score per edge occurrence. concurrency=1: one
+    ordered stream per scorer (the reference processes one stream per
+    PE; shard by hash(src) and run a pool for parallel streams)."""
+    return edge_stream.map_batches(
+        _MidasScorer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=1,
+    )

@@ -27,12 +27,14 @@ def seg_min_sparse(idx: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.nd
 
 
 def seg_sum_sparse(idx: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique_idx, sum_per_idx); vals may be 1-D or 2-D (vector messages
+    — reduceat sums along axis 0, e.g. GCN feature aggregation)."""
     if len(idx) == 0:
         return idx, vals
     order = np.argsort(idx, kind="stable")
     si, sv = idx[order], vals[order]
     starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
-    return si[starts], np.add.reduceat(sv, starts)
+    return si[starts], np.add.reduceat(sv, starts, axis=0)
 
 
 def label_count_combine(
