@@ -119,6 +119,69 @@ def q_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": [n]})
 
 
+def q_pagerank_ds(sf_dir: str):
+    """Pure-Dataset-ops PageRank variant (same oracle as pagerank_5)."""
+    from linkgraph.algos.dataset_impl import pagerank_dataset
+
+    df = pagerank_dataset(
+        _doc_edges_ds(sf_dir), iters=PR_ITERS, damping=DAMPING, num_partitions=4
+    ).to_pandas()
+    return pd.DataFrame({"v": df["v"], "pr_rank": np.round(df["rank"], 8)})
+
+
+def q_cc_ds(sf_dir: str):
+    """Pure-Dataset-ops CC variant (same oracle as cc_labels)."""
+    from linkgraph.algos.dataset_impl import cc_dataset
+
+    return cc_dataset(_doc_edges_ds(sf_dir), num_partitions=4).to_pandas()
+
+
+RADIUS_2D = 0.05
+
+
+def q_radius_join(sf_dir: str):
+    """Grid-bucketed Euclidean radius self-join on the first two
+    embedding dims (the reference's implicit-edge discovery)."""
+    from linkgraph.ops.spatial import radius_join
+
+    emb = _read(sf_dir, "embeddings")
+
+    def pts(t):
+        import pyarrow as pa
+
+        M = np.stack(t.column("embedding").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "id": t.column("vec_id"),
+                "x": pa.array(M[:, 0].astype(np.float64)),
+                "y": pa.array(M[:, 1].astype(np.float64)),
+            }
+        )
+
+    points = emb.map_batches(pts, batch_format="pyarrow")
+    return radius_join(points, RADIUS_2D).to_pandas()
+
+
+def q_gcn(sf_dir: str):
+    """2-layer GCN feature propagation over the derived doc graph
+    (deterministic features/weights; rows-only driver check, dense
+    numpy oracle in tests)."""
+    from linkgraph.algos.gcn import gcn_features
+
+    out, eng = gcn_features(_doc_edges_ds(sf_dir), dim=4, layers=2, num_parts=4)
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
+def q_edge_anomaly(sf_dir: str):
+    """MIDAS-style streaming edge anomaly scores (rows-only: scores
+    depend on stream batch order)."""
+    from linkgraph.ops.cms import edge_anomaly_scores
+
+    return edge_anomaly_scores(_doc_edges_ds(sf_dir), batch_size=1024).to_pandas()
+
+
 def q_exact_dedup(sf_dir: str):
     from linkgraph.ops import exact_dedup
 
@@ -284,9 +347,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "in_degree": q_in_degree,
         "degree_hist": q_degree_hist,
         "pagerank_5": q_pagerank,
+        "pagerank_ds_5": q_pagerank_ds,
         "cc_labels": q_cc,
+        "cc_ds": q_cc_ds,
         "labelprop_3": q_labelprop,
         "triangle_count": q_triangles,
+        "radius_join_2d": q_radius_join,
+        "gcn_2layer": q_gcn,
+        "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "char_classes": q_char_classes,
@@ -376,6 +444,12 @@ def _labelprop_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     e = _edges_cte()
+    q = _oracle_sql_base(e)
+    q["cc_ds"] = q["cc_labels"]  # dataset-ops variant, same semantics
+    return q
+
+
+def _oracle_sql_base(e: str) -> dict[str, str]:
     return {
         "doc_edges": f"WITH {e} SELECT src, dst FROM e",
         "out_degree": f"WITH {e} SELECT src, count(*) AS out_deg FROM e GROUP BY src",
@@ -385,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT deg, count(*) AS n_vertices FROM d GROUP BY deg"
         ),
         "pagerank_5": _pagerank_sql(),
+        "pagerank_ds_5": _pagerank_sql(),
         "cc_labels": (
             f"WITH RECURSIVE {e},\n{_VERTS},\n{_UE},\n"
             "reach(v, label) AS ("
@@ -394,6 +469,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v, min(label) AS label FROM reach GROUP BY v"
         ),
         "labelprop_3": _labelprop_sql(),
+        "radius_join_2d": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE power(CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE), 2) "
+            "    + power(CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE), 2) "
+            f"   <= {RADIUS_2D} * {RADIUS_2D}"
+        ),
         "triangle_count": (
             f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
             "greatest(src, dst) AS v FROM e) "
