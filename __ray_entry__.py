@@ -182,6 +182,20 @@ def q_edge_anomaly(sf_dir: str):
     return edge_anomaly_scores(_doc_edges_ds(sf_dir), batch_size=1024).to_pandas()
 
 
+BFS_SOURCE = 0
+
+
+def q_bfs(sf_dir: str):
+    """Directed BFS hop distance from doc 0 (reference update_distances
+    analogue: k-hop = k supersteps of the min exchange)."""
+    from linkgraph.algos.bfs import bfs_hops
+
+    out, _, eng = bfs_hops(_doc_edges_ds(sf_dir), BFS_SOURCE, num_parts=NUM_PARTS)
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
 def q_exact_dedup(sf_dir: str):
     from linkgraph.ops import exact_dedup
 
@@ -353,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_3": q_labelprop,
         "triangle_count": q_triangles,
         "radius_join_2d": q_radius_join,
+        "bfs_hops": q_bfs,
         "gcn_2layer": q_gcn,
         "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,
@@ -383,8 +398,16 @@ def _edges_cte() -> str:
     return f"e AS ({derive_edges_sql()})"
 
 
-_VERTS = "verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)"
-_UE = "ue AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e)"
+# explicit DISTINCT over UNION ALL: inside WITH RECURSIVE DuckDB treats
+# bare UNION CTEs as anchor/step pairs and skips the dedup
+_VERTS = (
+    "verts AS (SELECT DISTINCT v FROM "
+    "(SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e))"
+)
+_UE = (
+    "ue AS (SELECT DISTINCT a, b FROM "
+    "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e))"
+)
 
 
 def _pagerank_sql() -> str:
@@ -469,6 +492,17 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT v, min(label) AS label FROM reach GROUP BY v"
         ),
         "labelprop_3": _labelprop_sql(),
+        "bfs_hops": (
+            f"WITH RECURSIVE {e},\n{_VERTS},\n"
+            "reach(v, d) AS ("
+            " SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)"
+            " UNION"
+            " SELECT e.dst, reach.d + 1 FROM reach JOIN e ON reach.v = e.src"
+            " WHERE reach.d < 40)\n"
+            "SELECT verts.v, coalesce(m.d, -1) AS dist FROM verts "
+            "LEFT JOIN (SELECT v, min(d) AS d FROM reach GROUP BY v) m "
+            "ON verts.v = m.v"
+        ),
         "radius_join_2d": (
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "

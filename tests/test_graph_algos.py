@@ -115,3 +115,29 @@ def test_pagerank_uint64_hash_ids():
     want = pagerank_oracle(hedges, tol=1e-10)
     eng.shutdown()
     assert all(abs(got[v] - want[v]) < 1e-6 for v in want)
+
+
+def test_bfs_hops():
+    from collections import deque
+
+    from linkgraph.algos.bfs import bfs_hops
+
+    edges = random_edges(120, 360, seed=17) + [(0, 5)]
+    out, _, eng = bfs_hops(edges_ds(edges), source=0, num_parts=3, directed=True)
+    got = {r["v"]: r["dist"] for r in out.take_all()}
+    eng.shutdown()
+    # oracle BFS over directed edges
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        for w in adj.get(u, []):
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    verts = {v for e in edges for v in e}
+    want = {v: dist.get(v, -1) for v in verts}
+    assert got == want
