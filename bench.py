@@ -182,7 +182,7 @@ def run_scaling_child() -> dict:
     # capability from transient contention)
     eng.run(PageRankProgram(tol=0.0), max_iters=3, burst_size=3)
     best = None
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         s = eng.run(PageRankProgram(tol=0.0), max_iters=10, burst_size=10)
         dt = time.perf_counter() - t0
@@ -213,7 +213,7 @@ def run_scaling_child() -> dict:
     from linkgraph import synth
     from linkgraph.edges import build_edges
 
-    n_pages = 100_000
+    n_pages = 60_000
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
@@ -274,10 +274,136 @@ def run_scaling() -> dict:
     }
 
 
+def _set_ray_affinity(n_cpus: int) -> int:
+    """Pin every process of this Ray session (driver, raylet, workers,
+    actors) to hardware threads 0..n_cpus-1. Lets one session measure
+    two cluster sizes on the SAME loaded graph, interleaved — which
+    cancels the KVM host's time-varying CPU-steal noise that separate
+    sequential child runs are hostage to."""
+    import os
+
+    cpus = set(range(n_cpus))
+    me = os.getpid()
+    n = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+            if pid == str(me) or "ray" in cmd.lower():
+                os.sched_setaffinity(int(pid), cpus)
+                n += 1
+        except (OSError, ValueError):
+            continue
+    return n
+
+
+def _steal_counter() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
+def run_scaling_interleaved() -> dict:
+    """Scaling evidence robust to host noise: load the RMAT graph once,
+    then alternate the session's CPU affinity between 8 and 32 threads,
+    running the identical PageRank / CC passes at each width several
+    times; report the best pass per width + steal-time telemetry."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=32,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from linkgraph.algos.cc import CCProgram
+    from linkgraph.algos.pagerank import PageRankProgram
+    from linkgraph.engine import SuperstepEngine
+    from linkgraph.synth import rmat_dataset
+    from linkgraph.edges import build_edges
+    from linkgraph import synth
+
+    edges = rmat_dataset(SCALE_EDGES, scale=SCALE_SCALE).materialize()
+    eng = SuperstepEngine(num_parts=NUM_PARTS, dedup=False).load_edges(edges)
+    n_edges = eng.n_edges
+    del edges
+    sym = SuperstepEngine(num_parts=NUM_PARTS, symmetrize=True, dedup=False).load_edges(
+        rmat_dataset(SCALE_EDGES // 4, scale=SCALE_SCALE).materialize()
+    )
+    eng.run(PageRankProgram(tol=0.0), max_iters=3, burst_size=3)  # warm
+
+    best: dict = {}
+    steal: dict = {8: [], 32: []}
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    for _ in range(rounds):
+        for ncpu in (8, 32):
+            _set_ray_affinity(ncpu)
+            s0 = _steal_counter()
+            t0 = time.perf_counter()
+            s = eng.run(PageRankProgram(tol=0.0), max_iters=10, burst_size=10)
+            pr_dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            scc = sym.run(CCProgram(), max_iters=100, burst_size=8)
+            cc_dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            build_edges(
+                synth.pages_dataset(40_000, 64, parallelism=128), dedup=False
+            ).count()
+            ex_dt = time.perf_counter() - t0
+            steal[ncpu].append(_steal_counter() - s0)
+            k = ("pr", ncpu)
+            if k not in best or pr_dt < best[k][0]:
+                best[k] = (pr_dt, s["edges_per_sec"])
+            k = ("cc", ncpu)
+            if k not in best or cc_dt < best[k][0]:
+                best[k] = (cc_dt, scc["edges_per_sec"])
+            k = ("ex", ncpu)
+            if k not in best or ex_dt < best[k][0]:
+                best[k] = (ex_dt, 40_000 / ex_dt)
+    _set_ray_affinity(32)
+    eng.shutdown()
+    sym.shutdown()
+    tp8, tp32 = best[("pr", 8)][1], best[("pr", 32)][1]
+    cc8, cc32 = best[("cc", 8)][1], best[("cc", 32)][1]
+    ex8, ex32 = best[("ex", 8)][1], best[("ex", 32)][1]
+    result = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round((tp32 / tp8) / 4.0, 3),
+        "unit": "ratio",
+        "pagerank_edges_per_sec_8": round(tp8, 1),
+        "pagerank_edges_per_sec_32": round(tp32, 1),
+        "cc_edges_per_sec_8": round(cc8, 1),
+        "cc_edges_per_sec_32": round(cc32, 1),
+        "cc_scaling_efficiency": round((cc32 / cc8) / 4.0, 3),
+        "extract_pages_per_sec_8": round(ex8, 1),
+        "extract_pages_per_sec_32": round(ex32, 1),
+        "extract_scaling_efficiency": round((ex32 / ex8) / 4.0, 3),
+        "pagerank_sec_8": round(best[("pr", 8)][0], 3),
+        "pagerank_sec_32": round(best[("pr", 32)][0], 3),
+        "host_steal_jiffies": {str(k): v for k, v in steal.items()},
+        "num_parts": NUM_PARTS,
+        "n_edges": n_edges,
+        "method": "one session, affinity alternated 8<->32 per round, best-of-%d" % rounds,
+    }
+    ray.shutdown()
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         print(json.dumps(run_scaling_child()))
     elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling_interleaved()))
+    elif "--scaling-subprocess" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

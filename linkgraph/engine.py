@@ -227,7 +227,35 @@ class GraphPartition:
             inv = 1.0 / out_deg.astype(np.float64)
         inv[out_deg == 0] = 0.0
         self.inv_outdeg_edge = inv[self.edge_src_idx] if self.n_edges else np.zeros(0)
+        self.seg_ridx: list[np.ndarray] | None = None  # filled by index exchange
         return n, self.n_edges
+
+    # ---- one-time destination-index exchange -------------------------
+    def get_seg_udst_all(self) -> list[np.ndarray]:
+        return self.seg_udst
+
+    def build_incoming_index(self, *seg_lists) -> list[np.ndarray]:
+        """For each source partition p: local int32 indices of the dst ids
+        p will send here. One-time O(P^2) exchange at load time; after it,
+        per-superstep messages carry compact local indices instead of
+        64-bit vertex ids (25% less traffic, no searchsorted per gather)."""
+        return [
+            np.searchsorted(self.verts, seg_lists[p][self.pid]).astype(np.int32)
+            for p in range(self.P)
+        ]
+
+    def set_outgoing_idx(self, *incoming) -> None:
+        """incoming[q][p] = dst-local indices for messages p -> q; keep
+        row self.pid of each, plus a per-edge expansion for the
+        labelvote path (per-iteration (dst,label) segments)."""
+        self.seg_ridx = [incoming[q][self.pid] for q in range(self.P)]
+        edge_ridx = np.empty(self.n_edges, np.int32)
+        for q in range(self.P):
+            a, b = self.part_starts[q], self.part_starts[q + 1]
+            if a < b:
+                lengths = np.diff(np.r_[self.seg_starts[q], b - a])
+                edge_ridx[a:b] = np.repeat(self.seg_ridx[q], lengths)
+        self.edge_ridx = edge_ridx
 
     # ---- program lifecycle ------------------------------------------
     def init_program(self, prog: VertexProgram, n_total: int) -> Any:
@@ -265,11 +293,11 @@ class GraphPartition:
             for q in range(P):
                 a, b = self.part_starts[q], self.part_starts[q + 1]
                 if a < b:
-                    us.append(self.seg_udst[q])
+                    us.append(self.seg_ridx[q])  # dst-local int32 indices
                     vs.append(red.reduceat(vals[a:b], self.seg_starts[q]))
                 off[q + 1] = off[q] + (len(us[-1]) if a < b else 0)
             out = {
-                "u": np.concatenate(us) if us else np.empty(0, np.uint64),
+                "i": np.concatenate(us) if us else np.empty(0, np.int32),
                 "v": np.concatenate(vs) if vs else np.empty(0, np.float64),
                 "c": None,
                 "off": off,
@@ -280,10 +308,10 @@ class GraphPartition:
             for q in range(P):
                 a, b = self.part_starts[q], self.part_starts[q + 1]
                 if a < b:
-                    d = self.edge_dst[a:b]
+                    ridx = self.edge_ridx[a:b]
                     lab = labels[a:b]
-                    order = np.lexsort((lab, d))
-                    ds_, ls_ = d[order], lab[order]
+                    order = np.lexsort((lab, ridx))
+                    ds_, ls_ = ridx[order], lab[order]
                     new = np.r_[True, (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])]
                     starts = np.flatnonzero(new)
                     cnt = np.diff(np.r_[starts, len(ds_)])
@@ -294,7 +322,7 @@ class GraphPartition:
                 else:
                     off[q + 1] = off[q]
             out = {
-                "u": np.concatenate(us) if us else np.empty(0, np.uint64),
+                "i": np.concatenate(us) if us else np.empty(0, np.int32),
                 "v": np.concatenate(vs) if vs else np.empty(0, np.uint64),
                 "c": np.concatenate(cs) if cs else np.empty(0, np.int64),
                 "off": off,
@@ -326,10 +354,10 @@ class GraphPartition:
         for pk in packed:
             a, b = pk["off"][pid], pk["off"][pid + 1]
             if a < b:
-                slices.append((pk["u"][a:b], pk["v"][a:b], None if pk["c"] is None else pk["c"][a:b]))
+                slices.append((pk["i"][a:b], pk["v"][a:b], None if pk["c"] is None else pk["c"][a:b]))
         if prog.reduce == "labelvote":
             if slices:
-                idx = np.searchsorted(self.verts, np.concatenate([s[0] for s in slices]))
+                idx = np.concatenate([s[0] for s in slices]).astype(np.int64)
                 labs = np.concatenate([s[1] for s in slices])
                 cnts = np.concatenate([s[2] for s in slices])
                 ci, cl, cc = segops.label_count_combine(idx, labs, cnts)
@@ -338,7 +366,7 @@ class GraphPartition:
                 ui = np.empty(0, np.int64)
                 uv = np.empty(0, np.int64)
         elif slices:
-            idx = np.searchsorted(self.verts, np.concatenate([s[0] for s in slices]))
+            idx = np.concatenate([s[0] for s in slices]).astype(np.int64)
             vals = np.concatenate([s[1] for s in slices])
             if prog.reduce == "sum":
                 ui, uv = segops.seg_sum_sparse(idx, vals)
@@ -522,6 +550,14 @@ class SuperstepEngine:
         )
         sink.count()  # consume -> all add_edges/add_vertices complete
         sizes = ray.get([a.finalize.remote() for a in self.actors])
+        # one-time dst-local index exchange: after this, superstep
+        # messages carry int32 local indices instead of 64-bit ids
+        seg_lists = [a.get_seg_udst_all.remote() for a in self.actors]
+        inc = [
+            self.actors[q].build_incoming_index.remote(*seg_lists)
+            for q in range(P)
+        ]
+        ray.get([self.actors[p].set_outgoing_idx.remote(*inc) for p in range(P)])
         self.n_total = int(sum(s[0] for s in sizes))
         self.n_edges = int(sum(s[1] for s in sizes))
         self.part_sizes = sizes
