@@ -342,10 +342,12 @@ def run_scaling_interleaved() -> dict:
     eng.run(PageRankProgram(tol=0.0), max_iters=3, burst_size=3)  # warm
 
     best: dict = {}
-    steal: dict = {8: [], 32: []}
+    steal: dict = {}
     rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    n_lo = int(os.environ.get("GRAFT_SCALE_NLOW", "8"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_NHIGH", "32"))
     for _ in range(rounds):
-        for ncpu in (8, 32):
+        for ncpu in (n_lo, n_hi):
             _set_ray_affinity(ncpu)
             s0 = _steal_counter()
             t0 = time.perf_counter()
@@ -359,7 +361,7 @@ def run_scaling_interleaved() -> dict:
                 synth.pages_dataset(40_000, 64, parallelism=128), dedup=False
             ).count()
             ex_dt = time.perf_counter() - t0
-            steal[ncpu].append(_steal_counter() - s0)
+            steal.setdefault(ncpu, []).append(_steal_counter() - s0)
             k = ("pr", ncpu)
             if k not in best or pr_dt < best[k][0]:
                 best[k] = (pr_dt, s["edges_per_sec"])
@@ -372,27 +374,29 @@ def run_scaling_interleaved() -> dict:
     _set_ray_affinity(32)
     eng.shutdown()
     sym.shutdown()
-    tp8, tp32 = best[("pr", 8)][1], best[("pr", 32)][1]
-    cc8, cc32 = best[("cc", 8)][1], best[("cc", 32)][1]
-    ex8, ex32 = best[("ex", 8)][1], best[("ex", 32)][1]
+    ratio = n_hi / n_lo
+    tp8, tp32 = best[("pr", n_lo)][1], best[("pr", n_hi)][1]
+    cc8, cc32 = best[("cc", n_lo)][1], best[("cc", n_hi)][1]
+    ex8, ex32 = best[("ex", n_lo)][1], best[("ex", n_hi)][1]
     result = {
-        "metric": "scaling_efficiency_8_to_32",
-        "value": round((tp32 / tp8) / 4.0, 3),
+        "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
+        "value": round((tp32 / tp8) / ratio, 3),
         "unit": "ratio",
-        "pagerank_edges_per_sec_8": round(tp8, 1),
-        "pagerank_edges_per_sec_32": round(tp32, 1),
-        "cc_edges_per_sec_8": round(cc8, 1),
-        "cc_edges_per_sec_32": round(cc32, 1),
-        "cc_scaling_efficiency": round((cc32 / cc8) / 4.0, 3),
-        "extract_pages_per_sec_8": round(ex8, 1),
-        "extract_pages_per_sec_32": round(ex32, 1),
-        "extract_scaling_efficiency": round((ex32 / ex8) / 4.0, 3),
-        "pagerank_sec_8": round(best[("pr", 8)][0], 3),
-        "pagerank_sec_32": round(best[("pr", 32)][0], 3),
+        f"pagerank_edges_per_sec_{n_lo}": round(tp8, 1),
+        f"pagerank_edges_per_sec_{n_hi}": round(tp32, 1),
+        f"cc_edges_per_sec_{n_lo}": round(cc8, 1),
+        f"cc_edges_per_sec_{n_hi}": round(cc32, 1),
+        "cc_scaling_efficiency": round((cc32 / cc8) / ratio, 3),
+        f"extract_pages_per_sec_{n_lo}": round(ex8, 1),
+        f"extract_pages_per_sec_{n_hi}": round(ex32, 1),
+        "extract_scaling_efficiency": round((ex32 / ex8) / ratio, 3),
+        f"pagerank_sec_{n_lo}": round(best[("pr", n_lo)][0], 3),
+        f"pagerank_sec_{n_hi}": round(best[("pr", n_hi)][0], 3),
         "host_steal_jiffies": {str(k): v for k, v in steal.items()},
         "num_parts": NUM_PARTS,
         "n_edges": n_edges,
-        "method": "one session, affinity alternated 8<->32 per round, best-of-%d" % rounds,
+        "method": "one session, affinity alternated %d<->%d per round, best-of-%d"
+        % (n_lo, n_hi, rounds),
     }
     ray.shutdown()
     return result
