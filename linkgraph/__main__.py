@@ -1,0 +1,139 @@
+"""CLI entry point — the `ray job submit` surface of the engine:
+
+    python -m linkgraph build-edges --pages pages_dir --out edges_dir
+    python -m linkgraph pagerank    --edges edges_dir --out ranks_dir \\
+        [--checkpoint ck_dir --resume] [--tol 1e-8] [--parts 32]
+    python -m linkgraph cc          --edges edges_dir --out labels_dir ...
+    python -m linkgraph labelprop   --edges edges_dir --out labels_dir ...
+    python -m linkgraph triangles   --edges edges_dir
+    python -m linkgraph synth-pages --n 100000 --out pages_dir
+
+Owns its Ray session (guarded init), writes partitioned parquet +
+MANIFEST via linkgraph.sources.write_partitioned.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="linkgraph")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, edges=True):
+        if edges:
+            p.add_argument("--edges", required=True)
+        p.add_argument("--out", default=None)
+        p.add_argument("--parts", type=int, default=32)
+        p.add_argument("--checkpoint", default=None)
+        p.add_argument("--resume", action="store_true")
+        p.add_argument("--max-iters", type=int, default=100)
+        p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("build-edges")
+    p.add_argument("--pages", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("synth-pages")
+    p.add_argument("--n", type=int, required=True)
+    p.add_argument("--sites", type=int, default=64)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    for name in ("pagerank", "cc", "labelprop"):
+        common(sub.add_parser(name))
+    p = sub.add_parser("triangles")
+    common(p)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from .sources import read_edges, read_pages, write_partitioned
+
+    try:
+        if args.cmd == "synth-pages":
+            from .synth import pages_dataset
+
+            out = write_partitioned(
+                pages_dataset(args.n, args.sites), args.out, tag="pages"
+            )
+            print(json.dumps({"out": out, "n_pages": args.n}))
+            return 0
+
+        if args.cmd == "build-edges":
+            from .edges import build_edges
+
+            edges = build_edges(read_pages(args.pages, columns=["url", "html"]))
+            out = write_partitioned(edges, args.out, tag="edges")
+            print(json.dumps({"out": out}))
+            return 0
+
+        edges = read_edges(args.edges)
+        if args.cmd == "pagerank":
+            from .algos import pagerank
+
+            res, summary, eng = pagerank(
+                edges,
+                num_parts=args.parts,
+                max_iters=args.max_iters,
+                checkpoint_dir=args.checkpoint,
+                resume=args.resume,
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="pagerank")
+            eng.shutdown()
+            print(json.dumps({"out": args.out, **{k: summary[k] for k in ("iterations", "converged", "edges_per_sec")}}))
+        elif args.cmd == "cc":
+            from .algos import connected_components
+
+            res, summary, eng = connected_components(
+                edges,
+                num_parts=args.parts,
+                max_iters=args.max_iters,
+                checkpoint_dir=args.checkpoint,
+                resume=args.resume,
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="cc")
+            eng.shutdown()
+            print(json.dumps({"out": args.out, "iterations": summary["iterations"]}))
+        elif args.cmd == "labelprop":
+            from .algos import label_propagation
+
+            res, summary, eng = label_propagation(
+                edges,
+                num_parts=args.parts,
+                max_iters=min(args.max_iters, 20),
+                checkpoint_dir=args.checkpoint,
+                resume=args.resume,
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="labelprop")
+            eng.shutdown()
+            print(json.dumps({"out": args.out, "iterations": summary["iterations"]}))
+        elif args.cmd == "triangles":
+            from .algos import triangle_count
+
+            print(json.dumps({"n_triangles": triangle_count(edges)}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
