@@ -196,6 +196,17 @@ def q_bfs(sf_dir: str):
     return df
 
 
+def q_kcore(sf_dir: str):
+    """k-core membership (k=8) on the undirected doc graph (iterative
+    peel; rows-only — pytest property test vs peeling oracle)."""
+    from linkgraph.algos.kcore import kcore
+
+    out, _, eng = kcore(_doc_edges_ds(sf_dir), k=8, num_parts=NUM_PARTS)
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
 def q_exact_dedup(sf_dir: str):
     from linkgraph.ops import exact_dedup
 
@@ -368,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangles,
         "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
+        "kcore_8": q_kcore,
         "gcn_2layer": q_gcn,
         "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,

@@ -2,6 +2,9 @@ from .pagerank import PageRankProgram, pagerank
 from .cc import CCProgram, connected_components
 from .labelprop import LabelPropProgram, label_propagation
 from .triangles import triangle_count
+from .bfs import bfs_hops
+from .kcore import kcore
+from .gcn import gcn_features
 
 __all__ = [
     "PageRankProgram",
@@ -11,4 +14,7 @@ __all__ = [
     "LabelPropProgram",
     "label_propagation",
     "triangle_count",
+    "bfs_hops",
+    "kcore",
+    "gcn_features",
 ]

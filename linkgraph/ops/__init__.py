@@ -8,6 +8,8 @@ from .dedup import (
 )
 from .knn import knn_cosine
 from .windows import tumbling_window, sessionize
+from .cms import CountMinSketch, sketch_edge_counts, edge_anomaly_scores
+from .spatial import radius_join
 
 __all__ = [
     "TokenCount",
@@ -22,4 +24,8 @@ __all__ = [
     "knn_cosine",
     "tumbling_window",
     "sessionize",
+    "CountMinSketch",
+    "sketch_edge_counts",
+    "edge_anomaly_scores",
+    "radius_join",
 ]
