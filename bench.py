@@ -7,10 +7,12 @@ label propagation (5 iters), triangle count — plus the doc-ops track
 (MinHash dedup, knn, windows) over $GRAFT_SF_DIR tables.
 
 Scaling evidence (BASELINE.json: >=0.8 efficiency N -> 4N):
-``python bench.py --scaling`` runs the identical job on identical input
-in fresh processes at num_cpus=8 and num_cpus=32 with the SAME
-partition count P, and reports PageRank edges/sec at both plus
-efficiency = (tp_32 / tp_8) / 4.
+``python bench.py --scaling`` loads one RMAT graph and alternates the
+session's CPU affinity between GRAFT_SCALE_NLOW and GRAFT_SCALE_NHIGH
+hardware threads (default 8/32) each round, reporting best-pass
+PageRank/CC edges/sec per width + efficiency + host steal telemetry
+(see BASELINE.md for method + results; --scaling-subprocess keeps the
+older taskset-pinned fresh-process variant).
 """
 
 from __future__ import annotations
