@@ -172,21 +172,36 @@ class GraphPartition:
         if vert_ids is not None:
             self._vert_chunks.append(vert_ids)
 
-    def finalize(self) -> tuple[int, int]:
+    def finalize(self, keep_raw: bool = False) -> tuple[int, int]:
         """Build sorted vertex index + (dst_part, dst)-sorted edge arrays
         with per-destination-partition segment structure for reduceat.
-        Returns (n_local_vertices, n_local_edges)."""
+        Returns (n_local_vertices, n_local_edges).
+
+        keep_raw retains the concatenated raw edge arrays so further
+        ``add_chunk`` calls + a re-finalize can extend the graph
+        incrementally (streaming inserts, reference
+        test/update_rates.cpp:31-56 / connected_components.c:62-86)."""
         P = self.P
+        if getattr(self, "ctx", None) is not None:
+            # snapshot state for warm restart after a graph extension
+            self._warm = (self.ctx.verts, dict(self.ctx.state))
         chunks = list(self._vert_chunks)
         chunks.extend(c[0] for c in self._edge_chunks)  # local srcs self-register
+        if getattr(self, "verts", None) is not None and len(getattr(self, "verts", [])):
+            chunks.append(self.verts)  # prior vertices survive extension
         if chunks:
             self.verts = np.unique(np.concatenate(chunks))
         else:
             self.verts = np.empty(0, np.uint64)
         self._vert_chunks = []
-        if self._edge_chunks:
-            src = np.concatenate([c[0] for c in self._edge_chunks])
-            dst = np.concatenate([c[1] for c in self._edge_chunks])
+        prior = getattr(self, "_raw_edges", None)
+        if self._edge_chunks or prior is not None:
+            srcs = [] if prior is None else [prior[0]]
+            dsts = [] if prior is None else [prior[1]]
+            srcs.extend(c[0] for c in self._edge_chunks)
+            dsts.extend(c[1] for c in self._edge_chunks)
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
         else:
             src = np.empty(0, np.uint64)
             dst = np.empty(0, np.uint64)
@@ -228,6 +243,7 @@ class GraphPartition:
         inv[out_deg == 0] = 0.0
         self.inv_outdeg_edge = inv[self.edge_src_idx] if self.n_edges else np.zeros(0)
         self.seg_ridx: list[np.ndarray] | None = None  # filled by index exchange
+        self._raw_edges = (src, dst) if keep_raw else None
         return n, self.n_edges
 
     # ---- one-time destination-index exchange -------------------------
@@ -258,7 +274,7 @@ class GraphPartition:
         self.edge_ridx = edge_ridx
 
     # ---- program lifecycle ------------------------------------------
-    def init_program(self, prog: VertexProgram, n_total: int) -> Any:
+    def init_program(self, prog: VertexProgram, n_total: int, warm: bool = False) -> Any:
         self.prog = prog
         self.ctx = PartCtx(
             part_id=self.pid,
@@ -270,6 +286,15 @@ class GraphPartition:
         )
         self.ctx.inv_outdeg_edge = self.inv_outdeg_edge  # type: ignore[attr-defined]
         self.ctx.state = self.prog.init_state(self.ctx)
+        if warm and getattr(self, "_warm", None) is not None:
+            # carry prior per-vertex state into the extended graph (new
+            # vertices keep their fresh init values) — incremental
+            # convergence picks up where the last stream batch left off
+            old_v, old_s = self._warm
+            pos = np.searchsorted(self.verts, old_v)
+            for c, arr in old_s.items():
+                if c in self.ctx.state:
+                    self.ctx.state[c][pos] = arr
         self._last_conv = float("inf")
         self._global_prev_conv = float("inf")
         self._last_packed = None
@@ -531,25 +556,53 @@ class SuperstepEngine:
         self._loaded = False
 
     # ---- graph build -------------------------------------------------
-    def load_edges(self, edges: Dataset, src_col: str = "src", dst_col: str = "dst") -> "SuperstepEngine":
+    def load_edges(
+        self,
+        edges: Dataset,
+        src_col: str = "src",
+        dst_col: str = "dst",
+        streaming: bool = False,
+    ) -> "SuperstepEngine":
+        """Route an edge Dataset into the partition actors and build the
+        indexes. With ``streaming=True``, raw edges are retained so
+        ``extend_edges`` can append further batches (the reference's
+        incremental edge-insert loop, test/update_rates.cpp:31-56)."""
         P = self.P
         self.actors = [GraphPartition.remote(i, P, self.dedup) for i in range(P)]
         schema = edges.schema()
         dtype = dict(zip(schema.names, schema.types))[src_col]
         self.signed_ids = pa.types.is_signed_integer(dtype)
+        self.streaming = streaming
+        self._route(edges, src_col, dst_col)
+        self._finalize_and_index(keep_raw=streaming)
+        self._loaded = True
+        return self
 
+    def extend_edges(self, edges: Dataset, src_col: str = "src", dst_col: str = "dst") -> "SuperstepEngine":
+        """Append an edge batch to a streaming-loaded graph and rebuild
+        the indexes. Vertex state survives on the actors; the next
+        ``run(..., warm_start=True)`` continues from it."""
+        assert self._loaded and self.streaming, "load_edges(streaming=True) first"
+        self._route(edges, src_col, dst_col)
+        self._finalize_and_index(keep_raw=True)
+        return self
+
+    def _route(self, edges: Dataset, src_col: str, dst_col: str) -> None:
         cols = edges
         if set(edges.schema().names) != {"src", "dst"} or src_col != "src":
             cols = edges.select_columns([src_col, dst_col]).map_batches(
                 lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"
             )
         sink = cols.map_batches(
-            _router(self.actors, P, self.symmetrize),
+            _router(self.actors, self.P, self.symmetrize),
             batch_format="pyarrow",
             batch_size=1 << 20,
         )
-        sink.count()  # consume -> all add_edges/add_vertices complete
-        sizes = ray.get([a.finalize.remote() for a in self.actors])
+        sink.count()  # consume -> all add_chunk calls complete
+
+    def _finalize_and_index(self, keep_raw: bool) -> None:
+        P = self.P
+        sizes = ray.get([a.finalize.remote(keep_raw) for a in self.actors])
         # one-time dst-local index exchange: after this, superstep
         # messages carry int32 local indices instead of 64-bit ids
         seg_lists = [a.get_seg_udst_all.remote() for a in self.actors]
@@ -561,8 +614,6 @@ class SuperstepEngine:
         self.n_total = int(sum(s[0] for s in sizes))
         self.n_edges = int(sum(s[1] for s in sizes))
         self.part_sizes = sizes
-        self._loaded = True
-        return self
 
     # ---- run ---------------------------------------------------------
     def run(
@@ -573,6 +624,7 @@ class SuperstepEngine:
         checkpoint_every: int = 5,
         resume: bool = False,
         burst_size: int | None = None,
+        warm_start: bool = False,
     ) -> dict:
         """Run to convergence. Returns summary metrics dict.
 
@@ -588,7 +640,9 @@ class SuperstepEngine:
         """
         assert self._loaded, "call load_edges first"
         P = self.P
-        stats0 = ray.get([a.init_program.remote(prog, self.n_total) for a in self.actors])
+        stats0 = ray.get(
+            [a.init_program.remote(prog, self.n_total, warm_start) for a in self.actors]
+        )
         g = prog.driver_init(stats0)
         start_iter = 0
         metrics_path = None
