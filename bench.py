@@ -123,6 +123,25 @@ def run_bench() -> dict:
     tumbling_window(ev, minutes=60).count()
     q["tumbling_window"] = time.perf_counter() - t0
 
+    # 7. streaming CC: batched edge inserts with warm restarts (the
+    # reference's update_rates metric shape: inserted edges/sec to
+    # re-convergence)
+    from linkgraph.synth import rmat_dataset
+
+    t0 = time.perf_counter()
+    n_batches, batch_edges = 4, 250_000
+    eng_st = SuperstepEngine(num_parts=NUM_PARTS, symmetrize=True).load_edges(
+        rmat_dataset(batch_edges, scale=20, seed=1), streaming=True
+    )
+    eng_st.run(CCProgram(), max_iters=100)
+    for b in range(1, n_batches):
+        eng_st.extend_edges(rmat_dataset(batch_edges, scale=20, seed=1 + b))
+        eng_st.run(CCProgram(), max_iters=100, warm_start=True)
+    dt = time.perf_counter() - t0
+    q["streaming_cc"] = dt
+    extra["streaming_edge_inserts_per_sec"] = round(n_batches * batch_edges / dt, 1)
+    eng_st.shutdown()
+
     total = time.perf_counter() - t_all
     result = {
         "metric": "linkgraph_bench_total",
