@@ -128,14 +128,18 @@ def run_bench() -> dict:
     # re-convergence)
     from linkgraph.synth import rmat_dataset
 
+    n_batches, batch_edges = 4, 1_000_000
+    batches = [
+        rmat_dataset(batch_edges, scale=21, seed=1 + b).materialize()
+        for b in range(n_batches)
+    ]
     t0 = time.perf_counter()
-    n_batches, batch_edges = 4, 250_000
     eng_st = SuperstepEngine(num_parts=NUM_PARTS, symmetrize=True).load_edges(
-        rmat_dataset(batch_edges, scale=20, seed=1), streaming=True
+        batches[0], streaming=True
     )
     eng_st.run(CCProgram(), max_iters=100)
     for b in range(1, n_batches):
-        eng_st.extend_edges(rmat_dataset(batch_edges, scale=20, seed=1 + b))
+        eng_st.extend_edges(batches[b])
         eng_st.run(CCProgram(), max_iters=100, warm_start=True)
     dt = time.perf_counter() - t0
     q["streaming_cc"] = dt
