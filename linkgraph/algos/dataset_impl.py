@@ -19,7 +19,7 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum, Min
 
-from ..edges import out_degrees, _partial_counts
+from ..edges import out_degrees
 
 
 def _vertices(edges: Dataset, num_partitions: int) -> Dataset:

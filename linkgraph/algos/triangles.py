@@ -42,11 +42,6 @@ def _rows(part, kind, k1, k2, w) -> pa.Table:
     )
 
 
-def _empty_rows() -> pa.Table:
-    z = np.empty(0, np.int64)
-    return _rows(z, z, z, z, z)
-
-
 def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
     """unique (u < v) pairs, bucketed by pair hash with per-bucket np.unique."""
 

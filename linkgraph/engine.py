@@ -26,11 +26,12 @@ design (SURVEY.md §1.2, §4):
   mid-convergence resume (the analogue of dead-PE state pulls,
   src/hoover.cpp:774-802, done the lineage way).
 
-Scale notes (multi-node): edge loading is a Ray Data hash shuffle
-(``groupby(part)``), so the build streams; per-superstep traffic is
-O(P^2) tiny objects + combiner-reduced payloads. At very large P the
-P^2 ref fan-out would move to a tree/hierarchical exchange; P here is
-sized ~ cluster cores.
+Scale notes (multi-node): edge loading streams batch slices straight
+into the partition actors (no separate shuffle materialization);
+per-superstep traffic is P packed objects of combiner-reduced messages
+(int32 dst-local indices + values). At very large P the all-to-all
+packed exchange would move to a two-level tree; P here is sized ~
+cluster cores.
 """
 
 from __future__ import annotations
@@ -478,16 +479,6 @@ class GraphPartition:
             if c != "v":
                 self.ctx.state[c] = t.column(c).to_numpy().copy()
         return len(v)
-
-
-@ray.remote
-def _merge_packed(*packed):
-    """Fan-in relay: collect the P packed message objects of one
-    superstep into one shared object. The driver submits ONE task with P
-    ref args plus P step tasks with a single ref arg each — O(P) driver
-    work per superstep instead of O(P^2) ref-arg processing; each actor
-    then reads the merged object zero-copy from the local store."""
-    return list(packed)
 
 
 # --------------------------------------------------------------------------
