@@ -45,7 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
 
     for name in ("pagerank", "cc", "labelprop"):
-        common(sub.add_parser(name))
+        sp = sub.add_parser(name)
+        common(sp)
+        if name == "pagerank":
+            sp.add_argument("--tol", type=float, default=1e-8)
+            sp.add_argument("--damping", type=float, default=0.85)
     p = sub.add_parser("triangles")
     common(p)
 
@@ -90,6 +94,8 @@ def main(argv: list[str] | None = None) -> int:
             res, summary, eng = pagerank(
                 edges,
                 num_parts=args.parts,
+                damping=args.damping,
+                tol=args.tol,
                 max_iters=args.max_iters,
                 checkpoint_dir=args.checkpoint,
                 resume=args.resume,

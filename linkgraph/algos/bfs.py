@@ -21,7 +21,11 @@ class BFSProgram(VertexProgram):
     conv_tol = 0.5  # stop when no distances improved
 
     def __init__(self, source: int):
-        self.source = np.uint64(source)
+        # accept signed ids (hashed-url bit-views): a negative source is
+        # the int64 view of the uint64 vertex id stored in ctx.verts
+        self.source = (
+            np.int64(source).astype(np.uint64) if source < 0 else np.uint64(source)
+        )
 
     def conv_stat(self, stats):
         return float(stats["changed"])

@@ -16,16 +16,31 @@ import numpy as np
 from ..engine import SuperstepEngine, VertexProgram
 
 
+SIGN_BIAS = np.uint64(0x8000000000000000)
+
+
 class CCProgram(VertexProgram):
+    """``signed=True`` (graphs whose int64 ids include negatives, e.g.
+    hashed-url bit-views) flips the sign bit before the min so the
+    propagated label order matches SIGNED int64 order — the exported
+    label is then the true minimum int64 vertex id of the component,
+    matching union-find / DuckDB ``min()`` oracles. Without the flip the
+    label would be the minimum in unsigned order (a valid canonical
+    representative, but not the documented minimum)."""
+
     reduce = "min"
     state_columns = ("label",)
     conv_tol = 0.5  # stop when no labels changed
+
+    def __init__(self, signed: bool = False):
+        self.signed = signed
 
     def conv_stat(self, stats):
         return float(stats["changed"])
 
     def init_state(self, ctx):
-        return {"label": ctx.verts.copy()}
+        lab = ctx.verts.copy()
+        return {"label": lab ^ SIGN_BIAS if self.signed else lab}
 
     def message(self, ctx):
         return ctx.state["label"][ctx.edge_src_idx]
@@ -60,14 +75,17 @@ def connected_components(
     """
     eng = engine or SuperstepEngine(num_parts=num_parts, symmetrize=True).load_edges(edges)
     summary = eng.run(
-        CCProgram(), max_iters=max_iters, checkpoint_dir=checkpoint_dir, resume=resume
+        CCProgram(signed=eng.signed_ids),
+        max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
     )
     out = eng.state_dataset(id_col="v", columns=["label"])
     if eng.signed_ids:
         import pyarrow as pa
 
         def cast(t: pa.Table) -> pa.Table:
-            lab = t.column("label").to_numpy().view(np.int64)
+            lab = (t.column("label").to_numpy() ^ SIGN_BIAS).view(np.int64)
             return pa.table({"v": t.column("v"), "label": pa.array(lab)})
 
         out = out.map_batches(cast, batch_format="pyarrow")

@@ -23,16 +23,27 @@ import numpy as np
 from ..engine import SuperstepEngine, VertexProgram
 
 
+from .cc import SIGN_BIAS
+
+
 class LabelPropProgram(VertexProgram):
+    """``signed=True``: labels are compared sign-bit-flipped so the
+    smallest-label tie-break follows SIGNED int64 order on graphs with
+    negative hashed ids (see CCProgram)."""
+
     reduce = "labelvote"
     state_columns = ("label",)
     conv_tol = 0.5  # stop when no labels changed
+
+    def __init__(self, signed: bool = False):
+        self.signed = signed
 
     def conv_stat(self, stats):
         return float(stats["changed"])
 
     def init_state(self, ctx):
-        return {"label": ctx.verts.copy()}
+        lab = ctx.verts.copy()
+        return {"label": lab ^ SIGN_BIAS if self.signed else lab}
 
     def edge_labels(self, ctx):
         return ctx.state["label"][ctx.edge_src_idx]
@@ -60,7 +71,7 @@ def label_propagation(
 ):
     eng = engine or SuperstepEngine(num_parts=num_parts, symmetrize=True).load_edges(edges)
     summary = eng.run(
-        LabelPropProgram(),
+        LabelPropProgram(signed=eng.signed_ids),
         max_iters=max_iters,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
@@ -70,7 +81,7 @@ def label_propagation(
         import pyarrow as pa
 
         def cast(t: pa.Table) -> pa.Table:
-            lab = t.column("label").to_numpy().view(np.int64)
+            lab = (t.column("label").to_numpy() ^ SIGN_BIAS).view(np.int64)
             return pa.table({"v": t.column("v"), "label": pa.array(lab)})
 
         out = out.map_batches(cast, batch_format="pyarrow")

@@ -299,6 +299,7 @@ class GraphPartition:
         self._last_conv = float("inf")
         self._global_prev_conv = float("inf")
         self._last_packed = None
+        self._applied_iters = 0
         return self.prog.init_stats(self.ctx)
 
     def scatter_packed(self, g: dict):
@@ -402,6 +403,7 @@ class GraphPartition:
             ui = np.empty(0, np.int64)
             uv = np.empty(0, np.float64)
         stats = prog.apply(self.ctx, ui, uv, g2)
+        self._applied_iters = getattr(self, "_applied_iters", 0) + 1
         if prog.conv_tol is not None:
             self._last_conv = prog.conv_stat(stats)
         return stats
@@ -476,9 +478,21 @@ class GraphPartition:
         if len(v) != len(self.verts) or not np.array_equal(v, self.verts):
             raise RuntimeError(f"checkpoint partition {self.pid} does not match graph")
         for c in t.column_names:
-            if c != "v":
-                self.ctx.state[c] = t.column(c).to_numpy().copy()
+            if c == "v":
+                continue
+            col = t.column(c)
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                # 2-D state matrix saved as a list column — stack the
+                # rows back into an (n, d) float array
+                self.ctx.state[c] = np.stack(col.to_numpy(zero_copy_only=False))
+            else:
+                self.ctx.state[c] = col.to_numpy().copy()
         return len(v)
+
+    def applied_iters(self) -> int:
+        """Number of supersteps actually applied by this actor (can run
+        1+ ahead of the driver's logical count inside a burst)."""
+        return getattr(self, "_applied_iters", 0)
 
 
 # --------------------------------------------------------------------------
@@ -697,8 +711,14 @@ class SuperstepEngine:
     def _checkpoint(self, ckdir: str, it: int, g: dict, metrics_path: str, rows: list[dict]):
         path = os.path.join(ckdir, f"iter={it:06d}")
         ray.get([a.save_checkpoint.remote(path, it) for a in self.actors])
+        # actor-side applied counts can run ahead of the logical iter
+        # label inside a burst (pre-submitted supersteps past
+        # convergence); record them so the label reflects the state
+        # actually saved (ADVICE round 1)
+        applied = ray.get([a.applied_iters.remote() for a in self.actors])
         manifest = {
             "iter": it,
+            "applied_iters": {"min": int(min(applied)), "max": int(max(applied))},
             "num_parts": self.P,
             "n_vertices": self.n_total,
             "n_edges": self.n_edges,

@@ -31,6 +31,14 @@ from .text import md5_digest_series
 _TOKEN = re.compile(r"[a-z0-9]+")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array -> int64."""
+    if hasattr(np, "bitwise_count"):  # numpy >= 2
+        return np.bitwise_count(x).astype(np.int64)
+    b = x.view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -62,7 +70,9 @@ def exact_dedup(docs: Dataset) -> Dataset:
 def _doc_shingles(text: str, k: int) -> list[str]:
     toks = _TOKEN.findall(text.lower())
     if len(toks) < k:
-        return [" ".join(toks)] if toks else []
+        # docs shorter than k tokens have NO shingles — parity with the
+        # SQL oracle (WHERE len(t) >= k), which drops them entirely
+        return []
     return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
 
 
@@ -135,7 +145,7 @@ def shingle_jaccard_pairs(
         rows.map_batches(add_part, batch_format="pyarrow", batch_size=131072)
         .groupby("part")
         .map_groups(pairs, batch_format="pandas")
-    )
+    ).materialize()  # materialize first: the count probe is then free
     if cand.count() == 0:
         return cand
     inter = (
@@ -344,22 +354,27 @@ def simhash_dedup_pairs(
     groupby -> exact hamming verify. Returns (a, b, hamming)."""
 
     def sig_rows(t: pa.Table) -> pa.Table:
+        # whole-batch vectorized: concatenate every doc's token hashes,
+        # per-doc bit-vote via add.reduceat, sign matrix -> np.packbits
+        # (bit i of sig = vote[i] > 0, identical to the per-doc spec)
         ids = t.column("doc_id").to_numpy()
         texts = t.column("text").to_pylist()
-        sigs = np.empty(len(ids), np.uint64)
-        for i, txt in enumerate(texts):
-            toks = list(set(_TOKEN.findall(txt.lower())))
-            if not toks:
-                sigs[i] = 0
-                continue
-            h = hash64_str(toks)  # (m,) uint64
+        tok_lists = [sorted(set(_TOKEN.findall(txt.lower()))) for txt in texts]
+        m = np.array([len(tl) for tl in tok_lists], np.int64)
+        sigs = np.zeros(len(ids), np.uint64)
+        nonempty = np.flatnonzero(m > 0)
+        if len(nonempty):
+            flat = [tok for i in nonempty for tok in tok_lists[i]]
+            h = hash64_str(flat)  # (M,) uint64
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
+                np.int32
             )
-            vote = (2 * bits - 1).sum(axis=0)
-            sigs[i] = np.uint64(
-                int("".join("1" if v > 0 else "0" for v in vote[::-1]), 2)
-            )
+            starts = np.r_[0, np.cumsum(m[nonempty])[:-1]]
+            colsum = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+            vote = 2 * colsum - m[nonempty][:, None]
+            sign = (vote > 0).astype(np.uint8)
+            packed = np.packbits(sign, axis=1, bitorder="little")  # (n, 8) bytes
+            sigs[nonempty] = packed.view(np.uint64).reshape(-1)
         return pa.table({"doc_id": pa.array(ids), "sig": pa.array(sigs)})
 
     sigs = docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=4096).materialize()
@@ -408,11 +423,7 @@ def simhash_dedup_pairs(
             i, j = np.triu_indices(k, 1)
             a, b = ids[s:e][i], ids[s:e][j]
             x = sg[s:e][i] ^ sg[s:e][j]
-            ham = np.zeros(len(x), np.int64)  # popcount via nibble loop
-            v = x.copy()
-            while v.any():
-                ham += (v & np.uint64(1)).astype(np.int64)
-                v >>= np.uint64(1)
+            ham = _popcount64(x)
             keep = (ham <= max_hamming) & (a != b)
             out_a.append(np.minimum(a[keep], b[keep]))
             out_b.append(np.maximum(a[keep], b[keep]))
@@ -427,7 +438,7 @@ def simhash_dedup_pairs(
             }
         )
 
-    pairs = rows.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = rows.groupby("part").map_groups(bucket_pairs, batch_format="pandas").materialize()
     if pairs.count() == 0:
         return pairs
     return (

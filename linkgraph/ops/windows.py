@@ -41,20 +41,45 @@ def tumbling_window(events: Dataset, minutes: int = 60) -> Dataset:
     )
 
 
-def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
+def sessionize(events: Dataset, gap_minutes: int = 30, num_buckets: int = 64) -> Dataset:
     """Session windows per user (new session when gap > gap_minutes):
-    (user_id, n_sessions, n_events)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    (user_id, n_sessions, n_events).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        new_session = ts.diff() > gap
+    Bucket-and-vectorize: users are hashed into ``num_buckets`` groups
+    (so the shuffle has B groups, not one per user), each bucket sorts
+    by (user, ts) once and counts session starts with a vectorized
+    ``diff > gap`` over segment boundaries — no per-user Python."""
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_session.sum()) + 1],
-                "n_events": [len(g)],
+                "user_id": u,
+                "ts_ns": df["ts"].astype("datetime64[ns]").astype("int64"),
+                "part": (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(num_buckets),
             }
         )
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["ts_ns"].to_numpy()
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # a session starts at each user's first event and at every
+        # within-user gap > threshold
+        new_session = new_user | (np.diff(t, prepend=t[:1] if len(t) else 0) > gap_ns)
+        starts = np.flatnonzero(new_user)
+        n_events = np.diff(np.r_[starts, len(u)])
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
+        return pd.DataFrame(
+            {"user_id": u[starts], "n_sessions": n_sessions, "n_events": n_events}
+        )
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas", batch_size=131072)
+        .groupby("part")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

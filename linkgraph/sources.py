@@ -15,6 +15,17 @@ import os
 from ray.data import Dataset
 
 
+def _resolve_dir(path: str) -> str:
+    """A directory written by ``write_partitioned`` holds MANIFEST.json
+    + data/; point parquet readers at the data/ subdir so the manifest
+    doesn't trip them up."""
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "MANIFEST.json")):
+        data = os.path.join(path, "data")
+        if os.path.isdir(data):
+            return data
+    return path
+
+
 def read_edges(path: str, src_col: str = "src", dst_col: str = "dst") -> Dataset:
     """Edge table from parquet/csv/json, pruned to the two id columns."""
     import ray.data
@@ -24,14 +35,14 @@ def read_edges(path: str, src_col: str = "src", dst_col: str = "dst") -> Dataset
     elif path.endswith(".json") or path.endswith(".jsonl"):
         ds = ray.data.read_json(path)
     else:
-        return ray.data.read_parquet(path, columns=[src_col, dst_col])
+        return ray.data.read_parquet(_resolve_dir(path), columns=[src_col, dst_col])
     return ds.select_columns([src_col, dst_col])
 
 
 def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
     import ray.data
 
-    return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(_resolve_dir(path), columns=columns)
 
 
 def write_partitioned(ds: Dataset, out_dir: str, tag: str = "result", **kwargs) -> str:
