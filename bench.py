@@ -311,6 +311,71 @@ def run_scaling() -> dict:
     }
 
 
+def _kernel_control_worker(barrier, out, wid, iters):
+    """One worker of the Ray-free kernel control: the engine's
+    per-superstep inner kernel (per-destination-partition gather +
+    reduceat, then dense accumulate) on synthetic arrays of the bench
+    shape. No communication, no Ray — pure hardware."""
+    import os
+
+    import numpy as np
+
+    os.sched_setaffinity(0, {wid % 32})
+    rng = np.random.default_rng(wid)
+    E, n_local, P = 3_000_000, 130_000, 32
+    src_idx = rng.integers(0, n_local, E).astype(np.int32)
+    seg_starts = [
+        np.sort(rng.choice(E // P, size=int(E // P * 0.65), replace=False))
+        for _ in range(P)
+    ]
+    vv = rng.random(n_local)
+    bounds = np.linspace(0, E, P + 1).astype(np.int64)
+    barrier.wait()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        us = []
+        for q in range(P):
+            a, b = bounds[q], bounds[q + 1]
+            us.append(np.add.reduceat(vv[src_idx[a:b]], seg_starts[q]))
+        dense = np.zeros(n_local)
+        for q in range(P):
+            idx = np.arange(len(us[q]), dtype=np.int64) % n_local
+            dense[idx] += us[q]
+    out[wid] = time.perf_counter() - t0
+
+
+def kernel_scaling_control(n_lo: int = 8, n_hi: int = 32) -> dict:
+    """Hardware ceiling for the engine's kernel class on THIS box:
+    identical total work (32 actor-kernels) spread over n_lo vs n_hi
+    processes via plain multiprocessing. The engine's measured 8->32
+    efficiency should be compared to this number, not to an ideal 1.0 —
+    a single box shares one DRAM system across both widths, unlike real
+    N vs 4N nodes."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    res = {}
+    for nprocs in (n_lo, n_hi):
+        iters = 6
+        barrier = ctx.Barrier(nprocs)
+        out = ctx.Array("d", nprocs)
+        mult = max(32 // nprocs, 1)
+        ps = [
+            ctx.Process(target=_kernel_control_worker, args=(barrier, out, w, iters * mult))
+            for w in range(nprocs)
+        ]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        wall = max(out[:])
+        res[nprocs] = 32 * iters * 3.0 / wall  # M edge-units/s
+    eff = (res[n_hi] / res[n_lo]) / (n_hi / n_lo)
+    return {
+        f"kernel_Meps_{n_lo}": round(res[n_lo], 1),
+        f"kernel_Meps_{n_hi}": round(res[n_hi], 1),
+        "kernel_control_efficiency": round(eff, 3),
+    }
+
+
 def _set_ray_affinity(n_cpus: int) -> int:
     """Pin every process of this Ray session (driver, raylet, workers,
     actors) to hardware threads 0..n_cpus-1. Lets one session measure
@@ -345,7 +410,12 @@ def run_scaling_interleaved() -> dict:
     """Scaling evidence robust to host noise: load the RMAT graph once,
     then alternate the session's CPU affinity between 8 and 32 threads,
     running the identical PageRank / CC passes at each width several
-    times; report the best pass per width + steal-time telemetry."""
+    times; report the best pass per width + steal-time telemetry.
+    Also runs the Ray-free kernel control first (hardware ceiling)."""
+    n_lo = int(os.environ.get("GRAFT_SCALE_NLOW", "8"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_NHIGH", "32"))
+    control = kernel_scaling_control(n_lo, n_hi)
+
     import ray
 
     ray.init(
@@ -372,17 +442,14 @@ def run_scaling_interleaved() -> dict:
     edges = rmat_dataset(SCALE_EDGES, scale=SCALE_SCALE).materialize()
     eng = SuperstepEngine(num_parts=NUM_PARTS, dedup=False).load_edges(edges)
     n_edges = eng.n_edges
+    # CC runs on the SAME input graph as PageRank (symmetrized store)
+    sym = SuperstepEngine(num_parts=NUM_PARTS, symmetrize=True, dedup=False).load_edges(edges)
     del edges
-    sym = SuperstepEngine(num_parts=NUM_PARTS, symmetrize=True, dedup=False).load_edges(
-        rmat_dataset(SCALE_EDGES // 4, scale=SCALE_SCALE).materialize()
-    )
     eng.run(PageRankProgram(tol=0.0), max_iters=3, burst_size=3)  # warm
 
     best: dict = {}
     steal: dict = {}
     rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
-    n_lo = int(os.environ.get("GRAFT_SCALE_NLOW", "8"))
-    n_hi = int(os.environ.get("GRAFT_SCALE_NHIGH", "32"))
     for _ in range(rounds):
         for ncpu in (n_lo, n_hi):
             _set_ray_affinity(ncpu)
@@ -394,8 +461,10 @@ def run_scaling_interleaved() -> dict:
             scc = sym.run(CCProgram(), max_iters=100, burst_size=8)
             cc_dt = time.perf_counter() - t0
             t0 = time.perf_counter()
+            n_ex_pages = 120_000  # large enough that Dataset fixed
+            # overheads don't dominate the 32-thread arm
             build_edges(
-                synth.pages_dataset(40_000, 64, parallelism=128), dedup=False
+                synth.pages_dataset(n_ex_pages, 64, parallelism=256), dedup=False
             ).count()
             ex_dt = time.perf_counter() - t0
             steal.setdefault(ncpu, []).append(_steal_counter() - s0)
@@ -407,7 +476,7 @@ def run_scaling_interleaved() -> dict:
                 best[k] = (cc_dt, scc["edges_per_sec"])
             k = ("ex", ncpu)
             if k not in best or ex_dt < best[k][0]:
-                best[k] = (ex_dt, 40_000 / ex_dt)
+                best[k] = (ex_dt, n_ex_pages / ex_dt)
     _set_ray_affinity(32)
     eng.shutdown()
     sym.shutdown()
@@ -430,6 +499,7 @@ def run_scaling_interleaved() -> dict:
         f"pagerank_sec_{n_lo}": round(best[("pr", n_lo)][0], 3),
         f"pagerank_sec_{n_hi}": round(best[("pr", n_hi)][0], 3),
         "host_steal_jiffies": {str(k): v for k, v in steal.items()},
+        **control,
         "num_parts": NUM_PARTS,
         "n_edges": n_edges,
         "method": "one session, affinity alternated %d<->%d per round, best-of-%d"

@@ -19,6 +19,7 @@ class BFSProgram(VertexProgram):
     reduce = "min"
     state_columns = ("dist",)
     conv_tol = 0.5  # stop when no distances improved
+    frontier = True  # min-plus is monotone: only improved vertices rescatter
 
     def __init__(self, source: int):
         # accept signed ids (hashed-url bit-views): a negative source is
@@ -37,16 +38,19 @@ class BFSProgram(VertexProgram):
             d[i] = 0
         return {"dist": d}
 
-    def message(self, ctx):
-        return ctx.state["dist"][ctx.edge_src_idx] + 1
+    def vertex_values(self, ctx):
+        return ctx.state["dist"] + 1
 
     def apply(self, ctx, idx, vals, g):
         d = ctx.state["dist"]
         changed = 0
+        ctx.changed_idx = np.empty(0, np.int64)
         if len(idx):
             new = np.minimum(d[idx], vals)
-            changed = int((new != d[idx]).sum())
+            ch = new != d[idx]
+            changed = int(ch.sum())
             d[idx] = new
+            ctx.changed_idx = idx[ch]
         return {"changed": changed}
 
     def driver_step(self, stats, g, it):

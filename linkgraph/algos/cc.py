@@ -31,6 +31,7 @@ class CCProgram(VertexProgram):
     reduce = "min"
     state_columns = ("label",)
     conv_tol = 0.5  # stop when no labels changed
+    frontier = True  # min-label is monotone: only changed vertices rescatter
 
     def __init__(self, signed: bool = False):
         self.signed = signed
@@ -42,16 +43,19 @@ class CCProgram(VertexProgram):
         lab = ctx.verts.copy()
         return {"label": lab ^ SIGN_BIAS if self.signed else lab}
 
-    def message(self, ctx):
-        return ctx.state["label"][ctx.edge_src_idx]
+    def vertex_values(self, ctx):
+        return ctx.state["label"]
 
     def apply(self, ctx, idx, vals, g):
         lab = ctx.state["label"]
         changed = 0
+        ctx.changed_idx = np.empty(0, np.int64)
         if len(idx):
             new = np.minimum(lab[idx], vals)
-            changed = int((new != lab[idx]).sum())
+            ch = new != lab[idx]
+            changed = int(ch.sum())
             lab[idx] = new
+            ctx.changed_idx = idx[ch]
         return {"changed": changed}
 
     def driver_step(self, stats, g, it):

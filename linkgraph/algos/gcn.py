@@ -50,8 +50,8 @@ class GCNLayerProgram(VertexProgram):
     def init_state(self, ctx):
         return {"h": deterministic_features(ctx.verts, self.dim, self.feat_seed)}
 
-    def message(self, ctx):
-        return ctx.state["h"][ctx.edge_src_idx]  # (n_edges, dim)
+    def vertex_values(self, ctx):
+        return ctx.state["h"]  # (n_local, dim); engine gathers per edge
 
     def apply(self, ctx, idx, vals, g):
         agg = ctx.state["h"].copy()  # self contribution

@@ -28,8 +28,8 @@ class KCoreProgram(VertexProgram):
     def init_state(self, ctx):
         return {"active": np.ones(ctx.n_local, np.float64)}
 
-    def message(self, ctx):
-        return ctx.state["active"][ctx.edge_src_idx]
+    def vertex_values(self, ctx):
+        return ctx.state["active"]
 
     def apply(self, ctx, idx, vals, g):
         act = ctx.state["active"]

@@ -45,8 +45,8 @@ class LabelPropProgram(VertexProgram):
         lab = ctx.verts.copy()
         return {"label": lab ^ SIGN_BIAS if self.signed else lab}
 
-    def edge_labels(self, ctx):
-        return ctx.state["label"][ctx.edge_src_idx]
+    def vertex_values(self, ctx):
+        return ctx.state["label"]
 
     def apply(self, ctx, idx, winners, g):
         lab = ctx.state["label"]

@@ -34,9 +34,10 @@ class PageRankProgram(VertexProgram):
         n = ctx.n_local
         return {"rank": np.full(n, 1.0 / max(ctx.n_total, 1), dtype=np.float64)}
 
-    def message(self, ctx):
-        # contribution per edge: rank(src) / outdeg(src), vectorized
-        return ctx.state["rank"][ctx.edge_src_idx] * ctx.inv_outdeg_edge
+    def vertex_values(self, ctx):
+        # per-vertex contribution rank(v) / outdeg(v); the engine
+        # gathers it onto out-edges per destination partition
+        return ctx.state["rank"] * ctx.inv_outdeg
 
     def scatter_extras(self, ctx):
         # dangling mass of the ranks being scattered; summed across

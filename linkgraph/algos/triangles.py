@@ -70,12 +70,10 @@ def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
     )
 
 
-def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
-    """Global triangle count of the undirected simple graph."""
-    B = num_partitions or 32
-    canon = _canonical_bucketed(edges, B).materialize()
-    if canon.count() == 0:
-        return 0
+def _degree_oriented(canon: Dataset, B: int) -> Dataset:
+    """canonical (u, v) edges -> rows (part = a % B, k1 = a, k2 = b)
+    oriented from smaller (degree, id) to larger — max out-degree
+    becomes O(sqrt(m)), bounding hub wedge explosion."""
 
     # --- degree partials ------------------------------------------------
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -138,7 +136,7 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         .map_groups(join_round("v"), batch_format="pandas")
     )
 
-    # --- orient + wedges ------------------------------------------------
+    # --- orient ---------------------------------------------------------
     def orient(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy()
         v = t.column("v").to_numpy()
@@ -148,6 +146,17 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         a = np.where(fwd, u, v)
         b = np.where(fwd, v, u)
         return _rows(a % B, 0, a, b, 0)
+
+    return r2.map_batches(orient, batch_format="pyarrow", batch_size=131072)
+
+
+def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
+    """Global triangle count of the undirected simple graph."""
+    B = num_partitions or 32
+    canon = _canonical_bucketed(edges, B).materialize()
+    if canon.count() == 0:
+        return 0
+    oriented = _degree_oriented(canon, B)
 
     def wedge_gen(g: pd.DataFrame) -> pd.DataFrame:
         a = g["k1"].to_numpy()
@@ -170,11 +179,7 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
         return pd.DataFrame({"b": uniq[:, 0], "c": uniq[:, 1], "w": cnt.astype(np.int64)})
 
-    wedges = (
-        r2.map_batches(orient, batch_format="pyarrow", batch_size=131072)
-        .groupby("part")
-        .map_groups(wedge_gen, batch_format="pandas")
-    )
+    wedges = oriented.groupby("part").map_groups(wedge_gen, batch_format="pandas")
 
     # --- closure: wedge (b,c) must be a canonical edge ------------------
     def tag_wedges(t: pa.Table) -> pa.Table:
@@ -202,3 +207,93 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         .map_groups(close, batch_format="pandas")
     )
     return int(sum(r["t"] for r in closed.take_all()))
+
+
+def triangle_counts_per_vertex(
+    edges: Dataset, num_partitions: int | None = None
+) -> Dataset:
+    """Per-vertex triangle counts (v, n_triangles), vertices in >= 1
+    triangle only — reference parity: test/count_triangles.c:90-133
+    stores each triangle's count at a distinguished vertex; here every
+    triangle credits all three corners (the count a user wants; the
+    reference's global sum is ``triangle_count``).
+
+    Same degree-oriented wedge pipeline as :func:`triangle_count`, but
+    wedges keep their center vertex (no (b, c) compression) so each
+    closed wedge names its full triangle (a, b, c); a final bucketed
+    count aggregates per corner. Wedge volume is bounded by the
+    sqrt(m) orientation cap exactly like the global count."""
+    import pyarrow.compute as pc
+
+    B = num_partitions or 32
+    canon = _canonical_bucketed(edges, B).materialize()
+    if canon.count() == 0:
+        return canon.map_batches(
+            lambda t: pa.table(
+                {"v": pa.array([], pa.int64()), "n_triangles": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    oriented = _degree_oriented(canon, B)
+
+    def wedge_gen_centered(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["k1"].to_numpy()
+        b = g["k2"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        out = []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            nb = b[s:e]
+            out.append(np.stack([np.full(len(i), a[s]), nb[i], nb[j]], axis=1))
+        if not out:
+            return pd.DataFrame({"ctr": [], "b": [], "c": []}).astype(np.int64)
+        w = np.concatenate(out)
+        return pd.DataFrame({"ctr": w[:, 0], "b": w[:, 1], "c": w[:, 2]})
+
+    wedges = oriented.groupby("part").map_groups(
+        wedge_gen_centered, batch_format="pandas"
+    )
+
+    def tag_wedges(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy()
+        c = t.column("c").to_numpy()
+        return _rows((b + 31 * c) % B, 1, b, c, t.column("ctr").to_numpy())
+
+    def tag_canon(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        return _rows((u + 31 * v) % B, 0, u, v, 0)
+
+    def close_per_vertex(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["k1", "k2"]]
+        w = g[g["kind"] == 1][["k1", "k2", "w"]]
+        if len(e) == 0 or len(w) == 0:
+            return pd.DataFrame({"v": [], "n": []}).astype(np.int64)
+        m = w.merge(e, on=["k1", "k2"], how="inner")
+        # each closed wedge is one triangle (ctr=w, b=k1, c=k2); credit
+        # every corner, combiner-count inside the bucket
+        corners = np.concatenate(
+            [m["w"].to_numpy(), m["k1"].to_numpy(), m["k2"].to_numpy()]
+        )
+        ids, cnt = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"v": ids, "n": cnt.astype(np.int64)})
+
+    per_bucket = (
+        wedges.map_batches(tag_wedges, batch_format="pyarrow", batch_size=131072)
+        .union(canon.map_batches(tag_canon, batch_format="pyarrow", batch_size=131072))
+        .groupby("part")
+        .map_groups(close_per_vertex, batch_format="pandas")
+    )
+    from ray.data.aggregate import Sum
+
+    return (
+        per_bucket.groupby("v")
+        .aggregate(Sum("n", alias_name="n_triangles"))
+        .select_columns(["v", "n_triangles"])
+    )

@@ -60,6 +60,35 @@ def part_of(v: "np.ndarray", P: int) -> "np.ndarray":
     return (splitmix64(np.asarray(v, dtype=np.uint64)) % np.uint64(P)).astype(np.int64)
 
 
+def _pairs_in(src, dst, dsrc, ddst) -> np.ndarray:
+    """Exact membership mask: which (src[i], dst[i]) pairs appear in the
+    (dsrc, ddst) set. Prefilter by src membership, then tag-and-lexsort
+    the candidates against the deletion pairs (no hashing collisions,
+    no Python loops)."""
+    out = np.zeros(len(src), bool)
+    cand = np.flatnonzero(np.isin(src, dsrc))
+    if len(cand) == 0:
+        return out
+    cs, cd = src[cand], dst[cand]
+    s_all = np.concatenate([dsrc, cs])
+    d_all = np.concatenate([ddst, cd])
+    tag = np.r_[np.zeros(len(dsrc), np.int8), np.ones(len(cs), np.int8)]
+    order = np.lexsort((tag, d_all, s_all))
+    s_o, d_o, t_o = s_all[order], d_all[order], tag[order]
+    # a candidate row matches iff some earlier row in its (s, d) run is a
+    # deletion row; deletion rows sort first within a run (tag 0 < 1)
+    run_start = np.r_[True, (s_o[1:] != s_o[:-1]) | (d_o[1:] != d_o[:-1])]
+    run_id = np.cumsum(run_start) - 1
+    run_has_del = np.zeros(run_id[-1] + 1, bool)
+    np.logical_or.at(run_has_del, run_id[t_o == 0], True)
+    # map back: sorted positions of candidate rows -> original indices
+    cand_pos = np.flatnonzero(t_o == 1)  # candidate rows, sorted order
+    cand_orig = order[cand_pos] - len(dsrc)  # -> index into cand arrays
+    hits = run_has_del[run_id[cand_pos]]
+    out[cand[cand_orig[hits]]] = True
+    return out
+
+
 # --------------------------------------------------------------------------
 # Vertex programs
 # --------------------------------------------------------------------------
@@ -81,6 +110,14 @@ class VertexProgram:
     # of burst alignment (so interrupted+resumed runs match bit-for-bit).
     conv_tol: float | None = None
     burst_safe: bool = True
+    # frontier=True (valid ONLY for monotone min programs, e.g. CC/BFS
+    # where apply takes min(current, incoming)): apply() records the
+    # locally-changed vertex indices in ctx.changed_idx and the next
+    # scatter walks only those vertices' out-edges (CSR-by-src), making
+    # late supersteps O(frontier edges) instead of O(E) — the analogue
+    # of the reference's needs_processing dirty gating
+    # (src/hoover.cpp:2420-2487).
+    frontier: bool = False
 
     def conv_stat(self, stats: Any) -> float:
         """Local convergence contribution (summed across partitions)."""
@@ -92,13 +129,23 @@ class VertexProgram:
     def init_stats(self, ctx) -> Any:
         return None
 
-    def message(self, ctx) -> np.ndarray:
-        """Per-edge message values, aligned to ctx edge order (sum/min)."""
+    def vertex_values(self, ctx) -> np.ndarray:
+        """Per-LOCAL-VERTEX scatter values, (n_local,) or (n_local, d).
+        The engine gathers them onto edges per destination partition
+        (fused gather + combiner — the per-edge value slice stays in
+        cache between the gather and its reduceat)."""
         raise NotImplementedError
 
-    def edge_labels(self, ctx) -> np.ndarray:
-        """Per-edge integer labels (labelvote reduce)."""
-        raise NotImplementedError
+    def send_messages(self, ctx):
+        """Optional arbitrary vertex-to-vertex messages (reference
+        ``hvr_send_msg``/``hvr_poll_msg``, src/hoover.cpp:1843-1893):
+        return (dst_vertex_ids: uint64 array, payload: (n,) or (n, d)
+        array), or None. Routed by ``part_of(dst)`` piggybacked on the
+        packed exchange; delivered unordered as ``ctx.inbox =
+        (local_idx, payload)`` on the owning partition before the next
+        superstep's apply(). Messages to unknown vertex ids are dropped
+        (the reference asserts; dropping keeps deletion races benign)."""
+        return None
 
     def scatter_extras(self, ctx) -> dict:
         """Numeric partials summed across partitions and merged into the
@@ -128,7 +175,10 @@ class PartCtx:
     verts: np.ndarray  # sorted owned vertex ids (uint64)
     out_deg: np.ndarray  # per owned vertex (int64)
     n_total: int  # global vertex count
-    edge_src_idx: np.ndarray  # per stored edge: local index of src
+    edge_src_idx: np.ndarray  # per stored edge: local index of src (int32)
+    inv_outdeg: np.ndarray | None = None  # per owned vertex, 0 for danglers
+    changed_idx: np.ndarray | None = None  # set by frontier programs' apply()
+    inbox: tuple | None = None  # (local_idx, payload) vertex->vertex messages
     state: dict[str, np.ndarray] = field(default_factory=dict)
 
     @property
@@ -155,6 +205,8 @@ class GraphPartition:
         self.dedup = dedup
         self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self._vert_chunks: list[np.ndarray] = []
+        self._del_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._vdel_chunks: list[np.ndarray] = []
         self.prog: VertexProgram | None = None
 
     # ---- load phase -------------------------------------------------
@@ -172,6 +224,22 @@ class GraphPartition:
             self._edge_chunks.append((src, dst))
         if vert_ids is not None:
             self._vert_chunks.append(vert_ids)
+
+    def add_del_chunk(self, src, dst) -> None:
+        """Buffer edge deletions (applied at the next finalize) — the
+        analogue of the reference's buffered change queue
+        (inc/hvr_buffered_changes.h, drained by process_buffered_changes
+        src/hoover.cpp:2384-2418)."""
+        if src is not None:
+            self._del_chunks.append((src, dst))
+
+    def add_vertex_deletions(self, ids: np.ndarray) -> None:
+        """Buffer vertex deletions. Every actor receives the full set:
+        edges pointing AT a deleted vertex live on the src-owner, so
+        deletion is a broadcast invalidation (the reference's
+        handle_deleted_vertex mirror invalidation,
+        src/hoover.cpp:1695-1733)."""
+        self._vdel_chunks.append(np.asarray(ids, dtype=np.uint64))
 
     def finalize(self, keep_raw: bool = False) -> tuple[int, int]:
         """Build sorted vertex index + (dst_part, dst)-sorted edge arrays
@@ -207,15 +275,37 @@ class GraphPartition:
             src = np.empty(0, np.uint64)
             dst = np.empty(0, np.uint64)
         self._edge_chunks = []
+        # ---- buffered deletions (reference src/hvr_vertex.cpp:25-48,
+        # src/hoover.cpp:1695-1733; behavior spec test/remove_vertices_test.c)
+        if self._vdel_chunks:
+            vdels = np.unique(np.concatenate(self._vdel_chunks))
+            self._vdel_chunks = []
+            if len(self.verts):
+                self.verts = self.verts[~np.isin(self.verts, vdels)]
+            if len(src):
+                keep = ~(np.isin(src, vdels) | np.isin(dst, vdels))
+                src, dst = src[keep], dst[keep]
+        if self._del_chunks and len(src):
+            dsrc = np.concatenate([c[0] for c in self._del_chunks])
+            ddst = np.concatenate([c[1] for c in self._del_chunks])
+            self._del_chunks = []
+            keep = ~_pairs_in(src, dst, dsrc, ddst)
+            src, dst = src[keep], dst[keep]
+        else:
+            self._del_chunks = []
         if self.dedup and len(src):
             # all edges with this src live here, so local dedup == global
             # dedup (keeps simple-graph semantics after symmetrize, matching
-            # the reference's idempotent edge upsert, src/hoover.cpp:485)
-            pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
-            src, dst = pairs[:, 0], pairs[:, 1]
+            # the reference's idempotent edge upsert, src/hoover.cpp:485).
+            # lexsort + adjacent-mask: same result as np.unique(axis=0),
+            # several-fold faster (no void-record view)
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            src, dst = src[keep], dst[keep]
 
         n = len(self.verts)
-        src_idx = np.searchsorted(self.verts, src).astype(np.int64)
+        src_idx = np.searchsorted(self.verts, src).astype(np.int32)
         out_deg = np.bincount(src_idx, minlength=n).astype(np.int64) if n else np.zeros(0, np.int64)
 
         dpart = part_of(dst, P)
@@ -242,7 +332,14 @@ class GraphPartition:
         with np.errstate(divide="ignore"):
             inv = 1.0 / out_deg.astype(np.float64)
         inv[out_deg == 0] = 0.0
-        self.inv_outdeg_edge = inv[self.edge_src_idx] if self.n_edges else np.zeros(0)
+        self.inv_outdeg = inv
+        # per-edge destination partition + CSR-by-src (positions into the
+        # (dpart, dst)-sorted arrays) for the frontier scatter path
+        self.edge_q = np.repeat(
+            np.arange(P, dtype=np.int16), np.diff(self.part_starts)
+        )
+        self.src_order = np.argsort(self.edge_src_idx, kind="stable").astype(np.int32)
+        self.src_indptr = np.r_[np.int64(0), np.cumsum(out_deg)]
         self.seg_ridx: list[np.ndarray] | None = None  # filled by index exchange
         self._raw_edges = (src, dst) if keep_raw else None
         return n, self.n_edges
@@ -284,59 +381,73 @@ class GraphPartition:
             out_deg=self.out_deg,
             n_total=n_total,
             edge_src_idx=self.edge_src_idx,
+            inv_outdeg=self.inv_outdeg,
         )
-        self.ctx.inv_outdeg_edge = self.inv_outdeg_edge  # type: ignore[attr-defined]
         self.ctx.state = self.prog.init_state(self.ctx)
         if warm and getattr(self, "_warm", None) is not None:
             # carry prior per-vertex state into the extended graph (new
-            # vertices keep their fresh init values) — incremental
-            # convergence picks up where the last stream batch left off
+            # vertices keep their fresh init values; vertices deleted
+            # since the snapshot are skipped) — incremental convergence
+            # picks up where the last stream batch left off
             old_v, old_s = self._warm
-            pos = np.searchsorted(self.verts, old_v)
+            pos = np.clip(np.searchsorted(self.verts, old_v), 0, max(len(self.verts) - 1, 0))
+            alive = (self.verts[pos] == old_v) if len(self.verts) else np.zeros(len(old_v), bool)
             for c, arr in old_s.items():
                 if c in self.ctx.state:
-                    self.ctx.state[c][pos] = arr
+                    self.ctx.state[c][pos[alive]] = arr[alive]
         self._last_conv = float("inf")
         self._global_prev_conv = float("inf")
         self._last_packed = None
         self._applied_iters = 0
+        self._scatter_count = 0
         return self.prog.init_stats(self.ctx)
 
     def scatter_packed(self, g: dict):
-        """Compute per-edge messages, combiner-aggregate per (dst_part, dst),
-        return ONE packed object: ([per-dst-part msgs], extras).
+        """Compute per-vertex scatter values, gather them onto edges and
+        combiner-aggregate per (dst_part, dst); return ONE packed object.
 
         One object per source partition per superstep: on a node every
         gather reads it zero-copy from the shared object store; across
         nodes it ships once per node. (The split alternative — P^2 tiny
         objects via num_returns=P — is latency-bound at web-graph message
         sizes.) ``extras`` carries program globals partials (e.g. dangling
-        rank mass) so globals need no extra driver round-trip."""
+        rank mass) so globals need no extra driver round-trip.
+
+        The gather is fused PER DESTINATION PARTITION: each ~E/P^2-edge
+        value slice is produced and reduced while still in cache, instead
+        of materializing one E-sized per-edge array to DRAM and re-reading
+        it. For frontier programs, when the changed-vertex set is small
+        the scatter walks only the frontier's out-edges (CSR-by-src) —
+        O(frontier) instead of O(E)."""
         P, prog = self.P, self.prog
+        vv = prog.vertex_values(self.ctx)
         if prog.reduce in ("sum", "min"):
-            vals = prog.message(self.ctx)
             red = np.add if prog.reduce == "sum" else np.minimum
-            us, vs, off = [], [], np.zeros(P + 1, np.int64)
-            for q in range(P):
-                a, b = self.part_starts[q], self.part_starts[q + 1]
-                if a < b:
-                    us.append(self.seg_ridx[q])  # dst-local int32 indices
-                    vs.append(red.reduceat(vals[a:b], self.seg_starts[q]))
-                off[q + 1] = off[q] + (len(us[-1]) if a < b else 0)
-            out = {
-                "i": np.concatenate(us) if us else np.empty(0, np.int32),
-                "v": np.concatenate(vs) if vs else np.empty(0, np.float64),
-                "c": None,
-                "off": off,
-            }
+            ci = self.ctx.changed_idx
+            use_sparse = (
+                prog.frontier
+                and self._scatter_count > 0
+                and ci is not None
+                and self.n_edges > 0
+            )
+            if use_sparse:
+                cnt = self.src_indptr[ci + 1] - self.src_indptr[ci]
+                total = int(cnt.sum())
+                # sparse costs ~2 sorts of the active edges; only worth
+                # it when the frontier covers a minority of edges
+                if 4 * total > self.n_edges:
+                    use_sparse = False
+            if use_sparse:
+                out = self._scatter_sparse(vv, ci, cnt, total, red)
+            else:
+                out = self._scatter_dense(vv, red)
         elif prog.reduce == "labelvote":
-            labels = prog.edge_labels(self.ctx)
             us, vs, cs, off = [], [], [], np.zeros(P + 1, np.int64)
             for q in range(P):
                 a, b = self.part_starts[q], self.part_starts[q + 1]
                 if a < b:
                     ridx = self.edge_ridx[a:b]
-                    lab = labels[a:b]
+                    lab = vv[self.edge_src_idx[a:b]]
                     order = np.lexsort((lab, ridx))
                     ds_, ls_ = ridx[order], lab[order]
                     new = np.r_[True, (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])]
@@ -356,11 +467,69 @@ class GraphPartition:
             }
         else:  # pragma: no cover
             raise ValueError(self.prog.reduce)
+        msgs = prog.send_messages(self.ctx)
+        if msgs is not None:
+            mids, mvals = msgs
+            mids = np.asarray(mids, dtype=np.uint64)
+            mpart = part_of(mids, P)
+            morder = np.argsort(mpart, kind="stable")
+            out["m_ids"] = mids[morder]
+            out["m_vals"] = np.asarray(mvals)[morder]
+            out["m_off"] = np.searchsorted(mpart[morder], np.arange(P + 1))
         extras = prog.scatter_extras(self.ctx)
         if prog.conv_tol is not None:
             extras["__conv"] = self._last_conv
         out["extras"] = extras
         self._last_packed = out
+        self._scatter_count += 1
+        return out
+
+    def _scatter_dense(self, vv: np.ndarray, red) -> dict:
+        P = self.P
+        us, vs, off = [], [], np.zeros(P + 1, np.int64)
+        for q in range(P):
+            a, b = self.part_starts[q], self.part_starts[q + 1]
+            if a < b:
+                vals_q = vv[self.edge_src_idx[a:b]]
+                us.append(self.seg_ridx[q])  # dst-local int32 indices
+                vs.append(red.reduceat(vals_q, self.seg_starts[q], axis=0))
+            off[q + 1] = off[q] + (len(us[-1]) if a < b else 0)
+        return {
+            "i": np.concatenate(us) if us else np.empty(0, np.int32),
+            "v": np.concatenate(vs) if vs else np.empty(0, np.float64),
+            "c": None,
+            "off": off,
+        }
+
+    def _scatter_sparse(self, vv, ci, cnt, total, red) -> dict:
+        """Frontier scatter: walk only the changed vertices' out-edges."""
+        P = self.P
+        off = np.zeros(P + 1, np.int64)
+        if total == 0:
+            return {
+                "i": np.empty(0, np.int32),
+                "v": np.empty(0, vv.dtype),
+                "c": None,
+                "off": off,
+            }
+        starts = self.src_indptr[ci]
+        # expand [starts[j], starts[j]+cnt[j]) ranges without Python loops
+        offs = np.repeat(starts - np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt)
+        pos = self.src_order[offs + np.arange(total, dtype=np.int64)]
+        q = self.edge_q[pos]
+        r = self.edge_ridx[pos]
+        vals = np.repeat(vv[ci], cnt, axis=0)
+        order = np.lexsort((r, q))
+        q, r, vals = q[order], r[order], vals[order]
+        new = np.r_[True, (q[1:] != q[:-1]) | (r[1:] != r[:-1])]
+        sstarts = np.flatnonzero(new)
+        uq = q[sstarts]
+        out = {
+            "i": r[sstarts],
+            "v": red.reduceat(vals, sstarts, axis=0),
+            "c": None,
+            "off": np.searchsorted(uq, np.arange(P + 1)).astype(np.int64),
+        }
         return out
 
     def _gather_apply(self, g: dict, packed) -> Any:
@@ -393,15 +562,50 @@ class GraphPartition:
                 ui = np.empty(0, np.int64)
                 uv = np.empty(0, np.int64)
         elif slices:
-            idx = np.concatenate([s[0] for s in slices]).astype(np.int64)
-            vals = np.concatenate([s[1] for s in slices])
+            # each incoming slice is combiner-aggregated: its indices are
+            # UNIQUE and sorted. Dense accumulate run-by-run (gather /
+            # modify / scatter on L2-resident state) — no O(M log M)
+            # sort of the concatenated message stream (which profiling
+            # showed dominated the superstep)
+            n_local = self.ctx.n_local
+            v0 = slices[0][1]
+            touched = np.zeros(n_local, bool)
             if prog.reduce == "sum":
-                ui, uv = segops.seg_sum_sparse(idx, vals)
-            else:
-                ui, uv = segops.seg_min_sparse(idx, vals)
+                dense = np.zeros((n_local,) + v0.shape[1:], v0.dtype)
+                for i, v, _ in slices:
+                    dense[i] += v
+                    touched[i] = True
+            else:  # min
+                if v0.dtype.kind == "f":
+                    big = np.array(np.inf, v0.dtype)
+                else:
+                    big = np.array(np.iinfo(v0.dtype).max, v0.dtype)
+                dense = np.full(n_local, big, v0.dtype)
+                for i, v, _ in slices:
+                    dense[i] = np.minimum(dense[i], v)
+                    touched[i] = True
+            ui = np.flatnonzero(touched)
+            uv = dense[ui]
         else:
             ui = np.empty(0, np.int64)
             uv = np.empty(0, np.float64)
+        # deliver vertex-to-vertex messages (if any) before apply
+        in_ids, in_vals = [], []
+        for pk in packed:
+            if "m_ids" in pk:
+                a, b = pk["m_off"][pid], pk["m_off"][pid + 1]
+                if a < b:
+                    in_ids.append(pk["m_ids"][a:b])
+                    in_vals.append(pk["m_vals"][a:b])
+        if in_ids:
+            ids = np.concatenate(in_ids)
+            vals = np.concatenate(in_vals, axis=0)
+            pos = np.clip(np.searchsorted(self.verts, ids), 0, max(len(self.verts) - 1, 0))
+            ok = (self.verts[pos] == ids) if len(self.verts) else np.zeros(len(ids), bool)
+            self.ctx.inbox = (pos[ok], vals[ok])
+        else:
+            self.ctx.inbox = None
+        self.ctx.changed_idx = None  # frontier programs re-set it in apply
         stats = prog.apply(self.ctx, ui, uv, g2)
         self._applied_iters = getattr(self, "_applied_iters", 0) + 1
         if prog.conv_tol is not None:
@@ -500,12 +704,13 @@ class GraphPartition:
 # --------------------------------------------------------------------------
 
 
-def _router(actors, P: int, symmetrize: bool):
+def _router(actors, P: int, symmetrize: bool, delete: bool = False):
     """map_batches fn: split each Arrow batch by owner partition and push
     the slices straight to the pinned actors (worker -> object store ->
     actor; the driver never sees the data, and no separate hash-shuffle
     materialization is needed — the actor-side accumulate IS the
-    repartition-by-vertex-hash)."""
+    repartition-by-vertex-hash). With ``delete=True`` the slices are
+    buffered edge deletions instead of inserts."""
 
     def fn(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy().astype(np.uint64, copy=False)
@@ -518,6 +723,15 @@ def _router(actors, P: int, symmetrize: bool):
             order = np.argsort(part, kind="stable")
             s_, d_ = s[order], d[order]
             bounds = np.searchsorted(part[order], np.arange(P + 1))
+            if delete:
+                for q in range(P):
+                    a, b = bounds[q], bounds[q + 1]
+                    if a < b:
+                        refs.append(
+                            actors[q].add_del_chunk.remote(s_[a:b].copy(), d_[a:b].copy())
+                        )
+                ray.get(refs)
+                return pa.table({"n": pa.array([len(s)], pa.int64())})
             # dst vertices register with their owners; dedup deferred to
             # finalize (srcs self-register on the edge-owning actor)
             dpart = part_of(d, P)
@@ -592,14 +806,43 @@ class SuperstepEngine:
         self._finalize_and_index(keep_raw=True)
         return self
 
-    def _route(self, edges: Dataset, src_col: str, dst_col: str) -> None:
+    def delete_edges(
+        self, edges: Dataset, src_col: str = "src", dst_col: str = "dst"
+    ) -> "SuperstepEngine":
+        """Remove the given (src, dst) pairs from a streaming-loaded
+        graph (both directions when the engine symmetrizes) and rebuild
+        the indexes. Surviving vertices keep their state for
+        ``warm_start`` runs — but note min-label programs (CC) are NOT
+        warm-resumable across deletions (labels can only shrink); re-run
+        them cold and the result matches a from-scratch build of the
+        surviving graph. Reference: buffered deletes + update_edge_info,
+        src/hoover.cpp:450-600, 2384-2418."""
+        assert self._loaded and self.streaming, "load_edges(streaming=True) first"
+        self._route(edges, src_col, dst_col, delete=True)
+        self._finalize_and_index(keep_raw=True)
+        return self
+
+    def delete_vertices(self, ids) -> "SuperstepEngine":
+        """Remove vertices and ALL their incident edges (broadcast
+        invalidation: in-edges live on other partitions' actors —
+        reference handle_deleted_vertex, src/hoover.cpp:1695-1733;
+        behavior spec test/remove_vertices_test.c)."""
+        assert self._loaded and self.streaming, "load_edges(streaming=True) first"
+        arr = np.asarray(ids)
+        arr = arr.view(np.uint64) if arr.dtype == np.int64 else arr.astype(np.uint64)
+        ref = ray.put(arr)
+        ray.get([a.add_vertex_deletions.remote(ref) for a in self.actors])
+        self._finalize_and_index(keep_raw=True)
+        return self
+
+    def _route(self, edges: Dataset, src_col: str, dst_col: str, delete: bool = False) -> None:
         cols = edges
         if set(edges.schema().names) != {"src", "dst"} or src_col != "src":
             cols = edges.select_columns([src_col, dst_col]).map_batches(
                 lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"
             )
         sink = cols.map_batches(
-            _router(self.actors, self.P, self.symmetrize),
+            _router(self.actors, self.P, self.symmetrize, delete=delete),
             batch_format="pyarrow",
             batch_size=1 << 20,
         )

@@ -297,46 +297,131 @@ def minhash_dedup_pairs(
         return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
 
     cand = rows.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
-    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"]).materialize()
     if cand.count() == 0:
         return cand
 
-    # verify: estimated Jaccard = fraction of agreeing minhashes.
-    # Signatures are broadcast once via the object store (small side).
-    import ray
+    # verify: estimated Jaccard = fraction of agreeing minhash slots.
+    # Fully distributed — candidates join the signature table twice via
+    # hash-bucketed map_groups (once on a, once on b); no driver-side
+    # signature dict, no whole-dataset materialization (the round-1
+    # driver sig_map was the one scale-killer here). Signatures travel
+    # as fixed-size binary blobs (num_perm uint64s).
+    sigs_bin = sigs.map_batches(
+        _SigToBinary(num_perm), batch_format="pyarrow", batch_size=65536
+    )
+    withsig_a = _attach_sig(cand, sigs_bin, key="a", sig_name="sig_a", num_perm=num_perm)
+    withsig_b = _attach_sig(withsig_a, sigs_bin, key="b", sig_name="sig_b", num_perm=num_perm)
 
-    sig_map = {}
-    for t in sigs.to_arrow_refs():
-        tt = ray.get(t)
-        ids = tt.column("doc_id").to_numpy()
-        ss = np.stack(tt.column("sig").to_numpy(zero_copy_only=False))
-        for i, d in enumerate(ids):
-            sig_map[int(d)] = ss[i]
-    ref = ray.put(sig_map)
-
-    class Verify:
-        def __init__(self, ref):
-            self.sigs = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t.column("a").to_numpy()
-            b = t.column("b").to_numpy()
-            est = np.empty(len(a), np.float64)
-            for i in range(len(a)):
-                sa, sb = self.sigs[int(a[i])], self.sigs[int(b[i])]
-                est[i] = float((sa == sb).mean())
-            keep = est >= threshold
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
             return pa.table(
                 {
-                    "a": pa.array(a[keep]),
-                    "b": pa.array(b[keep]),
-                    "est_jaccard": pa.array(est[keep]),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
                 }
             )
+        sa = _bin_to_mat(t.column("sig_a"), num_perm)
+        sb = _bin_to_mat(t.column("sig_b"), num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "a": pa.array(t.column("a").to_numpy()[keep]),
+                "b": pa.array(t.column("b").to_numpy()[keep]),
+                "est_jaccard": pa.array(est[keep]),
+            }
+        )
 
-    return cand.map_batches(
-        Verify, batch_format="pyarrow", concurrency=2, fn_constructor_args=(ref,)
+    return withsig_b.map_batches(verify, batch_format="pyarrow", batch_size=65536)
+
+
+class _SigToBinary:
+    """(doc_id, sig: list<uint64>) -> (doc_id, sig: binary) rows."""
+
+    def __init__(self, num_perm: int):
+        self.num_perm = num_perm
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        M = np.stack(t.column("sig").to_numpy(zero_copy_only=False)).astype(np.uint64)
+        blob = M.tobytes()
+        w = self.num_perm * 8
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "sig": pa.array([blob[i * w : (i + 1) * w] for i in range(len(t))], pa.binary()),
+            }
+        )
+
+
+def _bin_to_mat(col: "pa.ChunkedArray", num_perm: int) -> np.ndarray:
+    rows = col.to_pylist()
+    return np.frombuffer(b"".join(rows), np.uint64).reshape(len(rows), num_perm)
+
+
+def _attach_sig(
+    cand: Dataset, sigs_bin: Dataset, key: str, sig_name: str, num_perm: int, B: int = 64
+) -> Dataset:
+    """Bucketed equi-join: attach the signature of doc column ``key`` to
+    each candidate row. Both sides hash into B buckets on the doc id
+    (tagged-union rows -> ONE groupby shuffle); inside a bucket the
+    lookup is a vectorized searchsorted against the bucket's signature
+    rows. No side is ever collected to the driver."""
+    pass_cols = [c for c in cand.schema().names if c != key]
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy()
+        cols = {
+            "part": pa.array(splitmix64(k.astype(np.uint64)).view(np.int64) % B),
+            "kind": pa.array(np.ones(len(t), np.int8)),
+            "key": pa.array(k.astype(np.int64)),
+            "sig": pa.nulls(len(t), pa.binary()),
+        }
+        for c in pass_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def tag_sig(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy()
+        cols = {
+            "part": pa.array(splitmix64(k.astype(np.uint64)).view(np.int64) % B),
+            "kind": pa.array(np.zeros(len(t), np.int8)),
+            "key": pa.array(k.astype(np.int64)),
+            "sig": t.column("sig"),
+        }
+        for c in pass_cols:
+            cols[c] = pa.nulls(len(t), pa.int64() if c in ("a", "b") else pa.binary())
+        return pa.table(cols)
+
+    tagged = cand.map_batches(tag_cand, batch_format="pyarrow", batch_size=65536).union(
+        sigs_bin.map_batches(tag_sig, batch_format="pyarrow", batch_size=65536)
     )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_sig = g["kind"].to_numpy() == 0
+        sk = g["key"].to_numpy()[is_sig]
+        sv = g["sig"].to_numpy()[is_sig]
+        order = np.argsort(sk, kind="stable")
+        sk, sv = sk[order], sv[order]
+        c = g[~is_sig]
+        cols: dict = {}
+        if len(c) == 0 or len(sk) == 0:
+            cols[key] = pd.Series([], dtype="int64")
+            for p in pass_cols:
+                cols[p] = pd.Series([], dtype="int64" if p in ("a", "b") else "object")
+            cols[sig_name] = pd.Series([], dtype="object")
+            return pd.DataFrame(cols)
+        ck = c["key"].to_numpy()
+        pos = np.clip(np.searchsorted(sk, ck), 0, len(sk) - 1)
+        ok = sk[pos] == ck
+        cols[key] = ck[ok]
+        for p in pass_cols:
+            cols[p] = c[p].to_numpy()[ok]
+        cols[sig_name] = sv[pos[ok]]
+        return pd.DataFrame(cols)
+
+    return tagged.groupby("part").map_groups(join_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -490,3 +575,70 @@ def embedding_dup_pairs(
     return embeddings.map_batches(
         Sim, batch_format="pyarrow", concurrency=2, fn_constructor_args=(ref,)
     )
+
+
+def embedding_dup_lsh(
+    embeddings: Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Near-dup pairs by cosine >= threshold — the 100 TB scale path.
+
+    Random-hyperplane LSH: each vector lands in one (table, plane-sign
+    code) bucket per table (map_batches, planes built once per actor);
+    ONE groupby(part) shuffle; exact vectorized cosine among bucket
+    members; cross-table dedup via a tiny (a, b) groupby. Cost tracks
+    bucket collisions (never n^2) and nothing touches the driver —
+    unlike :func:`embedding_dup_pairs`, the exact small-scale oracle
+    path, which broadcasts the full normalized matrix. Approximate:
+    recall vs the exact op grows with n_tables (pytest asserts >= 0.9
+    on the driver tables)."""
+    from .knn import _embedding_dim, _LshBucketRows
+
+    dim = _embedding_dim(embeddings)
+    rows = embeddings.map_batches(
+        _LshBucketRows,
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=4,
+        fn_constructor_args=(n_tables, n_planes, dim, id_col, num_buckets),
+    )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tb = g["table"].to_numpy()
+        cd = g["code"].to_numpy()
+        ids = g["vid"].to_numpy()
+        M = np.stack(g["emb"].to_numpy()).astype(np.float64)
+        order = np.lexsort((ids, cd, tb))
+        tb, cd, ids, M = tb[order], cd[order], ids[order], M[order]
+        new = np.r_[True, (tb[1:] != tb[:-1]) | (cd[1:] != cd[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(tb)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            sims = M[s:e] @ M[s:e].T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
+            if len(ii):
+                a = ids[s:e][ii]
+                b = ids[s:e][jj]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        p = np.unique(
+            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1), axis=0
+        )  # in-bucket combiner (same pair can collide in several tables)
+        return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
+
+    pairs = rows.groupby("part").map_groups(pairs_bucket, batch_format="pandas")
+    # cross-bucket dedup: a pair found in tables that hash to different
+    # bucket groups appears once per group
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])

@@ -106,6 +106,61 @@ def knn_cosine(
     return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def _deterministic_planes(n_tables: int, n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
+    raw = splitmix64(
+        np.arange(n_tables * n_planes * dim, dtype=np.uint64) + np.uint64(seed)
+    )
+    return ((raw.astype(np.float64) / 2**64) - 0.5).reshape(n_tables, n_planes, dim)
+
+
+def _embedding_dim(embeddings: Dataset) -> int:
+    row = embeddings.limit(1).take(1)[0]
+    return len(row["embedding"])
+
+
+class _LshBucketRows:
+    """Emit one row per (vector, table): hyperplane sign code + the
+    normalized embedding, bucketed by hash(table, code). Stateful actor:
+    planes built once per actor in __init__."""
+
+    def __init__(self, n_tables: int, n_planes: int, dim: int, id_col: str, B: int):
+        self.planes = _deterministic_planes(n_tables, n_planes, dim)
+        self.id_col = id_col
+        self.B = B
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy().astype(np.int64)
+        M = _normalize(
+            np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        T, Pn, dim = self.planes.shape
+        n = len(ids)
+        signs = np.einsum("tpd,nd->tnp", self.planes, M) > 0  # (T, n, Pn)
+        codes = np.zeros((T, n), np.int64)
+        for p in range(Pn):
+            codes |= signs[:, :, p].astype(np.int64) << p
+        table = np.repeat(np.arange(T, dtype=np.int64), n)
+        code = codes.reshape(-1)
+        vid = np.tile(ids, T)
+        part = splitmix64(
+            (table * np.int64(1_000_003) + code).astype(np.uint64)
+        ).view(np.int64) % self.B
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(M, (T, 1)).reshape(-1)), dim
+        )
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "table": pa.array(table),
+                "code": pa.array(code),
+                "vid": pa.array(vid),
+                "emb": emb,
+            }
+        )
+
+
 def knn_cosine_lsh(
     embeddings: Dataset,
     query_ids: list[int],
@@ -113,54 +168,80 @@ def knn_cosine_lsh(
     n_planes: int = 8,
     n_tables: int = 8,
     id_col: str = "vec_id",
+    num_buckets: int = 64,
 ) -> Dataset:
-    """Approximate top-k: random-hyperplane LSH bucket join, then exact
-    scoring within buckets. Deterministic planes (seeded splitmix64)."""
-    import ray
+    """Approximate top-k cosine neighbors — fully distributed:
 
-    qset = sorted(set(int(q) for q in query_ids))
-    pdf = embeddings.to_pandas()
-    dim = len(pdf["embedding"].iloc[0])
-    # deterministic planes from a seeded integer stream
-    raw = splitmix64(np.arange(n_tables * n_planes * dim, dtype=np.uint64) + np.uint64(7))
-    planes = ((raw.astype(np.float64) / 2**64) - 0.5).reshape(n_tables, n_planes, dim)
-
-    M = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
-    ids = pdf[id_col].to_numpy().astype(np.int64)
-    signs = np.einsum("tpd,nd->tnp", planes, M) > 0  # (tables, n, planes)
-    codes = np.zeros((n_tables, len(ids)), np.int64)
-    for p in range(n_planes):
-        codes |= signs[:, :, p].astype(np.int64) << p
-
-    qmask = np.isin(ids, qset)
-    rows = []
-    for t in range(n_tables):
-        for qi in np.nonzero(qmask)[0]:
-            bucket = np.nonzero(codes[t] == codes[t, qi])[0]
-            for b in bucket:
-                if ids[b] != ids[qi]:
-                    rows.append((ids[qi], ids[b]))
-    if not rows:
-        return _empty_knn()
-    cand = pd.DataFrame(sorted(set(rows)), columns=["query_id", "neighbor_id"])
-    qidx = {int(v): i for i, v in enumerate(ids)}
-    sims = np.array(
-        [
-            float(M[qidx[a]] @ M[qidx[b]])
-            for a, b in zip(cand["query_id"], cand["neighbor_id"])
-        ]
+    map_batches emits (table, plane-sign code) bucket rows carrying the
+    normalized vector -> ONE groupby(part) shuffle -> vectorized exact
+    scoring of query x member inside each (table, code) segment ->
+    per-query global top-k. Cost tracks bucket collisions, never n^2,
+    and nothing is collected on the driver (the round-1 version was a
+    driver-side triple loop). Recall grows with n_tables; deterministic
+    seeded planes."""
+    qset = np.array(sorted(set(int(q) for q in query_ids)), np.int64)
+    dim = _embedding_dim(embeddings)
+    rows = embeddings.map_batches(
+        _LshBucketRows,
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=4,
+        fn_constructor_args=(n_tables, n_planes, dim, id_col, num_buckets),
     )
-    cand["sim"] = sims
-    out = (
-        cand.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
-        .groupby("query_id")
-        .head(k)
-        .reset_index(drop=True)
-    )
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    import ray.data
 
-    return ray.data.from_pandas(out[["query_id", "neighbor_id", "rank"]])
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tb = g["table"].to_numpy()
+        cd = g["code"].to_numpy()
+        ids = g["vid"].to_numpy()
+        M = np.stack(g["emb"].to_numpy()).astype(np.float64)
+        order = np.lexsort((ids, cd, tb))
+        tb, cd, ids, M = tb[order], cd[order], ids[order], M[order]
+        isq = np.isin(ids, qset)
+        new = np.r_[True, (tb[1:] != tb[:-1]) | (cd[1:] != cd[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(tb)]
+        out_q, out_n, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            qi = np.flatnonzero(isq[s:e])
+            if len(qi) == 0 or e - s < 2:
+                continue
+            Q = M[s:e][qi]
+            sims = Q @ M[s:e].T  # (nq, m)
+            qid = ids[s:e][qi]
+            nid = ids[s:e]
+            for r in range(len(qi)):
+                keep = nid != qid[r]
+                out_q.append(np.full(int(keep.sum()), qid[r], np.int64))
+                out_n.append(nid[keep])
+                out_s.append(sims[r][keep])
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+        # in-bucket combiner: a (q, n) pair can collide in many tables
+        return df.drop_duplicates(["query_id", "neighbor_id"])
+
+    local = rows.groupby("part").map_groups(score_bucket, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["query_id", "neighbor_id"])
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
 def _empty_knn():
