@@ -280,6 +280,38 @@ def q_knn(sf_dir: str):
     return df.rename(columns={"rank": "nn_rank"})
 
 
+def q_tri_per_vertex(sf_dir: str):
+    """Per-vertex triangle counts (reference test/count_triangles.c:90-133);
+    vertices in >= 1 triangle."""
+    from linkgraph.algos.triangles import triangle_counts_per_vertex
+
+    return triangle_counts_per_vertex(_doc_edges_ds(sf_dir)).to_pandas()
+
+
+def q_knn_lsh(sf_dir: str):
+    """Distributed approximate kNN (plane-sign LSH buckets; rows-only —
+    approximate; pytest asserts recall >= 0.9 vs the exact op)."""
+    from linkgraph.ops.knn import knn_cosine_lsh
+
+    df = knn_cosine_lsh(
+        _read(sf_dir, "embeddings"), KNN_QUERIES, k=KNN_K, n_planes=3, n_tables=24
+    ).to_pandas()
+    return df.rename(columns={"rank": "nn_rank"})
+
+
+def q_embedding_dup_lsh(sf_dir: str):
+    """Distributed LSH embedding near-dup (rows-only — approximate;
+    pytest asserts recall >= 0.9 vs the exact op)."""
+    from linkgraph.ops.dedup import embedding_dup_lsh
+
+    df = embedding_dup_lsh(
+        _read(sf_dir, "embeddings"), threshold=COS_T, n_planes=4, n_tables=16
+    ).to_pandas()
+    if "a" not in df.columns:
+        df = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    return df
+
+
 def q_tumbling(sf_dir: str):
     from linkgraph.ops import tumbling_window
 
@@ -377,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_ds": q_cc_ds,
         "labelprop_3": q_labelprop,
         "triangle_count": q_triangles,
+        "tri_per_vertex": q_tri_per_vertex,
         "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
         "kcore_8": q_kcore,
@@ -391,7 +424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dup": q_embedding_dup,
+        "embedding_dup_lsh": q_embedding_dup_lsh,
         "knn_cosine": q_knn,
+        "knn_lsh": q_knn_lsh,
         "tumbling_1h": q_tumbling,
         "sessionize": q_sessionize,
         "q1_lineitem": q_q1,
@@ -528,6 +563,16 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT count(*) AS n_triangles FROM c e1 "
             "JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v "
             "JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v"
+        ),
+        "tri_per_vertex": (
+            f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM e), "
+            "t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c2 FROM c e1 "
+            "JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v), "
+            "m AS (SELECT a AS v FROM t UNION ALL SELECT b FROM t "
+            "UNION ALL SELECT c2 FROM t) "
+            "SELECT v, count(*) AS n_triangles FROM m GROUP BY v"
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "

@@ -242,9 +242,13 @@ class GraphPartition:
         self._vdel_chunks.append(np.asarray(ids, dtype=np.uint64))
 
     def finalize(self, keep_raw: bool = False) -> tuple[int, int]:
-        """Build sorted vertex index + (dst_part, dst)-sorted edge arrays
-        with per-destination-partition segment structure for reduceat.
-        Returns (n_local_vertices, n_local_edges).
+        """Phase 1 of the (re)build: assemble the raw edge set (inserts,
+        deletions), dedup, sort by (dst_part, dst), build the
+        per-destination segment structure. Vertex-index-dependent arrays
+        are built in phase 2 (``build_incoming_index``) once the seg
+        exchange has told every owner which of its vertices are message
+        targets — so the router never ships dst ids to their owners.
+        Returns (0, n_local_edges); vertex counts come from phase 2.
 
         keep_raw retains the concatenated raw edge arrays so further
         ``add_chunk`` calls + a re-finalize can extend the graph
@@ -254,15 +258,11 @@ class GraphPartition:
         if getattr(self, "ctx", None) is not None:
             # snapshot state for warm restart after a graph extension
             self._warm = (self.ctx.verts, dict(self.ctx.state))
-        chunks = list(self._vert_chunks)
-        chunks.extend(c[0] for c in self._edge_chunks)  # local srcs self-register
-        if getattr(self, "verts", None) is not None and len(getattr(self, "verts", [])):
-            chunks.append(self.verts)  # prior vertices survive extension
-        if chunks:
-            self.verts = np.unique(np.concatenate(chunks))
-        else:
-            self.verts = np.empty(0, np.uint64)
-        self._vert_chunks = []
+        self._prior_verts = (
+            self.verts
+            if getattr(self, "verts", None) is not None
+            else np.empty(0, np.uint64)
+        )
         prior = getattr(self, "_raw_edges", None)
         if self._edge_chunks or prior is not None:
             srcs = [] if prior is None else [prior[0]]
@@ -280,8 +280,8 @@ class GraphPartition:
         if self._vdel_chunks:
             vdels = np.unique(np.concatenate(self._vdel_chunks))
             self._vdel_chunks = []
-            if len(self.verts):
-                self.verts = self.verts[~np.isin(self.verts, vdels)]
+            if len(self._prior_verts):
+                self._prior_verts = self._prior_verts[~np.isin(self._prior_verts, vdels)]
             if len(src):
                 keep = ~(np.isin(src, vdels) | np.isin(dst, vdels))
                 src, dst = src[keep], dst[keep]
@@ -304,14 +304,10 @@ class GraphPartition:
             keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
             src, dst = src[keep], dst[keep]
 
-        n = len(self.verts)
-        src_idx = np.searchsorted(self.verts, src).astype(np.int32)
-        out_deg = np.bincount(src_idx, minlength=n).astype(np.int64) if n else np.zeros(0, np.int64)
-
         dpart = part_of(dst, P)
         order = np.lexsort((dst, dpart))
         self.edge_dst = dst[order]
-        self.edge_src_idx = src_idx[order]
+        self._edge_src_sorted = src[order]  # src ids in final edge order
         dpart = dpart[order]
         self.part_starts = np.searchsorted(dpart, np.arange(P + 1))
         # per destination partition: unique dst ids + reduceat segment starts
@@ -327,36 +323,59 @@ class GraphPartition:
             starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
             self.seg_udst.append(d[starts])
             self.seg_starts.append(starts)
-        self.out_deg = out_deg
         self.n_edges = len(self.edge_dst)
-        with np.errstate(divide="ignore"):
-            inv = 1.0 / out_deg.astype(np.float64)
-        inv[out_deg == 0] = 0.0
-        self.inv_outdeg = inv
-        # per-edge destination partition + CSR-by-src (positions into the
-        # (dpart, dst)-sorted arrays) for the frontier scatter path
+        # per-edge destination partition (frontier scatter path)
         self.edge_q = np.repeat(
             np.arange(P, dtype=np.int16), np.diff(self.part_starts)
         )
-        self.src_order = np.argsort(self.edge_src_idx, kind="stable").astype(np.int32)
-        self.src_indptr = np.r_[np.int64(0), np.cumsum(out_deg)]
         self.seg_ridx: list[np.ndarray] | None = None  # filled by index exchange
         self._raw_edges = (src, dst) if keep_raw else None
-        return n, self.n_edges
+        return 0, self.n_edges
 
-    # ---- one-time destination-index exchange -------------------------
+    # ---- one-time destination-index exchange + phase-2 build ----------
     def get_seg_udst_all(self) -> list[np.ndarray]:
         return self.seg_udst
 
     def build_incoming_index(self, *seg_lists) -> list[np.ndarray]:
-        """For each source partition p: local int32 indices of the dst ids
-        p will send here. One-time O(P^2) exchange at load time; after it,
-        per-superstep messages carry compact local indices instead of
-        64-bit vertex ids (25% less traffic, no searchsorted per gather)."""
-        return [
-            np.searchsorted(self.verts, seg_lists[p][self.pid]).astype(np.int32)
-            for p in range(self.P)
-        ]
+        """Phase 2. The incoming seg lists (dst ids other partitions will
+        message) are exactly this partition's externally-referenced
+        vertices — union them with local srcs and prior vertices to form
+        the vertex index, then build every vertex-dependent structure
+        (src_idx, out_deg, CSR-by-src, inv outdeg). Returns, for each
+        source partition p, the local int32 indices of the dst ids p
+        will send here (per-superstep messages then carry compact local
+        indices instead of 64-bit ids)."""
+        incoming = [seg_lists[p][self.pid] for p in range(self.P)]
+        chunks = list(self._vert_chunks) + incoming
+        self._vert_chunks = []
+        if len(self._prior_verts):
+            chunks.append(self._prior_verts)
+        if len(self._edge_src_sorted):
+            chunks.append(self._edge_src_sorted)
+        self.verts = (
+            np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.uint64)
+        )
+        n = len(self.verts)
+        self.edge_src_idx = np.searchsorted(self.verts, self._edge_src_sorted).astype(
+            np.int32
+        )
+        out_deg = (
+            np.bincount(self.edge_src_idx, minlength=n).astype(np.int64)
+            if n
+            else np.zeros(0, np.int64)
+        )
+        self.out_deg = out_deg
+        with np.errstate(divide="ignore"):
+            inv = 1.0 / out_deg.astype(np.float64)
+        inv[out_deg == 0] = 0.0
+        self.inv_outdeg = inv
+        self.src_order = np.argsort(self.edge_src_idx, kind="stable").astype(np.int32)
+        self.src_indptr = np.r_[np.int64(0), np.cumsum(out_deg)]
+        return [np.searchsorted(self.verts, inc).astype(np.int32) for inc in incoming]
+
+    def n_local(self) -> int:
+        v = getattr(self, "verts", None)
+        return 0 if v is None else len(v)
 
     def set_outgoing_idx(self, *incoming) -> None:
         """incoming[q][p] = dst-local indices for messages p -> q; keep
@@ -716,10 +735,15 @@ def _router(actors, P: int, symmetrize: bool, delete: bool = False):
         s = batch.column("src").to_numpy().astype(np.uint64, copy=False)
         d = batch.column("dst").to_numpy().astype(np.uint64, copy=False)
         if symmetrize:
+            # hash each endpoint once; both directions' owner arrays are
+            # concats of the same two hash results
+            ps, pd_ = part_of(s, P), part_of(d, P)
+            part = np.concatenate([ps, pd_])
             s, d = np.concatenate([s, d]), np.concatenate([d, s])
+        else:
+            part = part_of(s, P) if len(s) else np.empty(0, np.int64)
         refs = []
         if len(s):
-            part = part_of(s, P)
             order = np.argsort(part, kind="stable")
             s_, d_ = s[order], d[order]
             bounds = np.searchsorted(part[order], np.arange(P + 1))
@@ -732,27 +756,27 @@ def _router(actors, P: int, symmetrize: bool, delete: bool = False):
                         )
                 ray.get(refs)
                 return pa.table({"n": pa.array([len(s)], pa.int64())})
-            # dst vertices register with their owners; dedup deferred to
-            # finalize (srcs self-register on the edge-owning actor)
-            dpart = part_of(d, P)
-            dorder = np.argsort(dpart, kind="stable")
-            dd_ = d[dorder]
-            dbounds = np.searchsorted(dpart[dorder], np.arange(P + 1))
+            # NOTE: dst ids are NOT routed to their owners here — owners
+            # learn about them from the seg_udst index exchange at
+            # finalize (they are exactly the incoming-message targets),
+            # which halves the router's hash+sort+copy work
             for q in range(P):
                 a, b = bounds[q], bounds[q + 1]
-                da, db = dbounds[q], dbounds[q + 1]
-                if a < b or da < db:
+                if a < b:
                     refs.append(
-                        actors[q].add_chunk.remote(
-                            s_[a:b].copy() if a < b else None,
-                            d_[a:b].copy() if a < b else None,
-                            dd_[da:db].copy() if da < db else None,
-                        )
+                        actors[q].add_chunk.remote(s_[a:b].copy(), d_[a:b].copy(), None)
                     )
             ray.get(refs)
         return pa.table({"n": pa.array([len(s)], pa.int64())})
 
     return fn
+
+
+@ray.remote(num_cpus=0.5)
+def _route_block(fn, *tbls: pa.Table):
+    tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+    fn(tbl)
+    return len(tbl)
 
 
 # --------------------------------------------------------------------------
@@ -836,11 +860,31 @@ class SuperstepEngine:
         return self
 
     def _route(self, edges: Dataset, src_col: str, dst_col: str, delete: bool = False) -> None:
+        from ray.data.dataset import MaterializedDataset
+
         cols = edges
         if set(edges.schema().names) != {"src", "dst"} or src_col != "src":
             cols = edges.select_columns([src_col, dst_col]).map_batches(
                 lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"
             )
+        if isinstance(edges, MaterializedDataset):
+            # delta batches (streaming inserts/deletes) are typically
+            # already materialized: route their blocks with plain tasks —
+            # skips ~1s of Dataset-pipeline fixed cost per batch, which
+            # dominated streaming insert throughput. Blocks are coalesced
+            # to ~1M-row groups so each task makes one add_chunk call per
+            # actor, not one per tiny block.
+            fn = _router(self.actors, self.P, self.symmetrize, delete=delete)
+            refs = cols.to_arrow_refs()
+            n_groups = max(1, min(len(refs), (edges.count() >> 18) + 1))
+            per = (len(refs) + n_groups - 1) // n_groups
+            ray.get(
+                [
+                    _route_block.remote(fn, *refs[i : i + per])
+                    for i in range(0, len(refs), per)
+                ]
+            )
+            return
         sink = cols.map_batches(
             _router(self.actors, self.P, self.symmetrize, delete=delete),
             batch_format="pyarrow",
@@ -851,17 +895,20 @@ class SuperstepEngine:
     def _finalize_and_index(self, keep_raw: bool) -> None:
         P = self.P
         sizes = ray.get([a.finalize.remote(keep_raw) for a in self.actors])
-        # one-time dst-local index exchange: after this, superstep
-        # messages carry int32 local indices instead of 64-bit ids
+        # one-time dst-local index exchange: registers every partition's
+        # externally-referenced vertices with their owner (phase 2 of the
+        # build) and hands back compact int32 local indices so superstep
+        # messages never carry 64-bit ids
         seg_lists = [a.get_seg_udst_all.remote() for a in self.actors]
         inc = [
             self.actors[q].build_incoming_index.remote(*seg_lists)
             for q in range(P)
         ]
         ray.get([self.actors[p].set_outgoing_idx.remote(*inc) for p in range(P)])
-        self.n_total = int(sum(s[0] for s in sizes))
+        nloc = ray.get([a.n_local.remote() for a in self.actors])
+        self.n_total = int(sum(nloc))
         self.n_edges = int(sum(s[1] for s in sizes))
-        self.part_sizes = sizes
+        self.part_sizes = [(v, s[1]) for v, s in zip(nloc, sizes)]
 
     # ---- run ---------------------------------------------------------
     def run(

@@ -35,7 +35,24 @@ def tumbling_window(events: Dataset, minutes: int = 60) -> Dataset:
         g.index.names = ["window_start", "event_type"]
         return g.reset_index()
 
-    p = events.map_batches(partial, batch_format="pandas", batch_size=131072)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["window_start", "event_type"], sort=False).agg(
+            n_events=("_n", "sum"), total_value=("_v", "sum")
+        )
+        return g.reset_index()
+
+    # the per-block combiner bounds each block's output by its distinct
+    # (window, type) pairs, so the reduce input is tiny relative to the
+    # events. When it is (the normal case — window count is bounded by
+    # time span, not data volume), a single final combine beats the full
+    # hash-shuffle groupby ~25x (round-1 bench: 12.9s of pure shuffle
+    # overhead for a 3600-row result). The groupby path remains for
+    # pathological cardinalities.
+    p = events.map_batches(partial, batch_format="pandas", batch_size=131072).materialize()
+    if p.count() <= 4_000_000:
+        return p.repartition(1).map_batches(
+            final, batch_format="pandas", batch_size=1 << 30
+        )
     return p.groupby(["window_start", "event_type"]).aggregate(
         Sum("_n", alias_name="n_events"), Sum("_v", alias_name="total_value")
     )
