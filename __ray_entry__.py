@@ -312,6 +312,17 @@ def q_embedding_dup_lsh(sf_dir: str):
     return df
 
 
+def q_community(sf_dir: str):
+    """K-clique percolation communities (reference
+    test/community_detection.cpp supernode label propagation). k=3
+    (triangle percolation) — the derived doc graph has no 4-cliques at
+    driver scales; K=4 is covered by the golden fixtures in
+    tests/test_community.py."""
+    from linkgraph.algos.community import kclique_communities
+
+    return kclique_communities(_doc_edges_ds(sf_dir), k=3).to_pandas()
+
+
 def q_tumbling(sf_dir: str):
     from linkgraph.ops import tumbling_window
 
@@ -410,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_3": q_labelprop,
         "triangle_count": q_triangles,
         "tri_per_vertex": q_tri_per_vertex,
+        "community_kclique": q_community,
         "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
         "kcore_8": q_kcore,
@@ -563,6 +575,32 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT count(*) AS n_triangles FROM c e1 "
             "JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v "
             "JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v"
+        ),
+        "community_kclique": (
+            f"WITH RECURSIVE {e},\n"
+            "c AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+            "FROM e WHERE src <> dst),\n"
+            "t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c2 FROM c e1 "
+            "JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v),\n"
+            "cl AS (SELECT row_number() OVER (ORDER BY a, b, c2) AS cid, a, b, c2 AS cc "
+            "FROM t),\n"
+            "sub AS (SELECT cid, a AS x, b AS y FROM cl "
+            "UNION ALL SELECT cid, a, cc FROM cl "
+            "UNION ALL SELECT cid, b, cc FROM cl),\n"
+            "ov AS (SELECT s1.cid AS c1, s2.cid AS c2 FROM sub s1 JOIN sub s2 "
+            "ON s1.x = s2.x AND s1.y = s2.y AND s1.cid < s2.cid),\n"
+            "sym AS (SELECT DISTINCT c1, c2 FROM "
+            "(SELECT c1, c2 FROM ov UNION ALL SELECT c2, c1 FROM ov)),\n"
+            "reach(cid, lbl) AS (SELECT cid, cid FROM cl "
+            "UNION SELECT sym.c2, reach.lbl FROM reach JOIN sym ON reach.cid = sym.c1),\n"
+            "comp AS (SELECT cid, min(lbl) AS comp FROM reach GROUP BY cid),\n"
+            "mem AS (SELECT cid, a AS v FROM cl UNION ALL SELECT cid, b FROM cl "
+            "UNION ALL SELECT cid, cc FROM cl),\n"
+            "lab AS (SELECT comp.comp, min(mem.v) AS community FROM comp "
+            "JOIN mem USING (cid) GROUP BY comp.comp)\n"
+            "SELECT DISTINCT mem.v, lab.community FROM mem "
+            "JOIN comp USING (cid) JOIN lab ON comp.comp = lab.comp"
         ),
         "tri_per_vertex": (
             f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
