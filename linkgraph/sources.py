@@ -30,6 +30,8 @@ def read_edges(path: str, src_col: str = "src", dst_col: str = "dst") -> Dataset
     """Edge table from parquet/csv/json, pruned to the two id columns."""
     import ray.data
 
+    if path.endswith(".mtx"):
+        return read_matrix_market(path)
     if path.endswith(".csv"):
         ds = ray.data.read_csv(path)
     elif path.endswith(".json") or path.endswith(".jsonl"):
@@ -43,6 +45,63 @@ def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
     import ray.data
 
     return ray.data.read_parquet(_resolve_dir(path), columns=columns)
+
+
+def read_matrix_market(path: str, symmetrize_symmetric: bool = True) -> Dataset:
+    """Matrix-market coordinate file -> (src, dst) int64 edge Dataset
+    (reference ingest: test/market_to_binary.c + test/mmio; used for the
+    LAW / SNAP graphs replayed by update_rates, test/update_rates.cpp:11-16).
+
+    The header (%% banner, % comments, dimension line) is parsed on the
+    driver; the body is read distributed via ``read_text`` with the
+    dimension line dropped by exact match. 1-based indices become
+    0-based. ``symmetrize_symmetric`` mirrors entries of files declared
+    ``symmetric`` (off-diagonal only), matching the usual adjacency
+    interpretation."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    with open(path) as f:
+        banner = f.readline()
+        if not banner.startswith("%%MatrixMarket"):
+            raise ValueError(f"not a MatrixMarket file: {path}")
+        parts = banner.split()
+        symmetric = len(parts) >= 5 and parts[4].lower() == "symmetric"
+        dims_line = None
+        for line in f:
+            if not line.startswith("%"):
+                dims_line = line.strip()
+                break
+    if dims_line is None:
+        raise ValueError(f"no dimension line in {path}")
+    mirror = symmetric and symmetrize_symmetric
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = batch.column("text").to_pylist()
+        srcs, dsts = [], []
+        for ln in lines:
+            ln = ln.strip()
+            if not ln or ln.startswith("%") or ln == dims_line:
+                continue
+            toks = ln.split()
+            i, j = int(toks[0]) - 1, int(toks[1]) - 1
+            srcs.append(i)
+            dsts.append(j)
+            if mirror and i != j:
+                srcs.append(j)
+                dsts.append(i)
+        return pa.table(
+            {
+                "src": pa.array(np.asarray(srcs, np.int64)),
+                "dst": pa.array(np.asarray(dsts, np.int64)),
+            }
+        )
+
+    return ray.data.read_text(path).map_batches(
+        parse, batch_format="pyarrow", batch_size=262144
+    )
 
 
 def write_partitioned(ds: Dataset, out_dir: str, tag: str = "result", **kwargs) -> str:
