@@ -821,12 +821,37 @@ class SuperstepEngine:
         self._loaded = True
         return self
 
-    def extend_edges(self, edges: Dataset, src_col: str = "src", dst_col: str = "dst") -> "SuperstepEngine":
-        """Append an edge batch to a streaming-loaded graph and rebuild
-        the indexes. Vertex state survives on the actors; the next
+    def prefetch_edges(
+        self, edges: Dataset, src_col: str = "src", dst_col: str = "dst"
+    ) -> "SuperstepEngine":
+        """Start routing an upcoming batch WITHOUT finalizing: the route
+        tasks' ``add_chunk`` appends only buffer on the actors, so they
+        interleave harmlessly with a running program — the analogue of
+        the reference's async mailbox ingest overlapping compute. A
+        following ``extend_edges()`` (no argument) waits for the routing
+        and rebuilds the indexes."""
+        assert self._loaded and self.streaming, "load_edges(streaming=True) first"
+        self._pending_route = self._route(edges, src_col, dst_col, wait=False)
+        return self
+
+    def extend_edges(
+        self, edges: Dataset | None = None, src_col: str = "src", dst_col: str = "dst"
+    ) -> "SuperstepEngine":
+        """Append an edge batch (or the one started by
+        ``prefetch_edges``) to a streaming-loaded graph and rebuild the
+        indexes. Vertex state survives on the actors; the next
         ``run(..., warm_start=True)`` continues from it."""
         assert self._loaded and self.streaming, "load_edges(streaming=True) first"
-        self._route(edges, src_col, dst_col)
+        pending = getattr(self, "_pending_route", None)
+        if edges is None:
+            assert pending is not None, "prefetch_edges first or pass edges"
+            ray.get(pending)
+            self._pending_route = None
+        else:
+            if pending is not None:  # don't interleave: finish prefetch first
+                ray.get(pending)
+                self._pending_route = None
+            self._route(edges, src_col, dst_col)
         self._finalize_and_index(keep_raw=True)
         return self
 
@@ -859,7 +884,14 @@ class SuperstepEngine:
         self._finalize_and_index(keep_raw=True)
         return self
 
-    def _route(self, edges: Dataset, src_col: str, dst_col: str, delete: bool = False) -> None:
+    def _route(
+        self,
+        edges: Dataset,
+        src_col: str,
+        dst_col: str,
+        delete: bool = False,
+        wait: bool = True,
+    ):
         from ray.data.dataset import MaterializedDataset
 
         cols = edges
@@ -872,25 +904,27 @@ class SuperstepEngine:
             # already materialized: route their blocks with plain tasks —
             # skips ~1s of Dataset-pipeline fixed cost per batch, which
             # dominated streaming insert throughput. Blocks are coalesced
-            # to ~1M-row groups so each task makes one add_chunk call per
-            # actor, not one per tiny block.
+            # to ~256k-row groups so routing parallelizes while each task
+            # still makes ~one add_chunk call per actor.
             fn = _router(self.actors, self.P, self.symmetrize, delete=delete)
             refs = cols.to_arrow_refs()
             n_groups = max(1, min(len(refs), (edges.count() >> 18) + 1))
             per = (len(refs) + n_groups - 1) // n_groups
-            ray.get(
-                [
-                    _route_block.remote(fn, *refs[i : i + per])
-                    for i in range(0, len(refs), per)
-                ]
-            )
-            return
+            futs = [
+                _route_block.remote(fn, *refs[i : i + per])
+                for i in range(0, len(refs), per)
+            ]
+            if not wait:
+                return futs
+            ray.get(futs)
+            return []
         sink = cols.map_batches(
             _router(self.actors, self.P, self.symmetrize, delete=delete),
             batch_format="pyarrow",
             batch_size=1 << 20,
         )
         sink.count()  # consume -> all add_chunk calls complete
+        return []
 
     def _finalize_and_index(self, keep_raw: bool) -> None:
         P = self.P
