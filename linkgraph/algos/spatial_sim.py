@@ -1,0 +1,113 @@
+"""Dynamic spatial simulation: IN-LOOP implicit edge discovery — the
+reference's infectious_test pattern (test/infectious_test.c:83-99:
+actors move each timestep, edges exist between actors within
+``infection_radius``, infection spreads one hop per timestep;
+``should_have_edge`` is re-evaluated every iteration as vertices move,
+src/hoover.cpp:629-711).
+
+Ray-Data-first composition, per timestep:
+
+  1. positions(t) — a pure function of (id, t) here (deterministic
+     movement; a stateful variant would export the engine's position
+     columns instead)
+  2. implicit edges = ops.spatial.radius_join over positions(t) (the
+     grid-bucketed might_interact/should_have_edge evaluation)
+  3. edge-set REPLACEMENT on the live engine: delete_edges(old,
+     rebuild=False) + extend_edges(new) — one index rebuild; infection
+     state persists on the actors (warm start; infection is monotone,
+     so warm restarts are exact)
+  4. one superstep of the infection program = one contact hop
+
+Exact oracle: a plain numpy replay of the same schedule
+(tests/test_spatial_sim.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..engine import SuperstepEngine, VertexProgram
+from ..ops.spatial import radius_join
+
+
+class InfectionProgram(VertexProgram):
+    """infected |= any infected in-neighbor (one hop per superstep)."""
+
+    reduce = "sum"
+    state_columns = ("infected",)
+
+    def __init__(self, seeds: tuple[int, ...]):
+        self.seeds = np.asarray(sorted(seeds), np.uint64)
+
+    def init_state(self, ctx):
+        inf = np.isin(ctx.verts, self.seeds).astype(np.float64)
+        return {"infected": inf}
+
+    def vertex_values(self, ctx):
+        return ctx.state["infected"]
+
+    def apply(self, ctx, idx, vals, g):
+        if len(idx):
+            inf = ctx.state["infected"]
+            inf[idx] = np.maximum(inf[idx], (vals > 0).astype(np.float64))
+        return {"n_infected": float(ctx.state["infected"].sum())}
+
+    def driver_step(self, stats, g, it):
+        return g, False, {"n_infected": sum(s["n_infected"] for s in stats)}
+
+
+def positions(ids: np.ndarray, t: int, speed: float = 0.02) -> pd.DataFrame:
+    """Deterministic movement: each point orbits its seeded start."""
+    from ..hashing import splitmix64, uniform01
+
+    u = np.asarray(ids, np.uint64)
+    x0 = uniform01(splitmix64(u ^ np.uint64(11)))
+    y0 = uniform01(splitmix64(u ^ np.uint64(23)))
+    phase = uniform01(splitmix64(u ^ np.uint64(37))) * 2 * np.pi
+    x = x0 + 0.1 * np.cos(phase + speed * t * 2 * np.pi)
+    y = y0 + 0.1 * np.sin(phase + speed * t * 2 * np.pi)
+    return pd.DataFrame({"id": np.asarray(ids, np.int64), "x": x, "y": y})
+
+
+def infection_sim(
+    n_actors: int,
+    radius: float,
+    timesteps: int,
+    seeds: tuple[int, ...] = (0,),
+    num_parts: int = 4,
+) -> pd.DataFrame:
+    """Run the dynamic-contact infection sim; returns (v, infected)."""
+    import ray.data
+
+    ids = np.arange(n_actors, dtype=np.int64)
+    prog = InfectionProgram(seeds)
+    eng: SuperstepEngine | None = None
+    old_edges = None
+    # every actor is always registered via a self-loop row so isolated
+    # actors exist from t=0 (the reference creates all actors up front)
+    selfloops = pd.DataFrame({"src": ids, "dst": ids})
+    for t in range(timesteps):
+        pts = ray.data.from_pandas(positions(ids, t))
+        pairs = radius_join(pts, radius).to_pandas()
+        edges = pd.concat(
+            [
+                pd.DataFrame({"src": pairs["a"], "dst": pairs["b"]}),
+                selfloops,
+            ],
+            ignore_index=True,
+        )
+        edges_ds = ray.data.from_pandas(edges).materialize()
+        if eng is None:
+            eng = SuperstepEngine(num_parts=num_parts, symmetrize=True).load_edges(
+                edges_ds, streaming=True
+            )
+        else:
+            eng.delete_edges(old_edges, rebuild=False)
+            eng.extend_edges(edges_ds)
+        old_edges = edges_ds
+        eng.run(prog, max_iters=1, burst_size=1, warm_start=(t > 0))
+    out = eng.state_dataset(id_col="v", columns=["infected"]).to_pandas()
+    eng.shutdown()
+    out["infected"] = (out["infected"] > 0).astype(np.int64)
+    return out.sort_values("v").reset_index(drop=True)

@@ -264,9 +264,30 @@ class GraphPartition:
             else np.empty(0, np.uint64)
         )
         prior = getattr(self, "_raw_edges", None)
+        psrc = prior[0] if prior is not None else np.empty(0, np.uint64)
+        pdst = prior[1] if prior is not None else np.empty(0, np.uint64)
+        # ---- buffered deletions apply to the PRIOR graph only: a pair
+        # both deleted and re-inserted in the same batch survives (the
+        # delete-old-edge-set / insert-new-edge-set replacement pattern).
+        # (reference src/hvr_vertex.cpp:25-48, src/hoover.cpp:1695-1733;
+        # behavior spec test/remove_vertices_test.c)
+        if self._vdel_chunks:
+            vdels = np.unique(np.concatenate(self._vdel_chunks))
+            self._vdel_chunks = []
+            if len(self._prior_verts):
+                self._prior_verts = self._prior_verts[~np.isin(self._prior_verts, vdels)]
+            if len(psrc):
+                keep = ~(np.isin(psrc, vdels) | np.isin(pdst, vdels))
+                psrc, pdst = psrc[keep], pdst[keep]
+        if self._del_chunks and len(psrc):
+            dsrc = np.concatenate([c[0] for c in self._del_chunks])
+            ddst = np.concatenate([c[1] for c in self._del_chunks])
+            keep = ~_pairs_in(psrc, pdst, dsrc, ddst)
+            psrc, pdst = psrc[keep], pdst[keep]
+        self._del_chunks = []
         if self._edge_chunks or prior is not None:
-            srcs = [] if prior is None else [prior[0]]
-            dsts = [] if prior is None else [prior[1]]
+            srcs = [psrc]
+            dsts = [pdst]
             srcs.extend(c[0] for c in self._edge_chunks)
             dsts.extend(c[1] for c in self._edge_chunks)
             src = np.concatenate(srcs)
@@ -275,24 +296,6 @@ class GraphPartition:
             src = np.empty(0, np.uint64)
             dst = np.empty(0, np.uint64)
         self._edge_chunks = []
-        # ---- buffered deletions (reference src/hvr_vertex.cpp:25-48,
-        # src/hoover.cpp:1695-1733; behavior spec test/remove_vertices_test.c)
-        if self._vdel_chunks:
-            vdels = np.unique(np.concatenate(self._vdel_chunks))
-            self._vdel_chunks = []
-            if len(self._prior_verts):
-                self._prior_verts = self._prior_verts[~np.isin(self._prior_verts, vdels)]
-            if len(src):
-                keep = ~(np.isin(src, vdels) | np.isin(dst, vdels))
-                src, dst = src[keep], dst[keep]
-        if self._del_chunks and len(src):
-            dsrc = np.concatenate([c[0] for c in self._del_chunks])
-            ddst = np.concatenate([c[1] for c in self._del_chunks])
-            self._del_chunks = []
-            keep = ~_pairs_in(src, dst, dsrc, ddst)
-            src, dst = src[keep], dst[keep]
-        else:
-            self._del_chunks = []
         if self.dedup and len(src):
             # all edges with this src live here, so local dedup == global
             # dedup (keeps simple-graph semantics after symmetrize, matching
@@ -856,7 +859,11 @@ class SuperstepEngine:
         return self
 
     def delete_edges(
-        self, edges: Dataset, src_col: str = "src", dst_col: str = "dst"
+        self,
+        edges: Dataset,
+        src_col: str = "src",
+        dst_col: str = "dst",
+        rebuild: bool = True,
     ) -> "SuperstepEngine":
         """Remove the given (src, dst) pairs from a streaming-loaded
         graph (both directions when the engine symmetrizes) and rebuild
@@ -868,8 +875,9 @@ class SuperstepEngine:
         src/hoover.cpp:450-600, 2384-2418."""
         assert self._loaded and self.streaming, "load_edges(streaming=True) first"
         self._route(edges, src_col, dst_col, delete=True)
-        self._finalize_and_index(keep_raw=True)
-        return self
+        if rebuild:
+            self._finalize_and_index(keep_raw=True)
+        return self  # rebuild=False: a following extend_edges rebuilds once
 
     def delete_vertices(self, ids) -> "SuperstepEngine":
         """Remove vertices and ALL their incident edges (broadcast
