@@ -573,7 +573,7 @@ def embedding_dup_pairs(
             )
 
     return embeddings.map_batches(
-        Sim, batch_format="pyarrow", concurrency=2, fn_constructor_args=(ref,)
+        Sim, batch_format="pyarrow", concurrency=(1, 2), fn_constructor_args=(ref,)
     )
 
 
@@ -603,7 +603,7 @@ def embedding_dup_lsh(
         _LshBucketRows,
         batch_format="pyarrow",
         batch_size=32768,
-        concurrency=4,
+        concurrency=(1, 4),
         fn_constructor_args=(n_tables, n_planes, dim, id_col, num_buckets),
     )
 

@@ -94,7 +94,7 @@ def knn_cosine(
             )
 
     local = embeddings.map_batches(
-        LocalTopK, batch_format="pyarrow", concurrency=2, fn_constructor_args=(ref,)
+        LocalTopK, batch_format="pyarrow", concurrency=(1, 2), fn_constructor_args=(ref,)
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -185,7 +185,7 @@ def knn_cosine_lsh(
         _LshBucketRows,
         batch_format="pyarrow",
         batch_size=32768,
-        concurrency=4,
+        concurrency=(1, 4),
         fn_constructor_args=(n_tables, n_planes, dim, id_col, num_buckets),
     )
 
