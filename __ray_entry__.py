@@ -213,6 +213,18 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents")).to_pandas()
 
 
+def q_quality_score(sf_dir: str):
+    """Per-doc quality signals (C4/Gopher-style length / punctuation /
+    stopword heuristics) — the corpus-filtering stage of an LLM data
+    pipeline. Oracle: same integer counts + IEEE double ratios in SQL."""
+    from linkgraph.ops import QualityScore
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return docs.map_batches(
+        QualityScore, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
+
+
 def q_token_counts(sf_dir: str):
     from linkgraph.ops import TokenCount
 
@@ -429,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
         "char_classes": q_char_classes,
         "near_dup_shingle": q_near_dup_shingle,
         "langid": q_langid,
@@ -615,6 +628,20 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY md5(text)"
+        ),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, text, "
+            "regexp_extract_all(text, '[A-Za-z0-9]+') AS toks FROM documents), "
+            "c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_filter(toks, x -> lower(x) IN ('the', 'and', 'of', 'a', 'to', 'is', 'in', 'it', 'that', 'for', 'on', 'with', 'as', 'was', 'at', 'by', 'an', 'be', 'this', 'are'))) AS BIGINT) AS n_stop, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum, "
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM t) "
+            "SELECT doc_id, n_tokens, n_stop, "
+            "CASE WHEN n_tokens > 0 THEN CAST(n_alnum AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok_len, "
+            "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio, "
+            "CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum - n_space AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio "
+            "FROM c"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) "

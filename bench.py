@@ -63,6 +63,7 @@ def run_bench() -> dict:
     q: dict[str, float] = {}
     extra: dict[str, float] = {}
     t_all = time.perf_counter()
+    steal0 = _steal_counter()
 
     # 1. pages -> extraction -> deduplicated hashed edge table
     t0 = time.perf_counter()
@@ -139,6 +140,11 @@ def run_bench() -> dict:
     except Exception as ex:
         extra.setdefault("errors", []).append(f"streaming: {ex}")
     total = time.perf_counter() - t_all
+    # host CPU-steal share over the run (32-vCPU KVM guest on a shared
+    # host): steal_jiffies / (wall * 100 jiffies/s * ncpu). >0.05 means
+    # the numbers are depressed by neighbor load, not by this engine.
+    steal = _steal_counter() - steal0
+    extra["host_steal_share"] = round(steal / (total * 100.0 * os.cpu_count()), 4)
     result = {
         "metric": "linkgraph_bench_total",
         "value": round(total, 3),

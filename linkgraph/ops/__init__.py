@@ -1,4 +1,4 @@
-from .text import TokenCount, CharClasses, LangId, Fingerprint
+from .text import TokenCount, CharClasses, LangId, Fingerprint, QualityScore
 from .dedup import (
     exact_dedup,
     shingle_jaccard_pairs,
@@ -14,6 +14,7 @@ from .spatial import radius_join
 __all__ = [
     "TokenCount",
     "CharClasses",
+    "QualityScore",
     "LangId",
     "Fingerprint",
     "exact_dedup",

@@ -93,6 +93,64 @@ class LangId:
         )
 
 
+# English stopwords for the quality-score stopword ratio (a fixed,
+# documented list so the DuckDB oracle can repeat it verbatim)
+QUALITY_STOPWORDS = (
+    "the", "and", "of", "a", "to", "is", "in", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+
+class QualityScore:
+    """(doc_id, text) -> per-doc quality signals for corpus filtering
+    (the C4/Gopher-style length/punctuation/stopword heuristics):
+
+      n_tokens       ASCII word tokens ``[A-Za-z0-9]+``
+      n_alnum        alphanumeric chars (== summed token lengths)
+      n_stop         lowercased tokens in QUALITY_STOPWORDS
+      mean_tok_len   n_alnum / n_tokens          (0.0 if no tokens)
+      stop_ratio     n_stop / n_tokens           (0.0 if no tokens)
+      punct_ratio    (len - n_alnum - n_space) / len  (0.0 if empty)
+
+    All ratios are IEEE double divisions of the integer counts, so the
+    DuckDB oracle reproduces them bit-exactly. Actor-pool stage: regexes
+    compiled once per actor."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_RE)
+        self.stop = set(QUALITY_STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_tokens = np.zeros(n, np.int64)
+        n_alnum = np.zeros(n, np.int64)
+        n_stop = np.zeros(n, np.int64)
+        n_space = np.zeros(n, np.int64)
+        n_chars = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            toks = self.tok.findall(t)
+            n_tokens[i] = len(toks)
+            n_alnum[i] = sum(len(w) for w in toks)
+            n_stop[i] = sum(w.lower() in self.stop for w in toks)
+            n_space[i] = t.count(" ")
+            n_chars[i] = len(t)
+        safe_t = np.maximum(n_tokens, 1).astype(np.float64)
+        safe_c = np.maximum(n_chars, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens),
+                "n_stop": pa.array(n_stop),
+                "mean_tok_len": pa.array(np.where(n_tokens > 0, n_alnum / safe_t, 0.0)),
+                "stop_ratio": pa.array(np.where(n_tokens > 0, n_stop / safe_t, 0.0)),
+                "punct_ratio": pa.array(
+                    np.where(n_chars > 0, (n_chars - n_alnum - n_space) / safe_c, 0.0)
+                ),
+            }
+        )
+
+
 class Fingerprint:
     """(doc_id, text) -> 64-bit content fingerprint: md5-based whole-doc
     hash plus a rolling-window min-hash (winnowing-style robust

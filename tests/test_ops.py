@@ -262,3 +262,29 @@ def test_multimodal_plumbing():
     m1 = {r.media_id: list(r.features) for r in out.itertuples()}
     m2 = {r.media_id: list(r.features) for r in out2.itertuples()}
     assert m1 == m2
+
+
+def test_quality_score_vs_python_oracle(docs_ds, docs_pdf):
+    from linkgraph.ops import QualityScore
+    from linkgraph.ops.text import QUALITY_STOPWORDS
+
+    qs = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    stop = set(QUALITY_STOPWORDS)
+    for r in docs_pdf.head(80).itertuples():
+        toks = re.findall(r"[A-Za-z0-9]+", r.text)
+        n_alnum = sum(len(w) for w in toks)
+        row = qs.loc[r.doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_stop"] == sum(w.lower() in stop for w in toks)
+        if toks:
+            assert row["mean_tok_len"] == n_alnum / len(toks)
+            assert row["stop_ratio"] == row["n_stop"] / len(toks)
+        if len(r.text):
+            assert row["punct_ratio"] == (
+                len(r.text) - n_alnum - r.text.count(" ")
+            ) / len(r.text)
