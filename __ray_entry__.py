@@ -349,6 +349,22 @@ def q_tumbling(sf_dir: str):
     )
 
 
+def q_hopping(sf_dir: str):
+    """1h windows hopping every 15m (each event in 4 overlapping
+    windows) — the sliding-window member of the windows family."""
+    from linkgraph.ops.windows import hopping_window
+
+    df = hopping_window(_read(sf_dir, "events"), minutes=60, hop_minutes=15).to_pandas()
+    return pd.DataFrame(
+        {
+            "window_start": df["window_start"].astype("int64"),
+            "event_type": df["event_type"],
+            "n_events": df["n_events"].astype("int64"),
+            "total_value": np.round(df["total_value"], 6),
+        }
+    )
+
+
 def q_sessionize(sf_dir: str):
     from linkgraph.ops import sessionize
 
@@ -453,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn,
         "knn_lsh": q_knn_lsh,
         "tumbling_1h": q_tumbling,
+        "hopping_1h_15m": q_hopping,
         "sessionize": q_sessionize,
         "q1_lineitem": q_q1,
         "media_features": q_media_features,
@@ -686,6 +703,14 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, count(*) AS n_events, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "hopping_1h_15m": (
+            "WITH e AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i.i * 900 AS window_start, "
+            "event_type, value FROM events CROSS JOIN "
+            "(SELECT unnest(range(4)) AS i) i) "
+            "SELECT CAST(window_start AS BIGINT) AS window_start, event_type, "
+            "count(*) AS n_events, round(sum(value), 6) AS total_value "
+            "FROM e GROUP BY 1, 2"
         ),
         "sessionize": (
             "WITH o AS (SELECT user_id, ts, lag(ts) OVER "

@@ -7,7 +7,7 @@ from .dedup import (
     embedding_dup_pairs,
 )
 from .knn import knn_cosine
-from .windows import tumbling_window, sessionize
+from .windows import tumbling_window, hopping_window, sessionize
 from .cms import CountMinSketch, sketch_edge_counts, edge_anomaly_scores
 from .spatial import radius_join
 
@@ -24,6 +24,7 @@ __all__ = [
     "embedding_dup_pairs",
     "knn_cosine",
     "tumbling_window",
+    "hopping_window",
     "sessionize",
     "CountMinSketch",
     "sketch_edge_counts",

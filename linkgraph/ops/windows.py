@@ -58,6 +58,57 @@ def tumbling_window(events: Dataset, minutes: int = 60) -> Dataset:
     )
 
 
+def hopping_window(
+    events: Dataset, minutes: int = 60, hop_minutes: int = 15
+) -> Dataset:
+    """Hopping (sliding) event-time window per event_type: window size
+    ``minutes``, advancing every ``hop_minutes`` (size must be a
+    multiple of hop). Each event lands in size/hop overlapping windows:
+    the latest window start <= t is (t // hop) * hop, and the k - 1
+    earlier hops also contain t. Output matches tumbling_window's
+    shape: (window_start epoch-seconds, event_type, n_events,
+    total_value).
+
+    Same scale shape as tumbling_window: the k-fold row expansion is
+    absorbed by the per-block combiner (output bounded by distinct
+    (window, type) pairs per block), so the shuffle/final stays tiny."""
+    size = minutes * 60
+    hop = hop_minutes * 60
+    if size % hop:
+        raise ValueError("window size must be a multiple of the hop")
+    k = size // hop
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+        last = (sec // hop) * hop
+        w = np.repeat(last, k) - np.tile(np.arange(k, dtype=np.int64) * hop, len(sec))
+        g = pd.DataFrame(
+            {
+                "window_start": w,
+                "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                "_v": np.repeat(df["value"].to_numpy(), k),
+            }
+        ).groupby(["window_start", "event_type"], sort=False).agg(
+            _n=("_v", "size"), _v=("_v", "sum")
+        )
+        return g.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["window_start", "event_type"], sort=False).agg(
+            n_events=("_n", "sum"), total_value=("_v", "sum")
+        )
+        return g.reset_index()
+
+    p = events.map_batches(partial, batch_format="pandas", batch_size=131072).materialize()
+    if p.count() <= 4_000_000:
+        return p.repartition(1).map_batches(
+            final, batch_format="pandas", batch_size=1 << 30
+        )
+    return p.groupby(["window_start", "event_type"]).aggregate(
+        Sum("_n", alias_name="n_events"), Sum("_v", alias_name="total_value")
+    )
+
+
 def sessionize(events: Dataset, gap_minutes: int = 30, num_buckets: int = 64) -> Dataset:
     """Session windows per user (new session when gap > gap_minutes):
     (user_id, n_sessions, n_events).

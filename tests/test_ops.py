@@ -288,3 +288,42 @@ def test_quality_score_vs_python_oracle(docs_ds, docs_pdf):
             assert row["punct_ratio"] == (
                 len(r.text) - n_alnum - r.text.count(" ")
             ) / len(r.text)
+
+
+def test_hopping_window_vs_pandas():
+    from linkgraph.ops import hopping_window
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    pdf = pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+    got = (
+        hopping_window(ev, minutes=60, hop_minutes=15)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    sec = pdf["ts"].astype("datetime64[s]").astype("int64")
+    frames = []
+    for i in range(4):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "w": (sec // 900) * 900 - i * 900,
+                    "event_type": pdf["event_type"],
+                    "value": pdf["value"],
+                }
+            )
+        )
+    allw = pd.concat(frames)
+    want = (
+        allw.groupby(["w", "event_type"])
+        .agg(n_events=("value", "size"), total_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["w", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert (got["window_start"].values == want["w"].values).all()
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert np.allclose(got["total_value"].values, want["total_value"].values)
+    # every event is in exactly 4 windows
+    assert got["n_events"].sum() == 4 * len(pdf)
