@@ -23,6 +23,11 @@ import subprocess
 import sys
 import time
 
+# shared-host guard: under heavy neighbor CPU steal, worker-process
+# spawn can exceed the default raylet registration timeout (the raylet
+# then reaps the worker; a reaped partition actor aborts the run)
+os.environ.setdefault("RAY_worker_register_timeout_seconds", "180")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))

@@ -815,6 +815,12 @@ class SuperstepEngine:
         incremental edge-insert loop, test/update_rates.cpp:31-56)."""
         P = self.P
         self.actors = [GraphPartition.remote(i, P, self.dedup) for i in range(P)]
+        # readiness barrier: on a saturated/stolen host, worker spawn can
+        # exceed the raylet registration timeout and get reaped — if that
+        # happens to a partition actor after routing has begun, the load
+        # dies mid-flight. Waiting here surfaces spawn failures before any
+        # data moves and keeps the routing storm off the spawn path.
+        ray.get([a.n_local.remote() for a in self.actors])
         schema = edges.schema()
         dtype = dict(zip(schema.names, schema.types))[src_col]
         self.signed_ids = pa.types.is_signed_integer(dtype)
