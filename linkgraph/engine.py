@@ -922,7 +922,7 @@ class SuperstepEngine:
             # still makes ~one add_chunk call per actor.
             fn = _router(self.actors, self.P, self.symmetrize, delete=delete)
             refs = cols.to_arrow_refs()
-            n_groups = max(1, min(len(refs), (edges.count() >> 18) + 1))
+            n_groups = max(1, min(len(refs), (edges.count() >> 17) + 1))
             per = (len(refs) + n_groups - 1) // n_groups
             futs = [
                 _route_block.remote(fn, *refs[i : i + per])

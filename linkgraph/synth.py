@@ -217,7 +217,12 @@ def rmat_dataset(n_edges: int, scale: int, seed: int = 1, parallelism: int = 128
         return pa.table({"src": pa.array(u[keep]), "dst": pa.array(v[keep])})
 
     ds = ray.data.range(n_edges, override_num_blocks=parallelism)
-    return ds.map_batches(gen, batch_format="numpy", batch_size=1 << 20)
+    # cap the batch size so small datasets keep parallel blocks: at
+    # batch_size=1<<20 a 1M-edge dataset would coalesce all generator
+    # blocks into ONE output block, serializing every downstream stage
+    # (the streaming bench routes these batches — 1 block = 1 route task)
+    bs = int(max(min(1 << 20, n_edges // 32), 1 << 14))
+    return ds.map_batches(gen, batch_format="numpy", batch_size=bs)
 
 
 def expected_edge_set(n_pages: int, n_sites: int, avg_out: int = 8) -> set[tuple[str, str]]:
