@@ -22,10 +22,19 @@ class PageRankProgram(VertexProgram):
     reduce = "sum"
     state_columns = ("rank",)
 
-    def __init__(self, damping: float = 0.85, tol: float = 1e-8):
+    def __init__(self, damping: float = 0.85, tol: float = 1e-8, precision: str = "double"):
+        """precision='single' ships rank/outdeg contributions as float32
+        (gather-side accumulation stays float64): per-partial quantization
+        ~6e-8 relative — inside the 1e-6 correctness bar but NOT the
+        bit-level partition-count-invariance guarantee, so 'double' is the
+        default. The knob halves per-edge message bytes + the hot random
+        gather's value-array footprint for bandwidth-starved clusters."""
         self.d = damping
         self.tol = tol
         self.conv_tol = tol if tol > 0 else None
+        if precision not in ("double", "single"):
+            raise ValueError(precision)
+        self.ship_dtype = np.float32 if precision == "single" else None
 
     def conv_stat(self, stats):
         return stats["delta"]

@@ -118,6 +118,13 @@ class VertexProgram:
     # of the reference's needs_processing dirty gating
     # (src/hoover.cpp:2420-2487).
     frontier: bool = False
+    # ship_dtype (sum programs only): cast scatter values to this dtype
+    # before the edge gather + combiner, halving the hot random-gather
+    # footprint and the shipped message bytes (float32 keeps the
+    # per-partition value array L2-resident at web-graph scale). The
+    # gather side still ACCUMULATES in float64, so only the per-(part,
+    # dst) combined partials are quantized (~6e-8 relative each).
+    ship_dtype: Any = None
 
     def conv_stat(self, stats: Any) -> float:
         """Local convergence contribution (summed across partitions)."""
@@ -443,6 +450,8 @@ class GraphPartition:
         O(frontier) instead of O(E)."""
         P, prog = self.P, self.prog
         vv = prog.vertex_values(self.ctx)
+        if prog.ship_dtype is not None and vv.dtype != prog.ship_dtype:
+            vv = vv.astype(prog.ship_dtype)
         if prog.reduce in ("sum", "min"):
             red = np.add if prog.reduce == "sum" else np.minimum
             ci = self.ctx.changed_idx
@@ -593,7 +602,10 @@ class GraphPartition:
             v0 = slices[0][1]
             touched = np.zeros(n_local, bool)
             if prog.reduce == "sum":
-                dense = np.zeros((n_local,) + v0.shape[1:], v0.dtype)
+                # float32-shipped partials accumulate in float64 — the
+                # quantization is per shipped partial, not per add
+                acc_dt = np.float64 if v0.dtype == np.float32 else v0.dtype
+                dense = np.zeros((n_local,) + v0.shape[1:], acc_dt)
                 for i, v, _ in slices:
                     dense[i] += v
                     touched[i] = True

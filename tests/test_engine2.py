@@ -198,3 +198,27 @@ def test_checkpoint_2d_state_roundtrip(ray_session, tmp_path):
     assert h1.keys() == h2.keys()
     for v in h1:
         assert np.allclose(h1[v], h2[v])
+
+
+def test_pagerank_single_precision_matches_double(ray_session):
+    # precision='single' ships float32 message partials; per-vertex ranks
+    # must stay allclose 1e-6 to the double-precision run (the
+    # BASELINE.json correctness bar for PageRank)
+    rng = np.random.default_rng(17)
+    pairs = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 200, 1200), rng.integers(0, 200, 1200))
+        if a != b
+    ]
+    ds = _edges_ds(sorted(set(pairs)))
+    from linkgraph.algos.pagerank import PageRankProgram
+
+    eng = SuperstepEngine(num_parts=4).load_edges(ds)
+    eng.run(PageRankProgram(tol=1e-12), max_iters=100)
+    dbl = eng.state_dataset(id_col="v", columns=["rank"]).to_pandas().set_index("v")
+    eng.run(PageRankProgram(tol=1e-12, precision="single"), max_iters=100)
+    sgl = eng.state_dataset(id_col="v", columns=["rank"]).to_pandas().set_index("v")
+    eng.shutdown()
+    j = dbl.join(sgl, rsuffix="_s")
+    assert len(j) == len(dbl)
+    np.testing.assert_allclose(j["rank_s"], j["rank"], rtol=1e-6, atol=1e-12)
