@@ -311,6 +311,18 @@ def q_knn_lsh(sf_dir: str):
     return df.rename(columns={"rank": "nn_rank"})
 
 
+def q_knn_ivf(sf_dir: str):
+    """Distributed approximate kNN (IVF inverted lists: sample-trained
+    k-means coarse quantizer + nprobe fan-out; rows-only — approximate;
+    pytest asserts recall >= 0.9 vs the exact op)."""
+    from linkgraph.ops.knn import knn_cosine_ivf
+
+    df = knn_cosine_ivf(
+        _read(sf_dir, "embeddings"), KNN_QUERIES, k=KNN_K, n_lists=16, nprobe=8
+    ).to_pandas()
+    return df.rename(columns={"rank": "nn_rank"})
+
+
 def q_embedding_dup_lsh(sf_dir: str):
     """Distributed LSH embedding near-dup (rows-only — approximate;
     pytest asserts recall >= 0.9 vs the exact op)."""
@@ -468,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "knn_cosine": q_knn,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "tumbling_1h": q_tumbling,
         "hopping_1h_15m": q_hopping,
         "sessionize": q_sessionize,

@@ -6,7 +6,7 @@ from .dedup import (
     simhash_dedup_pairs,
     embedding_dup_pairs,
 )
-from .knn import knn_cosine
+from .knn import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
 from .windows import tumbling_window, hopping_window, sessionize
 from .cms import CountMinSketch, sketch_edge_counts, edge_anomaly_scores
 from .spatial import radius_join
@@ -23,6 +23,8 @@ __all__ = [
     "simhash_dedup_pairs",
     "embedding_dup_pairs",
     "knn_cosine",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
     "tumbling_window",
     "hopping_window",
     "sessionize",

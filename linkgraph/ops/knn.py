@@ -244,6 +244,182 @@ def knn_cosine_lsh(
     return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def train_ivf_centroids(
+    embeddings: Dataset,
+    n_lists: int,
+    id_col: str = "vec_id",
+    sample_cap: int = 65536,
+    iters: int = 8,
+    seed: int = 11,
+) -> np.ndarray:
+    """Train IVF coarse-quantizer centroids on a BOUNDED deterministic
+    sample (FAISS-style: k-means on <= sample_cap vectors regardless of
+    corpus size, so the driver never holds more than sample_cap x dim).
+    Sampling key is splitmix64(id) — stable across runs and cluster
+    sizes. Returns (n_lists, dim) L2-normalized centroids."""
+    n = embeddings.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        u = splitmix64(ids.view(np.uint64)).astype(np.float64) / 2**64
+        return t.take(pa.array(np.flatnonzero(u < frac)))
+
+    sdf = embeddings.map_batches(keep, batch_format="pyarrow").to_pandas()
+    X = _normalize(np.stack(sdf["embedding"].to_numpy()).astype(np.float64))
+    k = min(n_lists, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), k, replace=False)]
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)  # cosine assignment (all normalized)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        cnt = np.bincount(a, minlength=k).astype(np.float64)
+        nz = cnt > 0
+        C[nz] = sums[nz] / cnt[nz, None]  # empty lists keep old centroid
+        C = _normalize(C)
+    return C
+
+
+class _IvfAssignRows:
+    """Emit IVF rows: every vector -> its home list (member row); every
+    query vector -> its nprobe nearest lists (probe rows). Centroids are
+    fetched once per actor in __init__ (broadcast via ray.put)."""
+
+    def __init__(self, cref, qref, nprobe: int, id_col: str, B: int):
+        import ray
+
+        self.C = ray.get(cref)
+        self.qset = ray.get(qref)
+        self.nprobe = min(nprobe, len(self.C))
+        self.id_col = id_col
+        self.B = B
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy().astype(np.int64)
+        M = _normalize(
+            np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        sims = M @ self.C.T  # (n, n_lists)
+        home = np.argmax(sims, axis=1).astype(np.int64)
+        n, dim = M.shape
+        out_list = [home]
+        out_vid = [ids]
+        out_isq = [np.zeros(n, np.int8)]
+        out_rows = [np.arange(n)]
+        qpos = np.flatnonzero(np.isin(ids, self.qset))
+        if len(qpos):
+            # top-nprobe lists per query (includes its home list)
+            top = np.argpartition(-sims[qpos], self.nprobe - 1, axis=1)[:, : self.nprobe]
+            out_list.append(top.reshape(-1).astype(np.int64))
+            out_vid.append(np.repeat(ids[qpos], self.nprobe))
+            out_isq.append(np.ones(len(qpos) * self.nprobe, np.int8))
+            out_rows.append(np.repeat(qpos, self.nprobe))
+        lst = np.concatenate(out_list)
+        rows = np.concatenate(out_rows)
+        part = splitmix64(lst.astype(np.uint64)).view(np.int64) % self.B
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(M[rows].reshape(-1)), dim)
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "list": pa.array(lst),
+                "vid": pa.array(np.concatenate(out_vid)),
+                "isq": pa.array(np.concatenate(out_isq)),
+                "emb": emb,
+            }
+        )
+
+
+def knn_cosine_ivf(
+    embeddings: Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    num_buckets: int = 64,
+    centroids: np.ndarray | None = None,
+) -> Dataset:
+    """Approximate top-k cosine neighbors via IVF (inverted-file) — the
+    second scale path beside LSH:
+
+    1. coarse quantizer: k-means centroids trained on a bounded sample
+       (``train_ivf_centroids``), broadcast once via ``ray.put``;
+    2. map_batches assigns every vector to its home list and fans each
+       QUERY out to its nprobe nearest lists;
+    3. ONE groupby(part) shuffle; exact vectorized scoring of probe x
+       member inside each list segment (a member lives in exactly one
+       list, so (query, neighbor) pairs are emitted at most once);
+    4. per-query global top-k.
+
+    Cost ~ n * nprobe / n_lists candidates per query vs n for brute
+    force; recall grows with nprobe. Nothing unbounded on the driver."""
+    import ray
+
+    qset = np.array(sorted(set(int(q) for q in query_ids)), np.int64)
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_lists, id_col)
+    cref = ray.put(centroids)
+    qref = ray.put(qset)
+    rows = embeddings.map_batches(
+        _IvfAssignRows,
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=(1, 4),
+        fn_constructor_args=(cref, qref, nprobe, id_col, num_buckets),
+    )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lst = g["list"].to_numpy()
+        ids = g["vid"].to_numpy()
+        isq = g["isq"].to_numpy().astype(bool)
+        M = np.stack(g["emb"].to_numpy()).astype(np.float64)
+        order = np.lexsort((ids, lst))
+        lst, ids, isq, M = lst[order], ids[order], isq[order], M[order]
+        starts = np.flatnonzero(np.r_[True, lst[1:] != lst[:-1]])
+        ends = np.r_[starts[1:], len(lst)]
+        out_q, out_n, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            qi = np.flatnonzero(isq[s:e])
+            mi = np.flatnonzero(~isq[s:e])
+            if len(qi) == 0 or len(mi) == 0:
+                continue
+            sims = M[s:e][qi] @ M[s:e][mi].T  # (nq, nm)
+            qid, nid = ids[s:e][qi], ids[s:e][mi]
+            for r in range(len(qi)):
+                keep = nid != qid[r]
+                out_q.append(np.full(int(keep.sum()), qid[r], np.int64))
+                out_n.append(nid[keep])
+                out_s.append(sims[r][keep])
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    local = rows.groupby("part").map_groups(score_bucket, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def _empty_knn():
     import ray.data
 

@@ -54,3 +54,30 @@ def test_knn_lsh_recall(ray_session):
     ls = set(zip(lsh["query_id"], lsh["neighbor_id"]))
     assert len(es) == 50
     assert len(es & ls) / len(es) >= 0.9
+
+
+def test_knn_ivf_recall(ray_session):
+    from linkgraph.ops.knn import knn_cosine_ivf
+
+    M = _vectors()
+    ds = _emb_ds(M)
+    queries = [0, 5, 10, 350, 399]
+    exact = knn_cosine(ds, queries, k=10).to_pandas()
+    ivf = knn_cosine_ivf(ds, queries, k=10, n_lists=16, nprobe=8).to_pandas()
+    es = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ivs = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    assert len(es) == 50
+    assert len(es & ivs) / len(es) >= 0.9
+
+
+def test_knn_ivf_deterministic(ray_session):
+    from linkgraph.ops.knn import knn_cosine_ivf
+
+    M = _vectors(n=200)
+    ds = _emb_ds(M)
+    a = knn_cosine_ivf(ds, [3, 7], k=5, n_lists=8, nprobe=4).to_pandas()
+    b = knn_cosine_ivf(ds, [3, 7], k=5, n_lists=8, nprobe=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
