@@ -232,6 +232,25 @@ def q_token_counts(sf_dir: str):
     return docs.map_batches(TokenCount, batch_format="pyarrow", concurrency=2).to_pandas()
 
 
+def q_top_tokens(sf_dir: str):
+    """EXACT top-100 most frequent tokens (combiner -> one small
+    groupby -> sort/limit); deterministic tie-break (cnt desc, token
+    asc) matches the SQL oracle row-for-row."""
+    from linkgraph.ops.text import top_k_tokens
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return top_k_tokens(docs, k=100).to_pandas()
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-token estimate (rows-only — approximate;
+    pytest asserts <=3% error vs the exact count)."""
+    from linkgraph.ops.hll import approx_distinct_tokens
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return approx_distinct_tokens(docs)
+
+
 def q_char_classes(sf_dir: str):
     from linkgraph.ops import CharClasses
 
@@ -309,6 +328,24 @@ def q_knn_lsh(sf_dir: str):
         _read(sf_dir, "embeddings"), KNN_QUERIES, k=KNN_K, n_planes=3, n_tables=24
     ).to_pandas()
     return df.rename(columns={"rank": "nn_rank"})
+
+
+def q_random_walks(sf_dir: str):
+    """Seeded random-walk corpus over the doc graph (rows-only —
+    hash-sampled, not SQL-expressible; pytest asserts path validity,
+    determinism and partition-count invariance)."""
+    from linkgraph.algos.walks import random_walks
+    from linkgraph.engine import SuperstepEngine
+
+    eng = SuperstepEngine(num_parts=8).load_edges(_doc_edges_ds(sf_dir))
+    df = (
+        random_walks(eng, walk_len=4, n_per_vertex=1, seed=13)
+        .to_pandas()
+        .sort_values(["walk_v0", "walk_rep", "step"])
+        .reset_index(drop=True)
+    )
+    eng.shutdown()
+    return df
 
 
 def q_knn_ivf(sf_dir: str):
@@ -471,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "char_classes": q_char_classes,
+        "top_tokens_100": q_top_tokens,
+        "approx_distinct_tokens": q_approx_distinct,
         "near_dup_shingle": q_near_dup_shingle,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -481,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "random_walks_4": q_random_walks,
         "tumbling_1h": q_tumbling,
         "hopping_1h_15m": q_hopping,
         "sessionize": q_sessionize,
@@ -672,6 +712,11 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio, "
             "CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum - n_space AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio "
             "FROM c"
+        ),
+        "top_tokens_100": (
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT "
+            "unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token FROM documents) "
+            "GROUP BY token ORDER BY cnt DESC, token LIMIT 100"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) "

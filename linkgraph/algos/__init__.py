@@ -5,6 +5,7 @@ from .triangles import triangle_count
 from .bfs import bfs_hops
 from .kcore import kcore
 from .gcn import gcn_features
+from .walks import assemble_walks, random_walks
 
 __all__ = [
     "PageRankProgram",
@@ -17,4 +18,6 @@ __all__ = [
     "bfs_hops",
     "kcore",
     "gcn_features",
+    "random_walks",
+    "assemble_walks",
 ]

@@ -732,6 +732,97 @@ class GraphPartition:
         1+ ahead of the driver's logical count inside a burst)."""
         return getattr(self, "_applied_iters", 0)
 
+    # ---- random walks (training-corpus generation) --------------------
+    # DeepWalk/node2vec-style seeded walks over the partitioned CSR.
+    # Walk state hops between partitions exactly like superstep messages;
+    # each partition records the visits it hosts, so the corpus is
+    # assembled fully distributed (from_arrow_refs, never the driver).
+
+    def _walk_csr(self) -> None:
+        """One-time dst-SORTED neighbor CSR: neighbor rank order is then
+        independent of the partition count, so sampled walks are
+        P-invariant (same property the tests assert for algorithms)."""
+        if getattr(self, "_walk_dst", None) is None:
+            by_src = np.repeat(
+                np.arange(len(self.verts), dtype=np.int64),
+                np.diff(self.src_indptr),
+            )
+            dsts = self.edge_dst[self.src_order]
+            order = np.lexsort((dsts, by_src))
+            self._walk_dst = dsts[order]
+
+    @staticmethod
+    def _walk_hash(v0, rep, t) -> np.ndarray:
+        x = splitmix64(v0) ^ splitmix64(
+            rep.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(t)
+        )
+        return splitmix64(x)
+
+    def walks_start(self, n_per_vertex: int, seed: int):
+        """Seed n_per_vertex walks at every local non-dangling vertex;
+        record the step-0 visit; return the packed step-1 hops."""
+        self._walk_csr()
+        self._walk_seed = np.uint64(seed)
+        live = np.flatnonzero(self.out_deg > 0)
+        v0 = np.repeat(self.verts[live], n_per_vertex)
+        rep = np.tile(np.arange(n_per_vertex, dtype=np.uint64), len(live))
+        idx = np.repeat(live, n_per_vertex)
+        self._walk_rows = [(v0, rep, np.zeros(len(v0), np.int32), self.verts[idx])]
+        return self._walks_hop(v0, rep, idx, t=0)
+
+    def _walks_hop(self, v0, rep, idx, t: int) -> dict:
+        """Sample each walk's next vertex; pack hops by owner."""
+        deg = self.out_deg[idx]
+        h = self._walk_hash(v0 + self._walk_seed, rep, t)
+        choice = (h % deg.astype(np.uint64)).astype(np.int64)
+        nxt = self._walk_dst[self.src_indptr[idx] + choice]
+        qp = part_of(nxt, self.P)
+        order = np.argsort(qp, kind="stable")
+        return {
+            "v0": v0[order],
+            "rep": rep[order],
+            "dst": nxt[order],
+            "off": np.searchsorted(qp[order], np.arange(self.P + 1)),
+        }
+
+    def walks_step(self, t: int, walk_len: int, *packed):
+        """Receive step-t hops addressed to this partition, record the
+        visits, terminate walks at dangling vertices or at walk_len,
+        and emit the packed step-(t+1) hops."""
+        v0s, reps, dsts = [], [], []
+        for pk in packed:
+            a, b = pk["off"][self.pid], pk["off"][self.pid + 1]
+            if a < b:
+                v0s.append(pk["v0"][a:b])
+                reps.append(pk["rep"][a:b])
+                dsts.append(pk["dst"][a:b])
+        if not v0s:
+            return self._walks_hop(
+                np.empty(0, np.uint64), np.empty(0, np.uint64), np.empty(0, np.int64), t
+            )
+        v0 = np.concatenate(v0s)
+        rep = np.concatenate(reps)
+        dst = np.concatenate(dsts)
+        self._walk_rows.append((v0, rep, np.full(len(v0), t, np.int32), dst))
+        idx = np.searchsorted(self.verts, dst).astype(np.int64)
+        alive = (self.out_deg[idx] > 0) & (t < walk_len)
+        return self._walks_hop(v0[alive], rep[alive], idx[alive], t)
+
+    def walks_collect(self) -> pa.Table:
+        v0 = np.concatenate([r[0] for r in self._walk_rows])
+        rep = np.concatenate([r[1] for r in self._walk_rows])
+        step = np.concatenate([r[2] for r in self._walk_rows])
+        v = np.concatenate([r[3] for r in self._walk_rows])
+        self._walk_rows = []
+        return pa.table(
+            {
+                "walk_v0": pa.array(v0.view(np.int64)),
+                "walk_rep": pa.array(rep.astype(np.int64)),
+                "step": pa.array(step.astype(np.int64)),
+                "v": pa.array(v.view(np.int64)),
+            }
+        )
+
 
 # --------------------------------------------------------------------------
 # Loader helpers (Ray Data shuffle -> pinned actors)

@@ -1,4 +1,5 @@
-from .text import TokenCount, CharClasses, LangId, Fingerprint, QualityScore
+from .text import TokenCount, CharClasses, LangId, Fingerprint, QualityScore, top_k_tokens
+from .hll import HyperLogLog, approx_distinct_tokens
 from .dedup import (
     exact_dedup,
     shingle_jaccard_pairs,

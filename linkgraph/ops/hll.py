@@ -1,0 +1,107 @@
+"""HyperLogLog approximate distinct count — a mergeable sketch in the
+same family as the count-min sketch (linkgraph/ops/cms.py; reference
+test/count_min_sketch.hpp — HOOVER's one approximate aggregate).
+
+Distributed shape: map_batches emits one REGISTER-ARRAY row per block
+(m bytes, m=2^p), the driver element-wise-maxes the handful of partials
+(#blocks x m bytes, never the data). Standard error ~= 1.04/sqrt(m)
+(~1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .text import TOKEN_RE
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+class HyperLogLog:
+    """Mergeable HLL with deterministic blake2b-64 item hashing."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.reg = np.zeros(self.m, np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """h: uint64 array of item hashes."""
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))  # sentinel bit
+        # rho = leading zeros of w + 1, capped at 64-p+1 by the sentinel
+        rho = np.zeros(len(h), np.uint8)
+        cur = w
+        for shift in (32, 16, 8, 4, 2, 1):  # branchless clz via halving
+            mask = cur < np.uint64(1 << (64 - shift))
+            rho[mask] += shift
+            cur = np.where(mask, cur << np.uint64(shift), cur)
+        rho += 1
+        np.maximum.at(self.reg, idx, rho)
+
+    def add_strings(self, items) -> None:
+        if len(items) == 0:
+            return
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                for s in items
+            ),
+            np.uint64,
+            len(items),
+        )
+        self.add_hashes(h)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.reg, other.reg, out=self.reg)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        e = _alpha(m) * m * m / np.sum(np.exp2(-self.reg.astype(np.float64)))
+        zeros = int(np.sum(self.reg == 0))
+        if e <= 2.5 * m and zeros > 0:  # small-range linear counting
+            return m * np.log(m / zeros)
+        return float(e)
+
+
+class _HllTokenPartial:
+    """One register-array row per batch; regex compiled once per actor."""
+
+    def __init__(self, p: int):
+        self.p = p
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog(self.p)
+        seen: set = set()
+        for t in batch.column("text").to_pylist():
+            seen.update(self.tok.findall(t))
+        hll.add_strings(list(seen))
+        return pa.table({"reg": pa.array([hll.reg.tobytes()], pa.binary())})
+
+
+def approx_distinct_tokens(docs, p: int = 12) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT token) over the documents table.
+    The reduce collects #blocks sketch rows (m bytes each) — the corpus
+    itself never leaves the cluster."""
+    parts = docs.map_batches(
+        _HllTokenPartial, batch_format="pyarrow", concurrency=(1, 8), fn_constructor_args=(p,)
+    ).take_all()
+    hll = HyperLogLog(p)
+    for row in parts:
+        hll.reg = np.maximum(hll.reg, np.frombuffer(row["reg"], np.uint8))
+    return pd.DataFrame({"n_distinct_est": [int(round(hll.estimate()))]})

@@ -186,3 +186,48 @@ class Fingerprint:
 
 def md5_digest_series(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+class TokenPartialCounts:
+    """(doc_id, text) -> per-batch (token, cnt) partials — the combiner
+    half of distributed heavy hitters: the shuffle carries unique tokens
+    per batch, never one row per occurrence."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(self.tok.findall(t))
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "cnt": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+
+def top_k_tokens(docs, k: int = 100):
+    """EXACT top-k most frequent tokens over the corpus: per-batch
+    combiner -> groupby(token).sum -> global sort by (cnt desc, token
+    asc) -> limit k. The only all-to-all carries unique-token partials;
+    ties at the boundary break deterministically by token.
+
+    (Reference analogue: top-5 pattern exchange in intrusion_detection,
+    test/intrusion_detection.cpp:36-38 — sort/top-k over an aggregated
+    table.)"""
+    parts = docs.map_batches(TokenPartialCounts, batch_format="pyarrow", concurrency=(1, 8))
+    agg = parts.groupby("token").sum("cnt")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t.column("token"), "cnt": t.column("sum(cnt)")})
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )

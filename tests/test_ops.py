@@ -327,3 +327,40 @@ def test_hopping_window_vs_pandas():
     assert np.allclose(got["total_value"].values, want["total_value"].values)
     # every event is in exactly 4 windows
     assert got["n_events"].sum() == 4 * len(pdf)
+
+
+def test_hll_distinct_tokens_error_bound(ray_session):
+    """HLL estimate within 3% of the exact distinct-token count."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from linkgraph.ops.hll import approx_distinct_tokens
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet").select_columns(
+        ["doc_id", "text"]
+    )
+    est = int(approx_distinct_tokens(docs)["n_distinct_est"].iloc[0])
+    tok = re.compile(r"[A-Za-z0-9]+")
+    exact = len(
+        {
+            t
+            for s in pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+            for t in tok.findall(s)
+        }
+    )
+    assert abs(est - exact) / exact <= 0.03
+
+
+def test_hll_merge_matches_single(ray_session):
+    from linkgraph.ops.hll import HyperLogLog
+
+    items = [f"x{i}" for i in range(10000)]
+    one = HyperLogLog(12)
+    one.add_strings(items)
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_strings(items[:7000])
+    b.add_strings(items[4000:])  # overlapping halves
+    a.merge(b)
+    assert (a.reg == one.reg).all()

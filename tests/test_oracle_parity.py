@@ -23,6 +23,7 @@ CHECKED = [
     "near_dup_shingle",
     "knn_cosine",
     "tumbling_1h",
+    "top_tokens_100",
     "sessionize",
 ]
 
