@@ -33,6 +33,8 @@ COS_T = 0.4
 KNN_K = 10
 KNN_QUERIES = [0, 1, 2, 3, 4]
 NUM_PARTS = 8
+HITS_ITERS = 5
+SSSP_BOUND = 100  # > max weighted eccentricity of v0 at driver scales
 
 
 def _read(sf_dir: str, name: str):
@@ -457,6 +459,52 @@ def q_q1(sf_dir: str):
     return agg
 
 
+def q_sssp(sf_dir: str):
+    """Weighted single-source shortest paths (min-plus Bellman-Ford via
+    the engine's per-edge value channel); weights are the oracle-shared
+    deterministic 1 + (7*src + 13*dst) % 10."""
+    from linkgraph.algos import sssp_weighted
+
+    out, _, eng = sssp_weighted(_doc_edges_ds(sf_dir), source=0, num_parts=NUM_PARTS)
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities, simultaneous-update, L2-normalized at
+    export, 8 dp — iteration-exact vs the unrolled SQL recurrence."""
+    from linkgraph.algos import hits_dataset
+
+    return hits_dataset(_doc_edges_ds(sf_dir), iters=HITS_ITERS).to_pandas()
+
+
+def q_host_graph(sf_dir: str):
+    """Collapse the page graph to the host graph (documents.source is
+    the host key): (src_host, dst_host, n_links) via two hash joins +
+    combiner groupby."""
+    from linkgraph.ops import host_graph
+
+    docs = _read(sf_dir, "documents")
+    hosts = docs.select_columns(["doc_id", "source"]).rename_columns({"source": "host"})
+    return host_graph(_doc_edges_ds(sf_dir), hosts).to_pandas()
+
+
+def q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity (share of edges whose reverse exists)."""
+    from linkgraph.ops import reciprocity
+
+    return reciprocity(_doc_edges_ds(sf_dir))
+
+
+def q_clustering(sf_dir: str):
+    """Local clustering coefficient per vertex from the sqrt(m)-bounded
+    wedge pipeline + distinct-neighbor degrees."""
+    from linkgraph.ops import clustering_coefficient
+
+    return clustering_coefficient(_doc_edges_ds(sf_dir)).to_pandas()
+
+
 def q_media_features(sf_dir: str):
     # multimodal plumbing demo: synthetic media table (no media files in
     # the driver tables), deterministic fake decode
@@ -526,6 +574,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "q1_lineitem": q_q1,
         "media_features": q_media_features,
+        "sssp_weighted": q_sssp,
+        "hits_5": q_hits,
+        "host_graph": q_host_graph,
+        "reciprocity": q_reciprocity,
+        "clustering_coeff": q_clustering,
     }
 
 
@@ -579,6 +632,39 @@ def _pagerank_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v, round(r, 8) AS pr_rank FROM r{PR_ITERS}"
+    )
+
+
+def _hits_sql() -> str:
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        "h0 AS (SELECT v, 1.0 AS h, 1.0 AS a FROM verts)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        p = f"h{i-1}"
+        ctes.append(
+            f"sa{i} AS (SELECT e.dst AS v, sum(p.h) AS a FROM e "
+            f"JOIN {p} p ON e.src = p.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"sh{i} AS (SELECT e.src AS v, sum(p.a) AS h FROM e "
+            f"JOIN {p} p ON e.dst = p.v GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT verts.v, coalesce(sh.h, 0.0) AS h, "
+            f"coalesce(sa.a, 0.0) AS a FROM verts "
+            f"LEFT JOIN sa{i} sa ON verts.v = sa.v "
+            f"LEFT JOIN sh{i} sh ON verts.v = sh.v)"
+        )
+    last = f"h{HITS_ITERS}"
+    ctes.append(
+        f"nrm AS (SELECT sqrt(sum(h*h)) AS nh, sqrt(sum(a*a)) AS na FROM {last})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, round(h / (SELECT nh FROM nrm), 8) AS hub, "
+        f"round(a / (SELECT na FROM nrm), 8) AS auth FROM {last}"
     )
 
 
@@ -782,6 +868,51 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
             "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
             "count(*) AS n FROM lineitem GROUP BY 1, 2"
+        ),
+        "sssp_weighted": (
+            f"WITH RECURSIVE {e},\n{_VERTS},\n"
+            "reach(v, d) AS ("
+            " SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)"
+            " UNION"
+            " SELECT e.dst, reach.d + 1 + (7*e.src + 13*e.dst) % 10"
+            " FROM reach JOIN e ON reach.v = e.src"
+            f" WHERE reach.d < {SSSP_BOUND})\n"
+            "SELECT verts.v, coalesce(m.d, -1) AS dist FROM verts "
+            "LEFT JOIN (SELECT v, min(d) AS d FROM reach GROUP BY v) m "
+            "ON verts.v = m.v"
+        ),
+        "hits_5": _hits_sql(),
+        "host_graph": (
+            f"WITH {e} "
+            "SELECT ds.source AS src_host, dd.source AS dst_host, "
+            "count(*) AS n_links FROM e "
+            "JOIN documents ds ON e.src = ds.doc_id "
+            "JOIN documents dd ON e.dst = dd.doc_id GROUP BY 1, 2"
+        ),
+        "reciprocity": (
+            f"WITH {e}, "
+            "r AS (SELECT count(*) AS nr FROM e x "
+            "JOIN e y ON x.src = y.dst AND x.dst = y.src) "
+            "SELECT (SELECT count(*) FROM e) AS n_edges, "
+            "(SELECT nr FROM r) AS n_reciprocal, "
+            "round(CAST((SELECT nr FROM r) AS DOUBLE) / "
+            "(SELECT count(*) FROM e), 8) AS reciprocity"
+        ),
+        "clustering_coeff": (
+            f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM e WHERE src <> dst), "
+            "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM "
+            "(SELECT u AS v FROM c UNION ALL SELECT v FROM c) GROUP BY v), "
+            "t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c2 FROM c e1 "
+            "JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v), "
+            "m AS (SELECT a AS v FROM t UNION ALL SELECT b FROM t "
+            "UNION ALL SELECT c2 FROM t), "
+            "tv AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY v) "
+            "SELECT deg.v, deg.degree, coalesce(tv.n, 0) AS n_triangles, "
+            "round(CASE WHEN deg.degree > 1 THEN 2.0 * coalesce(tv.n, 0) / "
+            "(deg.degree * (deg.degree - 1.0)) ELSE 0.0 END, 8) AS clustering "
+            "FROM deg LEFT JOIN tv ON deg.v = tv.v"
         ),
         # langid / fingerprint / minhash_dedup / simhash_dedup /
         # media_features: heuristic or probabilistic — rows-only check;

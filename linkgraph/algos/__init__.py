@@ -6,6 +6,8 @@ from .bfs import bfs_hops
 from .kcore import kcore
 from .gcn import gcn_features
 from .walks import assemble_walks, random_walks
+from .sssp import sssp_weighted
+from .hits import hits_dataset
 
 __all__ = [
     "PageRankProgram",
@@ -20,4 +22,6 @@ __all__ = [
     "gcn_features",
     "random_walks",
     "assemble_walks",
+    "sssp_weighted",
+    "hits_dataset",
 ]

@@ -118,6 +118,17 @@ class VertexProgram:
     # of the reference's needs_processing dirty gating
     # (src/hoover.cpp:2420-2487).
     frontier: bool = False
+    # edge_weight_fn: optional deterministic per-edge value derived from
+    # the endpoint ids — ``fn(src_ids: uint64[], dst_ids: uint64[]) ->
+    # ndarray`` — the engine analogue of the reference's per-edge info
+    # (update_edge_info, src/hoover.cpp:485-520). Computed ONCE per
+    # program init on the partition that stores the edge (never shipped:
+    # weights live where the edges live), then combined into every
+    # scattered message: mode 'add' -> message = value(src) + w (min-plus
+    # semiring: weighted SSSP), mode 'mul' -> message = value(src) * w
+    # (weighted random-surfer / masked propagation).
+    edge_weight_fn: Any = None
+    edge_weight_mode: str = "add"
     # ship_dtype (sum programs only): cast scatter values to this dtype
     # before the edge gather + combiner, halving the hot random-gather
     # footprint and the shipped message bytes (float32 keeps the
@@ -412,6 +423,12 @@ class GraphPartition:
             edge_src_idx=self.edge_src_idx,
             inv_outdeg=self.inv_outdeg,
         )
+        ewf = getattr(prog, "edge_weight_fn", None)
+        self._edge_w = (
+            np.asarray(ewf(self._edge_src_sorted, self.edge_dst))
+            if ewf is not None and self.n_edges
+            else None
+        )
         self.ctx.state = self.prog.init_state(self.ctx)
         if warm and getattr(self, "_warm", None) is not None:
             # carry prior per-vertex state into the extended graph (new
@@ -515,6 +532,12 @@ class GraphPartition:
         self._scatter_count += 1
         return out
 
+    def _apply_edge_w(self, vals, w):
+        """Combine per-edge weights into gathered per-edge values."""
+        if vals.ndim == 2 and w.ndim == 1:
+            w = w[:, None]
+        return vals + w if self.prog.edge_weight_mode == "add" else vals * w
+
     def _scatter_dense(self, vv: np.ndarray, red) -> dict:
         P = self.P
         us, vs, off = [], [], np.zeros(P + 1, np.int64)
@@ -522,6 +545,8 @@ class GraphPartition:
             a, b = self.part_starts[q], self.part_starts[q + 1]
             if a < b:
                 vals_q = vv[self.edge_src_idx[a:b]]
+                if self._edge_w is not None:
+                    vals_q = self._apply_edge_w(vals_q, self._edge_w[a:b])
                 us.append(self.seg_ridx[q])  # dst-local int32 indices
                 vs.append(red.reduceat(vals_q, self.seg_starts[q], axis=0))
             off[q + 1] = off[q] + (len(us[-1]) if a < b else 0)
@@ -550,6 +575,8 @@ class GraphPartition:
         q = self.edge_q[pos]
         r = self.edge_ridx[pos]
         vals = np.repeat(vv[ci], cnt, axis=0)
+        if self._edge_w is not None:
+            vals = self._apply_edge_w(vals, self._edge_w[pos])
         order = np.lexsort((r, q))
         q, r, vals = q[order], r[order], vals[order]
         new = np.r_[True, (q[1:] != q[:-1]) | (r[1:] != r[:-1])]

@@ -1,5 +1,6 @@
 from .text import TokenCount, CharClasses, LangId, Fingerprint, QualityScore, top_k_tokens
 from .hll import HyperLogLog, approx_distinct_tokens
+from .graphstats import host_graph, reciprocity, clustering_coefficient
 from .dedup import (
     exact_dedup,
     shingle_jaccard_pairs,

@@ -25,6 +25,11 @@ CHECKED = [
     "tumbling_1h",
     "top_tokens_100",
     "sessionize",
+    "sssp_weighted",
+    "hits_5",
+    "host_graph",
+    "reciprocity",
+    "clustering_coeff",
 ]
 
 
