@@ -35,6 +35,7 @@ KNN_QUERIES = [0, 1, 2, 3, 4]
 NUM_PARTS = 8
 HITS_ITERS = 5
 SSSP_BOUND = 100  # > max weighted eccentricity of v0 at driver scales
+PPR_SOURCES = [0, 1, 2, 3]
 
 
 def _read(sf_dir: str, name: str):
@@ -505,6 +506,34 @@ def q_clustering(sf_dir: str):
     return clustering_coefficient(_doc_edges_ds(sf_dir)).to_pandas()
 
 
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (teleport to a 4-seed set), 5 fixed
+    iterations — iteration-exact vs the unrolled SQL recurrence."""
+    from linkgraph.algos import personalized_pagerank
+
+    out, _, eng = personalized_pagerank(
+        _doc_edges_ds(sf_dir), PPR_SOURCES, num_parts=NUM_PARTS,
+        damping=DAMPING, tol=0.0, max_iters=PR_ITERS,
+    )
+    df = out.to_pandas()
+    eng.shutdown()
+    return pd.DataFrame({"v": df["v"], "ppr_rank": np.round(df["rank"], 8)})
+
+
+def q_weighted_pagerank(sf_dir: str):
+    """PageRank over deterministic id-derived edge weights via the
+    engine's multiplicative per-edge value channel."""
+    from linkgraph.algos import weighted_pagerank
+
+    out, _, eng = weighted_pagerank(
+        _doc_edges_ds(sf_dir), num_parts=NUM_PARTS, damping=DAMPING,
+        tol=0.0, max_iters=PR_ITERS,
+    )
+    df = out.to_pandas()
+    eng.shutdown()
+    return pd.DataFrame({"v": df["v"], "wpr_rank": np.round(df["rank"], 8)})
+
+
 def q_media_features(sf_dir: str):
     # multimodal plumbing demo: synthetic media table (no media files in
     # the driver tables), deterministic fake decode
@@ -576,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "sssp_weighted": q_sssp,
         "hits_5": q_hits,
+        "ppr_5": q_ppr,
+        "weighted_pagerank_5": q_weighted_pagerank,
         "host_graph": q_host_graph,
         "reciprocity": q_reciprocity,
         "clustering_coeff": q_clustering,
@@ -632,6 +663,70 @@ def _pagerank_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v, round(r, 8) AS pr_rank FROM r{PR_ITERS}"
+    )
+
+
+def _ppr_sql() -> str:
+    d = DAMPING
+    srcs = ", ".join(str(s) for s in PPR_SOURCES)
+    tele = f"(CASE WHEN verts.v IN ({srcs}) THEN 1.0/{len(PPR_SOURCES)} ELSE 0.0 END)"
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        "outd AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT v, (CASE WHEN v IN ({srcs}) THEN 1.0/{len(PPR_SOURCES)} "
+        "ELSE 0.0 END) AS r FROM verts)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"dang{i} AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM {p} p "
+            f"LEFT JOIN outd o ON p.v = o.v WHERE o.v IS NULL)"
+        )
+        ctes.append(
+            f"msg{i} AS (SELECT e.dst AS v, sum(p.r / o.deg) AS s FROM e "
+            f"JOIN {p} p ON e.src = p.v JOIN outd o ON e.src = o.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT verts.v, (1 - {d}) * {tele} + {d} * "
+            f"(coalesce(m.s, 0.0) + (SELECT dm FROM dang{i}) * {tele}) AS r "
+            f"FROM verts LEFT JOIN msg{i} m ON verts.v = m.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, round(r, 8) AS ppr_rank FROM r{PR_ITERS}"
+    )
+
+
+def _weighted_pagerank_sql() -> str:
+    d = DAMPING
+    w = "(1 + (7*e.src + 13*e.dst) % 10)"
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        f"outw AS (SELECT e.src AS v, CAST(sum({w}) AS DOUBLE) AS w "
+        "FROM e GROUP BY e.src)",
+        "r0 AS (SELECT v, 1.0/(SELECT n FROM nv) AS r FROM verts)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"dang{i} AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM {p} p "
+            f"LEFT JOIN outw o ON p.v = o.v WHERE o.v IS NULL)"
+        )
+        ctes.append(
+            f"msg{i} AS (SELECT e.dst AS v, sum(p.r / o.w * {w}) AS s FROM e "
+            f"JOIN {p} p ON e.src = p.v JOIN outw o ON e.src = o.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT verts.v, (1 - {d})/(SELECT n FROM nv) + {d} * "
+            f"(coalesce(m.s, 0.0) + (SELECT dm FROM dang{i})/(SELECT n FROM nv)) AS r "
+            f"FROM verts LEFT JOIN msg{i} m ON verts.v = m.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, round(r, 8) AS wpr_rank FROM r{PR_ITERS}"
     )
 
 
@@ -882,6 +977,8 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "ON verts.v = m.v"
         ),
         "hits_5": _hits_sql(),
+        "ppr_5": _ppr_sql(),
+        "weighted_pagerank_5": _weighted_pagerank_sql(),
         "host_graph": (
             f"WITH {e} "
             "SELECT ds.source AS src_host, dd.source AS dst_host, "

@@ -1,4 +1,11 @@
-from .pagerank import PageRankProgram, pagerank
+from .pagerank import (
+    PageRankProgram,
+    PersonalizedPageRankProgram,
+    WeightedPageRankProgram,
+    pagerank,
+    personalized_pagerank,
+    weighted_pagerank,
+)
 from .cc import CCProgram, connected_components
 from .labelprop import LabelPropProgram, label_propagation
 from .triangles import triangle_count
@@ -11,7 +18,11 @@ from .hits import hits_dataset
 
 __all__ = [
     "PageRankProgram",
+    "PersonalizedPageRankProgram",
+    "WeightedPageRankProgram",
     "pagerank",
+    "personalized_pagerank",
+    "weighted_pagerank",
     "CCProgram",
     "connected_components",
     "LabelPropProgram",

@@ -195,6 +195,7 @@ class PartCtx:
     n_total: int  # global vertex count
     edge_src_idx: np.ndarray  # per stored edge: local index of src (int32)
     inv_outdeg: np.ndarray | None = None  # per owned vertex, 0 for danglers
+    w_out_sum: np.ndarray | None = None  # per owned vertex sum of out-edge weights
     changed_idx: np.ndarray | None = None  # set by frontier programs' apply()
     inbox: tuple | None = None  # (local_idx, payload) vertex->vertex messages
     state: dict[str, np.ndarray] = field(default_factory=dict)
@@ -429,6 +430,19 @@ class GraphPartition:
             if ewf is not None and self.n_edges
             else None
         )
+        if ewf is not None:
+            # per-vertex out-weight totals (all out-edges of an owned
+            # vertex are stored locally, so this is the global sum) —
+            # programs normalize shipped values by it (weighted PageRank)
+            self.ctx.w_out_sum = (
+                np.bincount(
+                    self.edge_src_idx,
+                    weights=self._edge_w.astype(np.float64),
+                    minlength=len(self.verts),
+                )
+                if self._edge_w is not None
+                else np.zeros(len(self.verts), np.float64)
+            )
         self.ctx.state = self.prog.init_state(self.ctx)
         if warm and getattr(self, "_warm", None) is not None:
             # carry prior per-vertex state into the extended graph (new

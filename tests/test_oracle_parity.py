@@ -27,6 +27,8 @@ CHECKED = [
     "sessionize",
     "sssp_weighted",
     "hits_5",
+    "ppr_5",
+    "weighted_pagerank_5",
     "host_graph",
     "reciprocity",
     "clustering_coeff",

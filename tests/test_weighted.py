@@ -85,6 +85,78 @@ def test_sssp_random_graph():
     assert got == want
 
 
+def _graph_arrays(edges):
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    verts = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(verts)}
+    si = np.array([idx[int(s)] for s in src])
+    di = np.array([idx[int(d)] for d in dst])
+    return verts, idx, si, di, src, dst
+
+
+def ppr_oracle(edges, sources, d=0.85, iters=5):
+    verts, idx, si, di, _, _ = _graph_arrays(edges)
+    n = len(verts)
+    p = np.zeros(n)
+    for s in sources:
+        if int(s) in idx:
+            p[idx[int(s)]] = 1.0 / len(sources)
+    outdeg = np.bincount(si, minlength=n)
+    r = p.copy()
+    for _ in range(iters):
+        dang = r[outdeg == 0].sum()
+        msg = np.zeros(n)
+        np.add.at(msg, di, r[si] / outdeg[si])
+        r = (1 - d) * p + d * (msg + dang * p)
+    return {int(v): r[i] for v, i in idx.items()}
+
+
+def wpr_oracle(edges, d=0.85, iters=5):
+    verts, idx, si, di, src, dst = _graph_arrays(edges)
+    n = len(verts)
+    w = id_weight(src, dst).astype(np.float64)
+    W = np.bincount(si, weights=w, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[W == 0].sum()
+        msg = np.zeros(n)
+        np.add.at(msg, di, r[si] / W[si] * w)
+        r = (1 - d) / n + d * (msg + dang / n)
+    return {int(v): r[i] for v, i in idx.items()}
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_personalized_pagerank(parts):
+    from linkgraph.algos import personalized_pagerank
+
+    edges = random_edges(150, 600, seed=11)
+    srcs = [int(edges[0][0]), int(edges[1][0])]
+    out, _, eng = personalized_pagerank(
+        edges_ds(edges), srcs, num_parts=parts, tol=0.0, max_iters=5
+    )
+    got = {r["v"]: r["rank"] for r in out.take_all()}
+    eng.shutdown()
+    want = ppr_oracle(edges, srcs)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_weighted_pagerank(parts):
+    from linkgraph.algos import weighted_pagerank
+
+    edges = random_edges(150, 600, seed=12)
+    out, _, eng = weighted_pagerank(edges_ds(edges), num_parts=parts, tol=0.0, max_iters=5)
+    got = {r["v"]: r["rank"] for r in out.take_all()}
+    eng.shutdown()
+    want = wpr_oracle(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
 @pytest.mark.parametrize("name", ["two_cliques_bridge", "star_hub"])
 def test_hits_fixtures(name):
     edges = FIXTURE_GRAPHS[name]
