@@ -534,6 +534,22 @@ def q_weighted_pagerank(sf_dir: str):
     return pd.DataFrame({"v": df["v"], "wpr_rank": np.round(df["rank"], 8)})
 
 
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction: non-adjacent pairs with >= 2 common
+    neighbors, scored sum(1/ln(deg(shared)))."""
+    from linkgraph.ops import adamic_adar
+
+    return adamic_adar(_doc_edges_ds(sf_dir), min_cn=2).to_pandas()
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity (Pearson r of endpoint degrees over the
+    symmetrized undirected edge list); exact int64 moments."""
+    from linkgraph.ops import degree_assortativity
+
+    return degree_assortativity(_doc_edges_ds(sf_dir))
+
+
 def q_media_features(sf_dir: str):
     # multimodal plumbing demo: synthetic media table (no media files in
     # the driver tables), deterministic fake decode
@@ -610,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": q_host_graph,
         "reciprocity": q_reciprocity,
         "clustering_coeff": q_clustering,
+        "adamic_adar": q_adamic_adar,
+        "assortativity": q_assortativity,
     }
 
 
@@ -1010,6 +1028,35 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "round(CASE WHEN deg.degree > 1 THEN 2.0 * coalesce(tv.n, 0) / "
             "(deg.degree * (deg.degree - 1.0)) ELSE 0.0 END, 8) AS clustering "
             "FROM deg LEFT JOIN tv ON deg.v = tv.v"
+        ),
+        "adamic_adar": (
+            f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM e WHERE src <> dst), "
+            "adj AS (SELECT u AS ctr, v AS nbr FROM c "
+            "UNION ALL SELECT v, u FROM c), "
+            "deg AS (SELECT ctr, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY ctr), "
+            "w AS (SELECT a1.ctr AS ctr, a1.nbr AS a, a2.nbr AS b FROM adj a1 "
+            "JOIN adj a2 ON a1.ctr = a2.ctr AND a1.nbr < a2.nbr), "
+            "s AS (SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS common_neighbors, "
+            "sum(1.0 / ln(deg.d)) AS aa FROM w JOIN deg ON w.ctr = deg.ctr "
+            "GROUP BY w.a, w.b) "
+            "SELECT s.a, s.b, s.common_neighbors, round(s.aa, 8) AS adamic_adar "
+            "FROM s LEFT JOIN c ON s.a = c.u AND s.b = c.v "
+            "WHERE c.u IS NULL AND s.common_neighbors >= 2"
+        ),
+        "assortativity": (
+            f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM e WHERE src <> dst), "
+            "adj AS (SELECT u AS ctr, v AS nbr FROM c "
+            "UNION ALL SELECT v, u FROM c), "
+            "deg AS (SELECT ctr, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY ctr), "
+            "pts AS (SELECT da.d AS x, db.d AS y FROM adj "
+            "JOIN deg da ON adj.ctr = da.ctr JOIN deg db ON adj.nbr = db.ctr), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, "
+            "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy, "
+            "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy FROM pts) "
+            "SELECT n AS n_points, round((n*sxy - sx*sy) / "
+            "(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 8) AS assortativity FROM m"
         ),
         # langid / fingerprint / minhash_dedup / simhash_dedup /
         # media_features: heuristic or probabilistic — rows-only check;

@@ -1,6 +1,12 @@
 from .text import TokenCount, CharClasses, LangId, Fingerprint, QualityScore, top_k_tokens
 from .hll import HyperLogLog, approx_distinct_tokens
-from .graphstats import host_graph, reciprocity, clustering_coefficient
+from .graphstats import (
+    host_graph,
+    reciprocity,
+    clustering_coefficient,
+    adamic_adar,
+    degree_assortativity,
+)
 from .dedup import (
     exact_dedup,
     shingle_jaccard_pairs,

@@ -1,0 +1,99 @@
+"""Webgraph stats ops vs single-threaded numpy oracles on fixture +
+random graphs (the SQL-oracle parity at driver scale lives in
+test_oracle_parity.py; this covers edge cases and the max_degree cap)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from linkgraph.ops import adamic_adar, degree_assortativity
+from oracles import FIXTURE_GRAPHS, random_edges
+
+
+def edges_ds(edges):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+
+
+def _undirected(edges):
+    pairs = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs = {}
+    for u, v in pairs:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    return pairs, nbrs
+
+
+def aa_oracle(edges, min_cn=2, max_degree=None):
+    pairs, nbrs = _undirected(edges)
+    out = {}
+    for z, nz in nbrs.items():
+        if len(nz) < 2 or (max_degree is not None and len(nz) > max_degree):
+            continue
+        ns = sorted(nz)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                k = (ns[i], ns[j])
+                cn, aa = out.get(k, (0, 0.0))
+                out[k] = (cn + 1, aa + 1.0 / np.log(len(nz)))
+    return {
+        k: (cn, round(aa, 8))
+        for k, (cn, aa) in out.items()
+        if cn >= min_cn and k not in pairs
+    }
+
+
+def assort_oracle(edges):
+    pairs, nbrs = _undirected(edges)
+    deg = {v: len(n) for v, n in nbrs.items()}
+    xs, ys = [], []
+    for u, v in pairs:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    x = np.array(xs, np.int64)
+    y = np.array(ys, np.int64)
+    n = len(x)
+    r = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        np.sqrt(n * (x * x).sum() - x.sum() ** 2)
+        * np.sqrt(n * (y * y).sum() - y.sum() ** 2)
+    )
+    return n, round(float(r), 8)
+
+
+def test_adamic_adar_random():
+    edges = random_edges(80, 400, seed=21)
+    df = adamic_adar(edges_ds(edges), min_cn=2, num_partitions=2).to_pandas()
+    got = {
+        (int(r["a"]), int(r["b"])): (int(r["common_neighbors"]), r["adamic_adar"])
+        for _, r in df.iterrows()
+    }
+    want = aa_oracle(edges, min_cn=2)
+    assert set(got) == set(want)
+    for k, (cn, aa) in want.items():
+        assert got[k][0] == cn
+        assert abs(got[k][1] - aa) < 1e-7
+
+
+def test_adamic_adar_degree_cap():
+    edges = FIXTURE_GRAPHS["star_hub"] + [(1, 2), (3, 4)]
+    # cap below the hub's degree: hub-centered wedges are skipped
+    df = adamic_adar(edges_ds(edges), min_cn=1, max_degree=10, num_partitions=2).to_pandas()
+    got = {(int(r["a"]), int(r["b"])) for _, r in df.iterrows()}
+    want = set(aa_oracle(edges, min_cn=1, max_degree=10))
+    assert got == want
+
+
+def test_assortativity_random():
+    edges = random_edges(120, 600, seed=22)
+    df = degree_assortativity(edges_ds(edges), num_partitions=2)
+    n, r = assort_oracle(edges)
+    assert int(df["n_points"][0]) == n
+    assert abs(df["assortativity"][0] - r) < 1e-9

@@ -32,6 +32,8 @@ CHECKED = [
     "host_graph",
     "reciprocity",
     "clustering_coeff",
+    "adamic_adar",
+    "assortativity",
 ]
 
 
