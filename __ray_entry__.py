@@ -534,6 +534,15 @@ def q_weighted_pagerank(sf_dir: str):
     return pd.DataFrame({"v": df["v"], "wpr_rank": np.round(df["rank"], 8)})
 
 
+def q_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document (tf * ln(N/df), ties by term)."""
+    from linkgraph.ops import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _read(sf_dir, "documents"), _n_docs(sf_dir), k=3
+    ).to_pandas()
+
+
 def q_adamic_adar(sf_dir: str):
     """Adamic-Adar link prediction: non-adjacent pairs with >= 2 common
     neighbors, scored sum(1/ln(deg(shared)))."""
@@ -628,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q_clustering,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
+        "tfidf_top3": q_tfidf,
     }
 
 
@@ -1057,6 +1067,22 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy FROM pts) "
             "SELECT n AS n_points, round((n*sxy - sx*sy) / "
             "(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 8) AS assortativity FROM m"
+        ),
+        "tfidf_top3": (
+            "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM t GROUP BY 1, 2), "
+            "dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM "
+            "(SELECT DISTINCT doc_id, term FROM t) GROUP BY term), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf, "
+            "tf.tf * ln((SELECT n FROM nn) / dfr.df) AS score "
+            "FROM tf JOIN dfr USING (term)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) AS term_rank FROM s) "
+            "SELECT doc_id, term, tf, round(score, 8) AS tfidf, term_rank "
+            "FROM r WHERE term_rank <= 3"
         ),
         # langid / fingerprint / minhash_dedup / simhash_dedup /
         # media_features: heuristic or probabilistic — rows-only check;

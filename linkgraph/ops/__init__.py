@@ -1,4 +1,12 @@
-from .text import TokenCount, CharClasses, LangId, Fingerprint, QualityScore, top_k_tokens
+from .text import (
+    TokenCount,
+    CharClasses,
+    LangId,
+    Fingerprint,
+    QualityScore,
+    top_k_tokens,
+    tfidf_top_terms,
+)
 from .hll import HyperLogLog, approx_distinct_tokens
 from .graphstats import (
     host_graph,

@@ -211,6 +211,96 @@ class TokenPartialCounts:
         )
 
 
+class DocTermCounts:
+    """(doc_id, text) -> (doc_id, term, tf) exact per-doc term
+    frequencies (each doc lives in one batch, so per-doc Counters are
+    complete); regex compiled once per actor."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, terms, tfs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            c = Counter(self.tok.findall(t))
+            ids.extend([d] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(np.asarray(tfs, np.int64)),
+            }
+        )
+
+
+def tfidf_top_terms(docs, n_docs: int, k: int = 3, num_buckets: int = 32):
+    """Per-document top-k TF-IDF terms: (doc_id, term, tf, tfidf,
+    term_rank), score = tf * ln(N / df), rank ties broken by term asc.
+
+    Stages: per-batch doc-term counting (actor pool, complete per doc)
+    -> df = groupby(term) sum of per-batch DISTINCT-doc partials (the
+    doc-term rows ARE the distinct pairs) -> hash join tf x df on term
+    (df is corpus-sized vocabulary: joined, never broadcast) -> top-k
+    per doc inside doc-hash buckets (vectorized sort + head, no
+    per-doc Python)."""
+    from ray.data.aggregate import Sum
+
+    dt = docs.map_batches(
+        DocTermCounts, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        terms, cnt = np.unique(t.column("term").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"term": pa.array(terms), "_c": pa.array(cnt.astype(np.int64))})
+
+    dfreq = (
+        dt.map_batches(df_partial, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby("term")
+        .aggregate(Sum("_c", alias_name="df"))
+    )
+
+    joined = dt.join(
+        dfreq, join_type="inner", num_partitions=max(4, num_buckets // 4),
+        on=("term",), right_on=("term",),
+    )
+
+    B = num_buckets
+    N = float(n_docs)
+
+    def score_bucket(t: pa.Table) -> pd.DataFrame:
+        d = t.column("doc_id").to_numpy()
+        tf = t.column("tf").to_numpy()
+        df_ = t.column("df").to_numpy()
+        return pd.DataFrame(
+            {
+                "bucket": d % B,
+                "doc_id": d,
+                "term": t.column("term").to_numpy(zero_copy_only=False),
+                "tf": tf,
+                "score": tf * np.log(N / df_),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["term_rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g["tfidf"] = np.round(g["score"].to_numpy(), 8)
+        return g[["doc_id", "term", "tf", "tfidf", "term_rank"]]
+
+    return (
+        joined.map_batches(score_bucket, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def top_k_tokens(docs, k: int = 100):
     """EXACT top-k most frequent tokens over the corpus: per-batch
     combiner -> groupby(token).sum -> global sort by (cnt desc, token

@@ -34,6 +34,7 @@ CHECKED = [
     "clustering_coeff",
     "adamic_adar",
     "assortativity",
+    "tfidf_top3",
 ]
 
 
