@@ -534,6 +534,16 @@ def q_weighted_pagerank(sf_dir: str):
     return pd.DataFrame({"v": df["v"], "wpr_rank": np.round(df["rank"], 8)})
 
 
+def q_scc(sf_dir: str):
+    """Strongly connected components (forward-backward coloring over
+    two edge orientations with engine state-ref handoff); label = max
+    member id."""
+    from linkgraph.algos import strongly_connected_components
+
+    out, _ = strongly_connected_components(_doc_edges_ds(sf_dir), num_parts=NUM_PARTS)
+    return out.to_pandas()
+
+
 def q_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (tf * ln(N/df), ties by term)."""
     from linkgraph.ops import tfidf_top_terms
@@ -638,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
         "tfidf_top3": q_tfidf,
+        "scc_labels": q_scc,
     }
 
 
@@ -1067,6 +1078,15 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy FROM pts) "
             "SELECT n AS n_points, round((n*sxy - sx*sy) / "
             "(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 8) AS assortativity FROM m"
+        ),
+        "scc_labels": (
+            f"WITH RECURSIVE {e},\n{_VERTS},\n"
+            "reach(a, b) AS ("
+            " SELECT v, v FROM verts"
+            " UNION"
+            " SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src)\n"
+            "SELECT r1.a AS v, max(r1.b) AS scc FROM reach r1 "
+            "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a"
         ),
         "tfidf_top3": (
             "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, "

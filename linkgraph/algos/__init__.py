@@ -15,6 +15,7 @@ from .gcn import gcn_features
 from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .hits import hits_dataset
+from .scc import strongly_connected_components
 
 __all__ = [
     "PageRankProgram",
@@ -35,4 +36,5 @@ __all__ = [
     "assemble_walks",
     "sssp_weighted",
     "hits_dataset",
+    "strongly_connected_components",
 ]

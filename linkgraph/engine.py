@@ -773,6 +773,27 @@ class GraphPartition:
         1+ ahead of the driver's logical count inside a burst)."""
         return getattr(self, "_applied_iters", 0)
 
+    # ---- cross-engine state handoff (multi-phase algorithms) ----------
+    # Two engines over the same vertex set with the same num_parts have
+    # IDENTICAL per-partition vertex layouts (ownership is the static id
+    # hash), so per-vertex state moves between them as one object-store
+    # ref per partition — no driver materialization, no disk. Used by
+    # forward-backward algorithms (SCC) where each phase runs on a
+    # different edge orientation.
+
+    def export_state(self, cols: list[str]) -> dict:
+        return {c: self.ctx.state[c] for c in cols}
+
+    def import_state(self, d: dict) -> None:
+        for c, arr in d.items():
+            self.ctx.state[c] = np.asarray(arr).copy()  # refs arrive read-only
+
+    def map_state(self, fn) -> dict:
+        """Apply ``fn(ctx) -> stats dict`` in place on this partition's
+        state (the distributed epilogue step of a phase, e.g. 'assign
+        scc = color where flagged')."""
+        return fn(self.ctx)
+
     # ---- random walks (training-corpus generation) --------------------
     # DeepWalk/node2vec-style seeded walks over the partitioned CSR.
     # Walk state hops between partitions exactly like superstep messages;
@@ -1112,6 +1133,7 @@ class SuperstepEngine:
         resume: bool = False,
         burst_size: int | None = None,
         warm_start: bool = False,
+        import_state: list | None = None,
     ) -> dict:
         """Run to convergence. Returns summary metrics dict.
 
@@ -1130,6 +1152,13 @@ class SuperstepEngine:
         stats0 = ray.get(
             [a.init_program.remote(prog, self.n_total, warm_start) for a in self.actors]
         )
+        if import_state is not None:
+            # one ref per partition (from export_state_refs of an engine
+            # with identical layout) — overwrites the named state columns
+            # after init_state, before the first scatter
+            ray.get(
+                [a.import_state.remote(r) for a, r in zip(self.actors, import_state)]
+            )
         g = prog.driver_init(stats0)
         start_iter = 0
         metrics_path = None
@@ -1234,6 +1263,20 @@ class SuperstepEngine:
         return it + 1, g2
 
     # ---- results -----------------------------------------------------
+    def export_state_refs(self, cols: list[str]) -> list:
+        """One object-store ref per partition holding {col: ndarray} —
+        hand to ``run(import_state=...)`` / ``import_state_refs`` of an
+        engine with the same num_parts over the same vertex set."""
+        return [a.export_state.remote(cols) for a in self.actors]
+
+    def import_state_refs(self, refs: list) -> None:
+        ray.get([a.import_state.remote(r) for a, r in zip(self.actors, refs)])
+
+    def map_state(self, fn) -> list[dict]:
+        """Run ``fn(ctx) -> stats`` on every partition's state in place;
+        returns the per-partition stats."""
+        return ray.get([a.map_state.remote(fn) for a in self.actors])
+
     def state_dataset(self, id_col: str = "v", columns: list[str] | None = None) -> Dataset:
         import ray.data
 

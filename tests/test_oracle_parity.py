@@ -35,6 +35,7 @@ CHECKED = [
     "adamic_adar",
     "assortativity",
     "tfidf_top3",
+    "scc_labels",
 ]
 
 
