@@ -534,6 +534,17 @@ def q_weighted_pagerank(sf_dir: str):
     return pd.DataFrame({"v": df["v"], "wpr_rank": np.round(df["rank"], 8)})
 
 
+def q_hyperanf(sf_dir: str):
+    """HyperANF neighborhood function (rows-only — probabilistic
+    sketch; deterministic splitmix64 hashing so the output is stable;
+    pytest asserts <15% error vs the exact neighborhood function and
+    partition-count invariance)."""
+    from linkgraph.algos import hyperanf
+
+    df, _ = hyperanf(_doc_edges_ds(sf_dir), p=7, num_parts=NUM_PARTS)
+    return df
+
+
 def q_scc(sf_dir: str):
     """Strongly connected components (forward-backward coloring over
     two edge orientations with engine state-ref handoff); label = max
@@ -649,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q_assortativity,
         "tfidf_top3": q_tfidf,
         "scc_labels": q_scc,
+        "hyperanf_nf": q_hyperanf,
     }
 
 

@@ -16,6 +16,7 @@ from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .hits import hits_dataset
 from .scc import strongly_connected_components
+from .hyperanf import hyperanf
 
 __all__ = [
     "PageRankProgram",
@@ -37,4 +38,5 @@ __all__ = [
     "sssp_weighted",
     "hits_dataset",
     "strongly_connected_components",
+    "hyperanf",
 ]

@@ -655,7 +655,7 @@ class GraphPartition:
                     big = np.array(np.inf, v0.dtype)
                 else:
                     big = np.array(np.iinfo(v0.dtype).max, v0.dtype)
-                dense = np.full(n_local, big, v0.dtype)
+                dense = np.full((n_local,) + v0.shape[1:], big, v0.dtype)
                 for i, v, _ in slices:
                     dense[i] = np.minimum(dense[i], v)
                     touched[i] = True
@@ -1216,6 +1216,9 @@ class SuperstepEngine:
             "edges_per_sec": self.n_edges * max(iters_run, 1) / wall if wall > 0 else 0.0,
             "n_vertices": self.n_total,
             "n_edges": self.n_edges,
+            # per-iteration driver metrics (flushed to metrics.jsonl and
+            # truncated here when checkpointing)
+            "history": history,
         }
 
     # ---- checkpoint / resume ----------------------------------------
