@@ -572,6 +572,14 @@ def q_adamic_adar(sf_dir: str):
     return adamic_adar(_doc_edges_ds(sf_dir), min_cn=2).to_pandas()
 
 
+def q_edge_jaccard(sf_dir: str):
+    """Neighborhood Jaccard similarity of adjacent pairs (tie
+    strength) for edges with >= 1 common neighbor."""
+    from linkgraph.ops import edge_jaccard
+
+    return edge_jaccard(_doc_edges_ds(sf_dir)).to_pandas()
+
+
 def q_assortativity(sf_dir: str):
     """Degree assortativity (Pearson r of endpoint degrees over the
     symmetrized undirected edge list); exact int64 moments."""
@@ -658,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q_clustering,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
+        "edge_jaccard": q_edge_jaccard,
         "tfidf_top3": q_tfidf,
         "scc_labels": q_scc,
         "hyperanf_nf": q_hyperanf,
@@ -1076,6 +1085,20 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT s.a, s.b, s.common_neighbors, round(s.aa, 8) AS adamic_adar "
             "FROM s LEFT JOIN c ON s.a = c.u AND s.b = c.v "
             "WHERE c.u IS NULL AND s.common_neighbors >= 2"
+        ),
+        "edge_jaccard": (
+            f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM e WHERE src <> dst), "
+            "adj AS (SELECT u AS ctr, v AS nbr FROM c "
+            "UNION ALL SELECT v, u FROM c), "
+            "deg AS (SELECT ctr, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY ctr), "
+            "w AS (SELECT a1.nbr AS a, a2.nbr AS b, "
+            "CAST(count(*) AS BIGINT) AS cn FROM adj a1 "
+            "JOIN adj a2 ON a1.ctr = a2.ctr AND a1.nbr < a2.nbr GROUP BY 1, 2) "
+            "SELECT w.a, w.b, w.cn AS common_neighbors, "
+            "round(CAST(w.cn AS DOUBLE) / (da.d + db.d - w.cn), 8) AS jaccard "
+            "FROM w JOIN c ON w.a = c.u AND w.b = c.v "
+            "JOIN deg da ON w.a = da.ctr JOIN deg db ON w.b = db.ctr"
         ),
         "assortativity": (
             f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "

@@ -14,6 +14,7 @@ from .graphstats import (
     clustering_coefficient,
     adamic_adar,
     degree_assortativity,
+    edge_jaccard,
 )
 from .dedup import (
     exact_dedup,

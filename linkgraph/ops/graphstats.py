@@ -207,6 +207,142 @@ def adamic_adar(
     )
 
 
+def edge_jaccard(
+    edges: Dataset,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Neighborhood Jaccard similarity of ADJACENT pairs (the classic
+    link-strength / tie-strength signal): for every undirected edge
+    (a < b) with at least one common neighbor,
+    (a, b, common_neighbors, jaccard) with
+    J = |N(a) ∩ N(b)| / (deg(a) + deg(b) - |N(a) ∩ N(b)|).
+
+    Same wedge pipeline as adamic_adar but the pair-bucket merge is an
+    INNER merge against the edge set (keep wedge pairs that ARE edges),
+    then one hash join per endpoint brings the distinct-neighbor
+    degrees."""
+    from ..algos.triangles import _canonical_bucketed
+
+    P = _nparts(num_partitions)
+    B = max(P * 4, 16)
+    cpairs = _canonical_bucketed(edges, B).materialize()
+
+    def adj(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        ctr = np.concatenate([u, v])
+        nbr = np.concatenate([v, u])
+        return pa.table(
+            {"part": pa.array(ctr % B), "ctr": pa.array(ctr), "nbr": pa.array(nbr)}
+        )
+
+    adj_ds = cpairs.map_batches(adj, batch_format="pyarrow", batch_size=1 << 20)
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["ctr"].to_numpy()
+        b = g["nbr"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        pa_, pb_ = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            nb = b[s:e]
+            pa_.append(nb[i])
+            pb_.append(nb[j])
+        if not pa_:
+            return pd.DataFrame(
+                {"part2": pd.Series([], dtype=np.int64),
+                 "kind": pd.Series([], dtype=np.int8),
+                 "a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+                 "cn": pd.Series([], dtype=np.int64)}
+            )
+        x, y = np.concatenate(pa_), np.concatenate(pb_)
+        key = np.stack([x, y], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "part2": (uk[:, 0] + 31 * uk[:, 1]) % B,
+                "kind": np.ones(len(uk), np.int8),
+                "a": uk[:, 0],
+                "b": uk[:, 1],
+                "cn": np.bincount(inv).astype(np.int64),
+            }
+        )
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        return pd.DataFrame(
+            {
+                "part2": (u + 31 * v) % B,
+                "kind": np.zeros(len(u), np.int8),
+                "a": u,
+                "b": v,
+                "cn": np.zeros(len(u), np.int64),
+            }
+        )
+
+    def inner_merge(g: pd.DataFrame) -> pd.DataFrame:
+        sc = g[g["kind"] == 1]
+        ed = g[g["kind"] == 0]
+        if not len(sc) or not len(ed):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+                 "cn": pd.Series([], dtype=np.int64)}
+            )
+        key = np.stack([sc["a"].to_numpy(), sc["b"].to_numpy()], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        cn = np.bincount(inv, weights=sc["cn"].to_numpy()).astype(np.int64)
+        sdf = pd.DataFrame({"a": uk[:, 0], "b": uk[:, 1], "cn": cn})
+        return sdf.merge(ed[["a", "b"]].drop_duplicates(), on=["a", "b"], how="inner")
+
+    on_edges = (
+        adj_ds.groupby("part")
+        .map_groups(wedge_pairs, batch_format="pandas")
+        .union(cpairs.map_batches(tag_edges, batch_format="pandas"))
+        .groupby("part2")
+        .map_groups(inner_merge, batch_format="pandas")
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids, cnt = np.unique(t.column("ctr").to_numpy(), return_counts=True)
+        return pa.table({"v": pa.array(ids), "_c": pa.array(cnt.astype(np.int64))})
+
+    deg = (
+        adj_ds.map_batches(deg_partial, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby("v")
+        .aggregate(Sum("_c", alias_name="d"))
+        .materialize()
+    )
+
+    joined = on_edges.join(
+        deg, join_type="inner", num_partitions=P, on=("a",), right_on=("v",)
+    ).rename_columns({"d": "da"}).join(
+        deg, join_type="inner", num_partitions=P, on=("b",), right_on=("v",),
+        right_suffix="_b",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cn = t.column("cn").to_numpy()
+        da = t.column("da").to_numpy().astype(np.float64)
+        db = t.column("d").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "common_neighbors": pa.array(cn),
+                "jaccard": pa.array(np.round(cn / (da + db - cn), 8)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def degree_assortativity(
     edges: Dataset, num_partitions: int | None = None
 ) -> pd.DataFrame:

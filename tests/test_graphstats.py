@@ -91,6 +91,32 @@ def test_adamic_adar_degree_cap():
     assert got == want
 
 
+def jaccard_oracle(edges):
+    pairs, nbrs = _undirected(edges)
+    out = {}
+    for u, v in pairs:
+        cn = len(nbrs[u] & nbrs[v])
+        if cn:
+            out[(u, v)] = (cn, round(cn / (len(nbrs[u]) + len(nbrs[v]) - cn), 8))
+    return out
+
+
+def test_edge_jaccard_random():
+    from linkgraph.ops import edge_jaccard
+
+    edges = random_edges(80, 400, seed=23)
+    df = edge_jaccard(edges_ds(edges), num_partitions=2).to_pandas()
+    got = {
+        (int(r["a"]), int(r["b"])): (int(r["common_neighbors"]), r["jaccard"])
+        for _, r in df.iterrows()
+    }
+    want = jaccard_oracle(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-8
+
+
 def test_assortativity_random():
     edges = random_edges(120, 600, seed=22)
     df = degree_assortativity(edges_ds(edges), num_partitions=2)

@@ -34,6 +34,7 @@ CHECKED = [
     "clustering_coeff",
     "adamic_adar",
     "assortativity",
+    "edge_jaccard",
     "tfidf_top3",
     "scc_labels",
 ]
