@@ -572,6 +572,16 @@ def q_adamic_adar(sf_dir: str):
     return adamic_adar(_doc_edges_ds(sf_dir), min_cn=2).to_pandas()
 
 
+def q_knn_graph(sf_dir: str):
+    """Approximate kNN graph over all embedding vectors (IVF self-join;
+    rows-only — approximate; pytest asserts recall >= 0.9 vs exact)."""
+    from linkgraph.ops.knn import knn_graph_ivf
+
+    return knn_graph_ivf(
+        _read(sf_dir, "embeddings"), k=5, n_lists=16, nprobe=12
+    ).to_pandas()
+
+
 def q_edge_jaccard(sf_dir: str):
     """Neighborhood Jaccard similarity of adjacent pairs (tie
     strength) for edges with >= 1 common neighbor."""
@@ -651,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_graph": q_knn_graph,
         "random_walks_4": q_random_walks,
         "tumbling_1h": q_tumbling,
         "hopping_1h_15m": q_hopping,

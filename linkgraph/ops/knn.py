@@ -290,7 +290,7 @@ class _IvfAssignRows:
         import ray
 
         self.C = ray.get(cref)
-        self.qset = ray.get(qref)
+        self.qset = None if qref is None else ray.get(qref)
         self.nprobe = min(nprobe, len(self.C))
         self.id_col = id_col
         self.B = B
@@ -309,7 +309,10 @@ class _IvfAssignRows:
         out_vid = [ids]
         out_isq = [np.zeros(n, np.int8)]
         out_rows = [np.arange(n)]
-        qpos = np.flatnonzero(np.isin(ids, self.qset))
+        # qset None = every vector is a query (kNN-graph construction)
+        qpos = (
+            np.arange(n) if self.qset is None else np.flatnonzero(np.isin(ids, self.qset))
+        )
         if len(qpos):
             # top-nprobe lists per query (includes its home list)
             top = np.argpartition(-sims[qpos], self.nprobe - 1, axis=1)[:, : self.nprobe]
@@ -432,3 +435,105 @@ def _empty_knn():
             }
         )
     )
+
+
+def knn_graph_ivf(
+    embeddings: Dataset,
+    k: int = 5,
+    n_lists: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    num_buckets: int = 64,
+    centroids: np.ndarray | None = None,
+) -> Dataset:
+    """Approximate kNN GRAPH (every vector is a query) via an IVF
+    self-join — the similarity-graph construction step of embedding
+    pipelines (near-dup clustering, diversity sampling, graph-based
+    ANN indexes):
+
+    1. shared coarse quantizer (sample-trained k-means, broadcast);
+    2. every vector emits 1 member row (home list) + nprobe probe rows;
+    3. ONE groupby(list-hash) shuffle; per list a single (nq x nm)
+       matmul scores probes against members, fully vectorized top-k
+       per probe row (np.argpartition, no per-query Python loop);
+    4. global per-vector top-k inside vector-hash buckets (vectorized
+       sort + head — never a per-query group fn at n-query scale).
+
+    Returns (src, dst, sim, nn_rank): for each vector its k most
+    cosine-similar neighbors. Candidate cost ~ n^2 * nprobe / n_lists
+    bounded per list; nothing driver-side beyond the centroid sample."""
+    import ray
+
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_lists, id_col)
+    cref = ray.put(centroids)
+    rows = embeddings.map_batches(
+        _IvfAssignRows,
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=(1, 4),
+        fn_constructor_args=(cref, None, nprobe, id_col, num_buckets),
+    )
+
+    B = num_buckets
+
+    def score_list(g: pd.DataFrame) -> pd.DataFrame:
+        lst = g["list"].to_numpy()
+        ids = g["vid"].to_numpy()
+        isq = g["isq"].to_numpy().astype(bool)
+        M = np.stack(g["emb"].to_numpy()).astype(np.float64)
+        order = np.lexsort((ids, lst))
+        lst, ids, isq, M = lst[order], ids[order], isq[order], M[order]
+        starts = np.flatnonzero(np.r_[True, lst[1:] != lst[:-1]])
+        ends = np.r_[starts[1:], len(lst)]
+        out_q, out_n, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            qi = np.flatnonzero(isq[s:e])
+            mi = np.flatnonzero(~isq[s:e])
+            if len(qi) == 0 or len(mi) == 0:
+                continue
+            sims = M[s:e][qi] @ M[s:e][mi].T  # (nq, nm)
+            qid, nid = ids[s:e][qi], ids[s:e][mi]
+            sims[qid[:, None] == nid[None, :]] = -np.inf  # mask self
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rsel = np.repeat(np.arange(len(qi)), kk)
+            csel = top.reshape(-1)
+            sv = sims[rsel, csel]
+            keep = np.isfinite(sv)
+            out_q.append(np.repeat(qid, kk)[keep])
+            out_n.append(nid[csel][keep])
+            out_s.append(sv[keep])
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        q = np.concatenate(out_q)
+        return pd.DataFrame(
+            {
+                "bucket": splitmix64(q.astype(np.uint64)).view(np.int64) % B,
+                "src": q,
+                "dst": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    local = rows.groupby("part").map_groups(score_list, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # a probe pair can repeat only if a vector probes a list twice
+        # (it can't: lists are argpartition-distinct) — dedup anyway for
+        # safety, then vectorized per-src top-k
+        g = g.drop_duplicates(subset=["src", "dst"])
+        g = g.sort_values(["src", "sim", "dst"], ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("src", sort=False).head(k).copy()
+        g["nn_rank"] = g.groupby("src", sort=False).cumcount() + 1
+        g["sim"] = np.round(g["sim"].to_numpy(), 8)
+        return g[["src", "dst", "sim", "nn_rank"]]
+
+    return local.groupby("bucket").map_groups(final_topk, batch_format="pandas")

@@ -81,3 +81,22 @@ def test_knn_ivf_deterministic(ray_session):
         a.sort_values(["query_id", "rank"]).reset_index(drop=True),
         b.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_knn_graph_recall(ray_session):
+    from linkgraph.ops.knn import _normalize, knn_graph_ivf
+
+    M = _vectors()
+    ds = _emb_ds(M)
+    df = knn_graph_ivf(ds, k=5, n_lists=16, nprobe=12).to_pandas()
+    assert df["src"].nunique() == len(M)
+    assert (df.groupby("src").size() <= 5).all()
+    S = _normalize(M) @ _normalize(M).T
+    np.fill_diagonal(S, -np.inf)
+    hit = tot = 0
+    for i in range(len(M)):
+        top = set(np.argsort(-S[i])[:5])
+        got = set(df[df["src"] == i]["dst"])
+        hit += len(got & top)
+        tot += 5
+    assert hit / tot >= 0.9
