@@ -6,6 +6,9 @@
     python -m linkgraph cc          --edges edges_dir --out labels_dir ...
     python -m linkgraph labelprop   --edges edges_dir --out labels_dir ...
     python -m linkgraph triangles   --edges edges_dir
+    python -m linkgraph scc         --edges edges_dir --out scc_dir
+    python -m linkgraph sssp        --edges edges_dir --source 0 --out d_dir
+    python -m linkgraph hits        --edges edges_dir --iters 5 --out h_dir
     python -m linkgraph synth-pages --n 100000 --out pages_dir
 
 Owns its Ray session (guarded init), writes partitioned parquet +
@@ -52,6 +55,17 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--damping", type=float, default=0.85)
     p = sub.add_parser("triangles")
     common(p)
+
+    p = sub.add_parser("scc")
+    common(p)
+
+    p = sub.add_parser("sssp")
+    common(p)
+    p.add_argument("--source", type=int, required=True)
+
+    p = sub.add_parser("hits")
+    common(p)
+    p.add_argument("--iters", type=int, default=5)
 
     args = ap.parse_args(argv)
 
@@ -136,6 +150,34 @@ def main(argv: list[str] | None = None) -> int:
             from .algos import triangle_count
 
             print(json.dumps({"n_triangles": triangle_count(edges)}))
+        elif args.cmd == "scc":
+            from .algos import strongly_connected_components
+
+            res, summary = strongly_connected_components(
+                edges, num_parts=args.parts, max_iters=args.max_iters
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="scc")
+            print(json.dumps({"out": args.out, "rounds": summary["rounds"]}))
+        elif args.cmd == "sssp":
+            from .algos import sssp_weighted
+
+            res, summary, eng = sssp_weighted(
+                edges, args.source, num_parts=args.parts, max_iters=args.max_iters
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="sssp")
+            eng.shutdown()
+            print(json.dumps({"out": args.out, "iterations": summary["iterations"]}))
+        elif args.cmd == "hits":
+            from .algos import hits_dataset
+
+            res = hits_dataset(edges, iters=args.iters)
+            if args.out:
+                write_partitioned(res, args.out, tag="hits")
+            else:
+                res = res.materialize()
+            print(json.dumps({"out": args.out, "iters": args.iters}))
         return 0
     finally:
         ray.shutdown()
