@@ -114,6 +114,18 @@ def run_bench() -> dict:
     except Exception as ex:  # record and continue: partial bench > no bench
         extra.setdefault("errors", []).append(f"triangles: {ex}")
 
+    # 5b. SCC on the directed page graph (forward-backward coloring,
+    # two engines + state-ref handoff)
+    try:
+        from linkgraph.algos import strongly_connected_components
+
+        t0 = time.perf_counter()
+        _, s_scc = strongly_connected_components(edges, num_parts=NUM_PARTS)
+        q["scc"] = time.perf_counter() - t0
+        extra["scc_rounds"] = s_scc["rounds"]
+    except Exception as ex:
+        extra.setdefault("errors", []).append(f"scc: {ex}")
+
     # 6. doc-ops track over the sf tables
     from linkgraph.ops import knn_cosine, minhash_dedup_pairs, tumbling_window
 
@@ -132,6 +144,12 @@ def run_bench() -> dict:
         ev = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"))
         tumbling_window(ev, minutes=60).count()
         q["tumbling_window"] = time.perf_counter() - t0
+
+        from linkgraph.ops.knn import knn_graph_ivf
+
+        t0 = time.perf_counter()
+        knn_graph_ivf(emb, k=5, n_lists=16, nprobe=12).count()
+        q["knn_graph"] = time.perf_counter() - t0
     except Exception as ex:
         extra.setdefault("errors", []).append(f"doc-ops: {ex}")
 
