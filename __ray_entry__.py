@@ -582,6 +582,19 @@ def q_knn_graph(sf_dir: str):
     ).to_pandas()
 
 
+def q_lp_quotient(sf_dir: str):
+    """Quotient (super)graph: contract the doc graph by its 3-iteration
+    label-propagation communities — inter/intra-community edge counts."""
+    from linkgraph.algos import label_propagation
+    from linkgraph.ops import quotient_graph
+
+    edges = _doc_edges_ds(sf_dir).materialize()
+    labels, _, eng = label_propagation(edges, num_parts=NUM_PARTS, max_iters=LP_ITERS)
+    df = quotient_graph(edges, labels.materialize()).to_pandas()
+    eng.shutdown()
+    return df
+
+
 def q_edge_jaccard(sf_dir: str):
     """Neighborhood Jaccard similarity of adjacent pairs (tie
     strength) for edges with >= 1 common neighbor."""
@@ -678,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
         "edge_jaccard": q_edge_jaccard,
+        "lp_quotient": q_lp_quotient,
         "tfidf_top3": q_tfidf,
         "scc_labels": q_scc,
         "hyperanf_nf": q_hyperanf,
@@ -834,7 +848,7 @@ def _hits_sql() -> str:
     )
 
 
-def _labelprop_sql() -> str:
+def _labelprop_ctes() -> list[str]:
     ctes = [
         _edges_cte(),
         _VERTS,
@@ -856,7 +870,27 @@ def _labelprop_sql() -> str:
             f"LEFT JOIN (SELECT v, label FROM w{i} WHERE rn = 1) w ON verts.v = w.v "
             f"JOIN {p} p ON verts.v = p.v)"
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{LP_ITERS}"
+    return ctes
+
+
+def _labelprop_sql() -> str:
+    return (
+        "WITH " + ",\n".join(_labelprop_ctes()) + f"\nSELECT v, label FROM l{LP_ITERS}"
+    )
+
+
+def _lp_quotient_sql() -> str:
+    ctes = _labelprop_ctes()
+    last = f"l{LP_ITERS}"
+    ctes.append(
+        f"q1 AS (SELECT la.label AS src_label, lb.label AS dst_label FROM e "
+        f"JOIN {last} la ON e.src = la.v JOIN {last} lb ON e.dst = lb.v)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT src_label, dst_label, count(*) AS n_edges "
+        "FROM q1 GROUP BY 1, 2"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1097,6 +1131,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "FROM s LEFT JOIN c ON s.a = c.u AND s.b = c.v "
             "WHERE c.u IS NULL AND s.common_neighbors >= 2"
         ),
+        "lp_quotient": _lp_quotient_sql(),
         "edge_jaccard": (
             f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
             "greatest(src, dst) AS v FROM e WHERE src <> dst), "

@@ -15,6 +15,7 @@ from .graphstats import (
     adamic_adar,
     degree_assortativity,
     edge_jaccard,
+    quotient_graph,
 )
 from .dedup import (
     exact_dedup,

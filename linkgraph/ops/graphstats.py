@@ -412,6 +412,40 @@ def degree_assortativity(
     )
 
 
+def quotient_graph(
+    edges: Dataset,
+    labels: Dataset,
+    id_col: str = "v",
+    label_col: str = "label",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Contract the graph by a vertex labeling (communities, components,
+    hosts): edges(src, dst) x labels(v, label) -> (src_label, dst_label,
+    n_edges), including intra-label rows — the supergraph construction
+    step of multilevel community / coarsening pipelines.
+
+    Two hash joins map endpoints to labels (the label table is joined,
+    never broadcast — at web scale #labels is itself large), a per-batch
+    combiner pre-aggregates label pairs, one small groupby sums."""
+    P = _nparts(num_partitions)
+    j1 = edges.join(
+        labels, join_type="inner", num_partitions=P, on=("src",), right_on=(id_col,)
+    ).select_columns(["dst", label_col]).rename_columns({label_col: "src_label"})
+    j2 = j1.join(
+        labels, join_type="inner", num_partitions=P, on=("dst",), right_on=(id_col,)
+    ).select_columns(["src_label", label_col]).rename_columns({label_col: "dst_label"})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src_label", "dst_label"]).aggregate([("src_label", "count")])
+        return g.rename_columns(["src_label", "dst_label", "_c"])
+
+    return (
+        j2.map_batches(combine, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby(["src_label", "dst_label"])
+        .aggregate(Sum("_c", alias_name="n_edges"))
+    )
+
+
 def reciprocity(edges: Dataset, num_partitions: int | None = None) -> pd.DataFrame:
     """Edge reciprocity of the directed graph: one row
     (n_edges, n_reciprocal, reciprocity) where n_reciprocal counts

@@ -123,3 +123,29 @@ def test_assortativity_random():
     n, r = assort_oracle(edges)
     assert int(df["n_points"][0]) == n
     assert abs(df["assortativity"][0] - r) < 1e-9
+
+
+def test_quotient_graph_random():
+    from linkgraph.ops import quotient_graph
+
+    edges = random_edges(100, 500, seed=31)
+    verts = sorted({v for e in edges for v in e})
+    lab = {v: v % 7 for v in verts}
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(verts, pa.int64()),
+                "label": pa.array([lab[v] for v in verts], pa.int64()),
+            }
+        )
+    )
+    df = quotient_graph(edges_ds(edges), labels, num_partitions=2).to_pandas()
+    want = {}
+    for s, d in edges:
+        k = (lab[s], lab[d])
+        want[k] = want.get(k, 0) + 1
+    got = {
+        (int(r["src_label"]), int(r["dst_label"])): int(r["n_edges"])
+        for _, r in df.iterrows()
+    }
+    assert got == want
