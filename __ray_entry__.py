@@ -545,6 +545,21 @@ def q_hyperanf(sf_dir: str):
     return df
 
 
+def q_betweenness(sf_dir: str):
+    """Approximate betweenness centrality (rows-only — iterative
+    multi-source Brandes, not SQL-expressible; pytest holds the
+    textbook-Brandes oracle): dependency sums from the 4 highest-degree
+    sources on the undirected doc graph, vertices with bc > 0."""
+    from linkgraph.algos import betweenness
+
+    out, _, eng = betweenness(_doc_edges_ds(sf_dir), k_sources=4, num_parts=NUM_PARTS)
+    df = out.to_pandas()
+    eng.shutdown()
+    df = df[df["bc"] > 0].reset_index(drop=True)
+    df["bc"] = df["bc"].round(6)
+    return df
+
+
 def q_scc(sf_dir: str):
     """Strongly connected components (forward-backward coloring over
     two edge orientations with engine state-ref handoff); label = max
@@ -591,6 +606,20 @@ def q_lp_quotient(sf_dir: str):
     edges = _doc_edges_ds(sf_dir).materialize()
     labels, _, eng = label_propagation(edges, num_parts=NUM_PARTS, max_iters=LP_ITERS)
     df = quotient_graph(edges, labels.materialize()).to_pandas()
+    eng.shutdown()
+    return df
+
+
+def q_lp_modularity(sf_dir: str):
+    """Newman modularity of the 3-iteration label-propagation
+    communities on the undirected doc graph — one row
+    (n_edges, n_communities, modularity)."""
+    from linkgraph.algos import label_propagation
+    from linkgraph.ops import modularity
+
+    edges = _doc_edges_ds(sf_dir).materialize()
+    labels, _, eng = label_propagation(edges, num_parts=NUM_PARTS, max_iters=LP_ITERS)
+    df = modularity(edges, labels.materialize())
     eng.shutdown()
     return df
 
@@ -692,8 +721,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q_assortativity,
         "edge_jaccard": q_edge_jaccard,
         "lp_quotient": q_lp_quotient,
+        "lp_modularity": q_lp_modularity,
         "tfidf_top3": q_tfidf,
         "scc_labels": q_scc,
+        "betweenness_4": q_betweenness,
         "hyperanf_nf": q_hyperanf,
     }
 
@@ -890,6 +921,35 @@ def _lp_quotient_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + "\nSELECT src_label, dst_label, count(*) AS n_edges "
         "FROM q1 GROUP BY 1, 2"
+    )
+
+
+def _lp_modularity_sql() -> str:
+    ctes = _labelprop_ctes()
+    last = f"l{LP_ITERS}"
+    ctes.append(
+        "c AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        "FROM e WHERE src <> dst)"
+    )
+    ctes.append(
+        f"j AS (SELECT la.label AS lu, lb.label AS lv FROM c "
+        f"JOIN {last} la ON c.u = la.v JOIN {last} lb ON c.v = lb.v)"
+    )
+    ctes.append(
+        "contrib AS (SELECT lu AS label, "
+        "CASE WHEN lu = lv THEN 1 ELSE 0 END AS i, 1 AS d FROM j "
+        "UNION ALL SELECT lv AS label, 0 AS i, 1 AS d FROM j)"
+    )
+    ctes.append(
+        "per AS (SELECT label, SUM(i) AS intra, SUM(d) AS deg "
+        "FROM contrib GROUP BY label)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT CAST(SUM(deg) / 2 AS BIGINT) AS n_edges, "
+        "CAST(COUNT(*) AS BIGINT) AS n_communities, "
+        "round(SUM(intra) / (SUM(deg) / 2.0) "
+        "- SUM(deg * deg) / pow(SUM(deg), 2), 8) AS modularity FROM per"
     )
 
 
@@ -1132,6 +1192,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "WHERE c.u IS NULL AND s.common_neighbors >= 2"
         ),
         "lp_quotient": _lp_quotient_sql(),
+        "lp_modularity": _lp_modularity_sql(),
         "edge_jaccard": (
             f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
             "greatest(src, dst) AS v FROM e WHERE src <> dst), "

@@ -265,6 +265,21 @@ def run_scaling_child() -> dict:
             best = (dt, s["edges_per_sec"])
     out["pagerank_sec"] = round(best[0], 3)
     out["pagerank_edges_per_sec"] = round(best[1], 1)
+
+    # single-precision shipping variant: halves the bytes/edge of the
+    # hot value gather (allclose 1e-6 vs double, tests/test_engine2.py)
+    # — directly attacks the DRAM wall that caps 8->32 efficiency
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = eng.run(
+            PageRankProgram(tol=0.0, precision="single"), max_iters=10, burst_size=10
+        )
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, s["edges_per_sec"])
+    out["pagerank_f32_sec"] = round(best[0], 3)
+    out["pagerank_f32_edges_per_sec"] = round(best[1], 1)
     eng.shutdown()
 
     eng2 = SuperstepEngine(num_parts=NUM_PARTS, symmetrize=True, dedup=False).load_edges(
@@ -339,6 +354,13 @@ def run_scaling() -> dict:
         "cc_edges_per_sec_8": cc8,
         "cc_edges_per_sec_32": cc32,
         "cc_scaling_efficiency": round((cc32 / cc8) / 4.0, 3),
+        "pagerank_f32_edges_per_sec_8": out[8]["pagerank_f32_edges_per_sec"],
+        "pagerank_f32_edges_per_sec_32": out[32]["pagerank_f32_edges_per_sec"],
+        "pagerank_f32_scaling_efficiency": round(
+            (out[32]["pagerank_f32_edges_per_sec"] / out[8]["pagerank_f32_edges_per_sec"])
+            / 4.0,
+            3,
+        ),
         "extract_pages_per_sec_8": ex8,
         "extract_pages_per_sec_32": ex32,
         "extract_scaling_efficiency": round((ex32 / ex8) / 4.0, 3),
@@ -495,12 +517,20 @@ def run_scaling_interleaved() -> dict:
             t0 = time.perf_counter()
             s = eng.run(PageRankProgram(tol=0.0), max_iters=10, burst_size=10)
             pr_dt = time.perf_counter() - t0
+            # single-precision shipping: halves bytes/edge of the hot
+            # value gather (allclose 1e-6 vs double, tests/test_engine2.py)
+            t0 = time.perf_counter()
+            s32 = eng.run(
+                PageRankProgram(tol=0.0, precision="single"),
+                max_iters=10, burst_size=10,
+            )
+            pr32_dt = time.perf_counter() - t0
             t0 = time.perf_counter()
             scc = sym.run(CCProgram(), max_iters=100, burst_size=8)
             cc_dt = time.perf_counter() - t0
             t0 = time.perf_counter()
-            n_ex_pages = 120_000  # large enough that Dataset fixed
-            # overheads don't dominate the 32-thread arm
+            n_ex_pages = 360_000  # big enough that per-task Dataset
+            # overhead doesn't dominate either arm (compute-bound regex)
             build_edges(
                 synth.pages_dataset(n_ex_pages, 64, parallelism=256), dedup=False
             ).count()
@@ -509,6 +539,9 @@ def run_scaling_interleaved() -> dict:
             k = ("pr", ncpu)
             if k not in best or pr_dt < best[k][0]:
                 best[k] = (pr_dt, s["edges_per_sec"])
+            k = ("pr32", ncpu)
+            if k not in best or pr32_dt < best[k][0]:
+                best[k] = (pr32_dt, s32["edges_per_sec"])
             k = ("cc", ncpu)
             if k not in best or cc_dt < best[k][0]:
                 best[k] = (cc_dt, scc["edges_per_sec"])
@@ -531,6 +564,11 @@ def run_scaling_interleaved() -> dict:
         f"cc_edges_per_sec_{n_lo}": round(cc8, 1),
         f"cc_edges_per_sec_{n_hi}": round(cc32, 1),
         "cc_scaling_efficiency": round((cc32 / cc8) / ratio, 3),
+        f"pagerank_f32_edges_per_sec_{n_lo}": round(best[("pr32", n_lo)][1], 1),
+        f"pagerank_f32_edges_per_sec_{n_hi}": round(best[("pr32", n_hi)][1], 1),
+        "pagerank_f32_scaling_efficiency": round(
+            (best[("pr32", n_hi)][1] / best[("pr32", n_lo)][1]) / ratio, 3
+        ),
         f"extract_pages_per_sec_{n_lo}": round(ex8, 1),
         f"extract_pages_per_sec_{n_hi}": round(ex32, 1),
         "extract_scaling_efficiency": round((ex32 / ex8) / ratio, 3),

@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--iters", type=int, default=5)
 
+    p = sub.add_parser("betweenness")
+    common(p)
+    p.add_argument("--k-sources", type=int, default=4)
+    p.add_argument("--normalize", action="store_true")
+
     args = ap.parse_args(argv)
 
     import ray
@@ -169,6 +174,21 @@ def main(argv: list[str] | None = None) -> int:
                 write_partitioned(res, args.out, tag="sssp")
             eng.shutdown()
             print(json.dumps({"out": args.out, "iterations": summary["iterations"]}))
+        elif args.cmd == "betweenness":
+            from .algos import betweenness
+
+            res, summary, eng = betweenness(
+                edges,
+                k_sources=args.k_sources,
+                num_parts=args.parts,
+                normalize=args.normalize,
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="betweenness")
+            eng.shutdown()
+            print(
+                json.dumps({"out": args.out, "iterations": summary["iterations"]})
+            )
         elif args.cmd == "hits":
             from .algos import hits_dataset
 

@@ -17,6 +17,7 @@ from .sssp import sssp_weighted
 from .hits import hits_dataset
 from .scc import strongly_connected_components
 from .hyperanf import hyperanf
+from .betweenness import BrandesProgram, betweenness, top_degree_sources
 
 __all__ = [
     "PageRankProgram",
@@ -38,5 +39,8 @@ __all__ = [
     "sssp_weighted",
     "hits_dataset",
     "strongly_connected_components",
+    "BrandesProgram",
+    "betweenness",
+    "top_degree_sources",
     "hyperanf",
 ]

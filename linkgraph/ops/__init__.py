@@ -16,6 +16,7 @@ from .graphstats import (
     degree_assortativity,
     edge_jaccard,
     quotient_graph,
+    modularity,
 )
 from .dedup import (
     exact_dedup,

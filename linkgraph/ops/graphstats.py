@@ -446,6 +446,112 @@ def quotient_graph(
     )
 
 
+def modularity(
+    edges: Dataset,
+    labels: Dataset,
+    id_col: str = "v",
+    label_col: str = "label",
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Newman modularity Q of a vertex labeling on the undirected simple
+    graph: Q = sum_c [ e_c/m - (deg_c / 2m)^2 ] over communities c,
+    where m = #distinct undirected pairs, e_c = intra-community pairs,
+    deg_c = sum of endpoint memberships. One row
+    (n_edges, n_communities, modularity).
+
+    Scale shape: canonical-pair dedup is hash-bucketed (never a global
+    unique on the driver); labels attach via two hash joins (the label
+    table is a joined side, not a broadcast); per-community sums use a
+    per-batch combiner before the #communities-sized groupby; the final
+    reduce ships four scalars per block. Q needs sum(deg_c^2), so the
+    per-community aggregation is the one unavoidable shuffle."""
+    P = _nparts(num_partitions)
+    B = max(P * 4, 16)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64, copy=False)
+        d = t.column("dst").to_numpy().astype(np.int64, copy=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        pairs = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table(
+            {
+                "u": pa.array(pairs[:, 0]),
+                "v": pa.array(pairs[:, 1]),
+                "part": pa.array((pairs[:, 0] * 31 + pairs[:, 1]) % B),
+            }
+        )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.unique(
+            np.stack([g["u"].to_numpy(), g["v"].to_numpy()], axis=1), axis=0
+        )
+        return pd.DataFrame({"u": pairs[:, 0], "v": pairs[:, 1]})
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby("part")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+    j1 = pairs.join(
+        labels, join_type="inner", num_partitions=P, on=("u",), right_on=(id_col,)
+    ).select_columns(["v", label_col]).rename_columns({label_col: "lu"})
+    j2 = j1.join(
+        labels, join_type="inner", num_partitions=P, on=("v",), right_on=(id_col,)
+    ).select_columns(["lu", label_col]).rename_columns({label_col: "lv"})
+
+    def contrib(t: pa.Table) -> pa.Table:
+        lu = t.column("lu").to_numpy()
+        lv = t.column("lv").to_numpy()
+        lab = np.concatenate([lu, lv])
+        intra = np.concatenate(
+            [(lu == lv).astype(np.int64), np.zeros(len(lv), np.int64)]
+        )
+        order = np.argsort(lab, kind="stable")
+        lab, intra = lab[order], intra[order]
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        return pa.table(
+            {
+                "label": pa.array(lab[starts]),
+                "_i": pa.array(np.add.reduceat(intra, starts)),
+                "_d": pa.array(np.diff(np.r_[starts, len(lab)]).astype(np.int64)),
+            }
+        )
+
+    per = (
+        j2.map_batches(contrib, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby("label")
+        .aggregate(Sum("_i", alias_name="intra"), Sum("_d", alias_name="deg"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        deg = t.column("deg").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "intra": pa.array([int(t.column("intra").to_numpy().sum())]),
+                "deg": pa.array([float(deg.sum())]),
+                "deg2": pa.array([float((deg * deg).sum())]),
+                "ncomm": pa.array([len(t)]),
+            }
+        )
+
+    tot = (
+        per.map_batches(finish, batch_format="pyarrow", batch_size=1 << 20)
+        .sum(["intra", "deg", "deg2", "ncomm"])
+    )
+    m = tot["sum(deg)"] / 2.0  # sum_c deg_c == 2m by construction
+    q = (tot["sum(intra)"] / m - tot["sum(deg2)"] / (4.0 * m * m)) if m else 0.0
+    return pd.DataFrame(
+        {
+            "n_edges": [int(m)],
+            "n_communities": [int(tot["sum(ncomm)"])],
+            "modularity": [round(float(q), 8)],
+        }
+    )
+
+
 def reciprocity(edges: Dataset, num_partitions: int | None = None) -> pd.DataFrame:
     """Edge reciprocity of the directed graph: one row
     (n_edges, n_reciprocal, reciprocity) where n_reciprocal counts

@@ -149,3 +149,31 @@ def test_quotient_graph_random():
         for _, r in df.iterrows()
     }
     assert got == want
+
+
+def test_modularity_random():
+    from linkgraph.ops import modularity
+
+    edges = random_edges(90, 450, seed=37)
+    pairs, nbrs = _undirected(edges)
+    verts = sorted(nbrs)
+    lab = {v: v % 5 for v in verts}
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(verts, pa.int64()),
+                "label": pa.array([lab[v] for v in verts], pa.int64()),
+            }
+        )
+    )
+    df = modularity(edges_ds(edges), labels, num_partitions=2)
+    m = len(pairs)
+    intra = sum(1 for u, v in pairs if lab[u] == lab[v])
+    deg_c = {}
+    for u, v in pairs:
+        deg_c[lab[u]] = deg_c.get(lab[u], 0) + 1
+        deg_c[lab[v]] = deg_c.get(lab[v], 0) + 1
+    q = intra / m - sum(d * d for d in deg_c.values()) / (4.0 * m * m)
+    assert int(df["n_edges"][0]) == m
+    assert int(df["n_communities"][0]) == len(deg_c)
+    assert abs(df["modularity"][0] - q) < 1e-8
