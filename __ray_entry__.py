@@ -545,6 +545,18 @@ def q_hyperanf(sf_dir: str):
     return df
 
 
+def q_harmonic(sf_dir: str):
+    """HyperBall harmonic centrality (rows-only — probabilistic sketch;
+    deterministic splitmix64 hashing, pytest holds the exact-BFS oracle
+    at <15% aggregate error + exact partition-count invariance)."""
+    from linkgraph.algos import harmonic_centrality
+
+    out, _, eng = harmonic_centrality(_doc_edges_ds(sf_dir), p=7, num_parts=NUM_PARTS)
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
 def q_betweenness(sf_dir: str):
     """Approximate betweenness centrality (rows-only — iterative
     multi-source Brandes, not SQL-expressible; pytest holds the
@@ -725,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top3": q_tfidf,
         "scc_labels": q_scc,
         "betweenness_4": q_betweenness,
+        "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
     }
 

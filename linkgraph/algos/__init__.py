@@ -18,6 +18,7 @@ from .hits import hits_dataset
 from .scc import strongly_connected_components
 from .hyperanf import hyperanf
 from .betweenness import BrandesProgram, betweenness, top_degree_sources
+from .hyperball import harmonic_centrality
 
 __all__ = [
     "PageRankProgram",
@@ -42,5 +43,6 @@ __all__ = [
     "BrandesProgram",
     "betweenness",
     "top_degree_sources",
+    "harmonic_centrality",
     "hyperanf",
 ]
