@@ -242,6 +242,7 @@ def run_scaling_child() -> dict:
     from linkgraph.synth import rmat_dataset
 
     out: dict = {"num_cpus": NUM_CPUS, "n_edges_requested": SCALE_EDGES}
+    steal0 = _steal_counter()
     t0 = time.perf_counter()
     edges = rmat_dataset(SCALE_EDGES, scale=SCALE_SCALE).materialize()
     out["gen_sec"] = round(time.perf_counter() - t0, 3)
@@ -314,6 +315,7 @@ def run_scaling_child() -> dict:
         if best is None or dt < best:
             best = dt
     out["extract_pages_per_sec"] = round(n_pages / best, 1)
+    out["steal_jiffies"] = _steal_counter() - steal0
 
     ray.shutdown()
     return out
@@ -368,6 +370,7 @@ def run_scaling() -> dict:
         "pagerank_sec_32": out[32]["pagerank_sec"],
         "num_parts": NUM_PARTS,
         "n_edges": out[32]["n_edges"],
+        "steal_jiffies": {"8": out[8].get("steal_jiffies"), "32": out[32].get("steal_jiffies")},
     }
 
 
