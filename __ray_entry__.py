@@ -622,6 +622,14 @@ def q_lp_quotient(sf_dir: str):
     return df
 
 
+def q_powerlaw(sf_dir: str):
+    """Power-law exponent MLE (Clauset-Shalizi-Newman) of the doc
+    graph's out-degree tail (d >= 2) — the skew diagnostic."""
+    from linkgraph.ops import powerlaw_alpha
+
+    return powerlaw_alpha(_doc_edges_ds(sf_dir), dmin=2)
+
+
 def q_lp_modularity(sf_dir: str):
     """Newman modularity of the 3-iteration label-propagation
     communities on the undirected doc graph — one row
@@ -734,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard": q_edge_jaccard,
         "lp_quotient": q_lp_quotient,
         "lp_modularity": q_lp_modularity,
+        "powerlaw_alpha": q_powerlaw,
         "tfidf_top3": q_tfidf,
         "scc_labels": q_scc,
         "betweenness_4": q_betweenness,
@@ -1206,6 +1215,13 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         ),
         "lp_quotient": _lp_quotient_sql(),
         "lp_modularity": _lp_modularity_sql(),
+        "powerlaw_alpha": (
+            f"WITH {e}, d AS (SELECT count(*) AS deg FROM e GROUP BY src), "
+            "t AS (SELECT CAST(deg AS DOUBLE) AS deg FROM d WHERE deg >= 2) "
+            "SELECT 2 AS dmin, CAST(count(*) AS BIGINT) AS n_tail, "
+            "round(1 + count(*) / (SUM(ln(deg)) - count(*) * ln(1.5)), 8) "
+            "AS alpha FROM t"
+        ),
         "edge_jaccard": (
             f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "
             "greatest(src, dst) AS v FROM e WHERE src <> dst), "

@@ -17,6 +17,7 @@ from .graphstats import (
     edge_jaccard,
     quotient_graph,
     modularity,
+    powerlaw_alpha,
 )
 from .dedup import (
     exact_dedup,

@@ -552,6 +552,47 @@ def modularity(
     )
 
 
+def powerlaw_alpha(edges: Dataset, dmin: int = 2) -> pd.DataFrame:
+    """Clauset-Shalizi-Newman continuous MLE of the power-law exponent
+    of the out-degree distribution tail (d >= dmin):
+
+        alpha = 1 + n / sum_i ln( d_i / (dmin - 0.5) )
+
+    — the standard quick skew diagnostic for web graphs (hub heaviness
+    drives partitioning and combiner effectiveness). One row
+    (dmin, n_tail, alpha).
+
+    Degree counting reuses the combiner + small-groupby path of
+    out_degrees; the MLE reduce ships two scalars per block."""
+    from ..edges import out_degrees
+
+    deg = out_degrees(edges, out="deg")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy().astype(np.float64)
+        d = d[d >= dmin]
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "slog": pa.array([float(np.log(d).sum()) if len(d) else 0.0]),
+            }
+        )
+
+    tot = deg.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20).sum(
+        ["n", "slog"]
+    )
+    n = int(tot["sum(n)"])
+    denom = tot["sum(slog)"] - n * np.log(dmin - 0.5)
+    alpha = 1.0 + n / denom if n and denom > 0 else float("nan")
+    return pd.DataFrame(
+        {
+            "dmin": [int(dmin)],
+            "n_tail": [n],
+            "alpha": [round(float(alpha), 8)],
+        }
+    )
+
+
 def reciprocity(edges: Dataset, num_partitions: int | None = None) -> pd.DataFrame:
     """Edge reciprocity of the directed graph: one row
     (n_edges, n_reciprocal, reciprocity) where n_reciprocal counts

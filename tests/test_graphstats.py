@@ -177,3 +177,17 @@ def test_modularity_random():
     assert int(df["n_edges"][0]) == m
     assert int(df["n_communities"][0]) == len(deg_c)
     assert abs(df["modularity"][0] - q) < 1e-8
+
+
+def test_powerlaw_alpha_random():
+    from linkgraph.ops import powerlaw_alpha
+
+    edges = random_edges(100, 600, seed=61)
+    df = powerlaw_alpha(edges_ds(edges), dmin=2)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    tail = np.array([d for d in deg.values() if d >= 2], np.float64)
+    alpha = 1.0 + len(tail) / (np.log(tail).sum() - len(tail) * np.log(1.5))
+    assert int(df["n_tail"][0]) == len(tail)
+    assert abs(df["alpha"][0] - alpha) < 1e-8
