@@ -630,6 +630,19 @@ def q_powerlaw(sf_dir: str):
     return powerlaw_alpha(_doc_edges_ds(sf_dir), dmin=2)
 
 
+def q_sample_per_key(sf_dir: str):
+    """Deterministic k-per-user event sample (order-statistics
+    priority; combiner-safe) — exact row_number() SQL oracle."""
+    from linkgraph.ops import sample_per_key
+
+    return (
+        sample_per_key(_read(sf_dir, "events"), k=5)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
 def q_lp_modularity(sf_dir: str):
     """Newman modularity of the 3-iteration label-propagation
     communities on the undirected doc graph — one row
@@ -743,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_quotient": q_lp_quotient,
         "lp_modularity": q_lp_modularity,
         "powerlaw_alpha": q_powerlaw,
+        "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
         "scc_labels": q_scc,
         "betweenness_4": q_betweenness,
@@ -982,6 +996,12 @@ def oracle_sql() -> dict[str, str]:
     return q
 
 
+def _sample_sql() -> str:
+    from linkgraph.ops.sampling import sample_per_key_sql
+
+    return sample_per_key_sql(k=5)
+
+
 def _oracle_sql_base(e: str) -> dict[str, str]:
     return {
         "doc_edges": f"WITH {e} SELECT src, dst FROM e",
@@ -1215,6 +1235,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         ),
         "lp_quotient": _lp_quotient_sql(),
         "lp_modularity": _lp_modularity_sql(),
+        "sample_per_key": _sample_sql(),
         "powerlaw_alpha": (
             f"WITH {e}, d AS (SELECT count(*) AS deg FROM e GROUP BY src), "
             "t AS (SELECT CAST(deg AS DOUBLE) AS deg FROM d WHERE deg >= 2) "

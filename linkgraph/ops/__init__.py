@@ -19,6 +19,7 @@ from .graphstats import (
     modularity,
     powerlaw_alpha,
 )
+from .sampling import sample_per_key, sample_per_key_sql
 from .dedup import (
     exact_dedup,
     shingle_jaccard_pairs,

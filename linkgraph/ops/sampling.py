@@ -1,0 +1,78 @@
+"""Deterministic distributed sampling.
+
+``sample_per_key`` keeps exactly min(k, group size) rows per key,
+chosen by a deterministic arithmetic priority of the row id — the
+order-statistics trick that makes distributed sampling embarrassingly
+combiner-friendly: any subset's top-k by priority is a superset-safe
+partial result, so each block pre-trims to k per key locally and the
+per-key merge only ever sees <= k rows per key per block. No
+reservoir state, no second pass, rerun-stable (pure function of ids).
+
+The priority ((id * 2654435761 + 40503) mod 2147483647 — a Knuth
+multiplicative hash kept inside int64 so DuckDB BIGINT arithmetic
+reproduces it bit-exactly) is intentionally SQL-replicable: the
+`sample_per_key` query has an exact row_number() oracle.
+
+(Reference analogue: SURVEY.md §2.7 sampling / bounded batches.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ray.data import Dataset
+
+_A, _B, _M = 2654435761, 40503, 2147483647
+
+
+def sample_per_key(
+    events: Dataset,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    k: int = 5,
+    num_buckets: int = 64,
+) -> Dataset:
+    """events -> (key_col, id_col) of the k deterministically sampled
+    rows per key. Bucket-and-vectorize merge (hash(key) % num_buckets
+    groups, one vectorized sort + groupby-head per bucket) — never a
+    Python function per key."""
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                key_col: df[key_col],
+                id_col: df[id_col],
+                "_p": (df[id_col] * _A + _B) % _M,
+            }
+        )
+        d = d.sort_values([key_col, "_p", id_col], kind="mergesort")
+        d = d.groupby(key_col, sort=False).head(k)
+        d["_b"] = d[key_col] % num_buckets
+        return d
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_p", id_col], kind="mergesort")
+        return g.groupby(key_col, sort=False).head(k)[[key_col, id_col]]
+
+    return (
+        events.select_columns([key_col, id_col])
+        .map_batches(combiner, batch_format="pandas", batch_size=131072)
+        .groupby("_b")
+        .map_groups(bucket_merge, batch_format="pandas")
+    )
+
+
+def sample_per_key_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    k: int = 5,
+) -> str:
+    """The exact DuckDB equivalent (same priority arithmetic)."""
+    return (
+        f"SELECT {key_col}, {id_col} FROM ("
+        f"SELECT {key_col}, {id_col}, row_number() OVER ("
+        f"PARTITION BY {key_col} "
+        f"ORDER BY ({id_col} * {_A} + {_B}) % {_M}, {id_col}) AS rn "
+        f"FROM {table}) WHERE rn <= {k}"
+    )
