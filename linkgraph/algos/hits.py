@@ -37,6 +37,7 @@ def hits_dataset(
     edges: Dataset,
     iters: int = 5,
     num_partitions: int | None = None,
+    rescale_above: float = 1e100,
 ) -> Dataset:
     """edges(src, dst) -> Dataset(v, hub, auth), L2-normalized, 8 dp."""
     if num_partitions is None:
@@ -114,6 +115,29 @@ def hits_dataset(
             return pa.table({"v": t.column("v"), "hub": h, "auth": a})
 
         ranks = joined.map_batches(apply, batch_format="pyarrow").materialize()
+
+        # Unnormalized hub/auth grow ~lambda^k per iteration, so large
+        # --iters on hub-heavy graphs overflows float64 to inf and the
+        # final normalization emits NaNs. Rescale each vector by its
+        # global max once it nears overflow — each final vector is a
+        # pure scalar multiple of the unscaled one (the recurrence is
+        # linear), so the export L2 normalization folds the scale out;
+        # gating at 1e100 keeps bit-parity with the unrolled SQL oracle
+        # at normal iteration counts.
+        mx = ranks.max(["hub", "auth"])
+        m = max(float(mx["max(hub)"]), float(mx["max(auth)"]))
+        if m > rescale_above and m > 0.0:
+
+            def rescale(t: pa.Table, s: float = m) -> pa.Table:
+                return pa.table(
+                    {
+                        "v": t.column("v"),
+                        "hub": pa.array(t.column("hub").to_numpy() / s),
+                        "auth": pa.array(t.column("auth").to_numpy() / s),
+                    }
+                )
+
+            ranks = ranks.map_batches(rescale, batch_format="pyarrow").materialize()
 
     sq = ranks.map_batches(
         lambda t: pa.table(

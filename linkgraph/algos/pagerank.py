@@ -81,13 +81,16 @@ class PersonalizedPageRankProgram(PageRankProgram):
     def __init__(self, sources, damping: float = 0.85, tol: float = 1e-8):
         super().__init__(damping=damping, tol=tol)
         self.sources = np.unique(np.asarray(sources, np.uint64))
+        if len(self.sources) == 0:
+            raise ValueError("PersonalizedPageRank requires a non-empty source set")
 
     def _teleport(self, ctx):
         p = np.zeros(ctx.n_local, np.float64)
+        if ctx.n_local == 0:
+            return p
         pos = np.searchsorted(ctx.verts, self.sources)
-        ok = (pos < ctx.n_local) & (
-            ctx.verts[np.clip(pos, 0, max(ctx.n_local - 1, 0))] == self.sources
-        )
+        ok = pos < ctx.n_local
+        ok[ok] = ctx.verts[pos[ok]] == self.sources[ok]
         p[pos[ok]] = 1.0 / len(self.sources)
         return p
 

@@ -345,19 +345,32 @@ class _SigToBinary:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         M = np.stack(t.column("sig").to_numpy(zero_copy_only=False)).astype(np.uint64)
-        blob = M.tobytes()
         w = self.num_perm * 8
+        fsb = pa.Array.from_buffers(
+            pa.binary(w), len(t), [None, pa.py_buffer(M.tobytes())]
+        )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "sig": pa.array([blob[i * w : (i + 1) * w] for i in range(len(t))], pa.binary()),
+                # cast fsb -> binary only materializes the offsets buffer
+                "sig": fsb.cast(pa.binary()),
             }
         )
 
 
-def _bin_to_mat(col: "pa.ChunkedArray", num_perm: int) -> np.ndarray:
-    rows = col.to_pylist()
-    return np.frombuffer(b"".join(rows), np.uint64).reshape(len(rows), num_perm)
+def _bin_to_mat(col, num_perm: int) -> np.ndarray:
+    """Fixed-width signature blobs -> (n, num_perm) uint64 matrix read
+    straight off the Arrow data buffer — no per-row to_pylist/join (the
+    round-2 MinHash-verify hot-path anti-pattern)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, num_perm), np.uint64)
+    w = num_perm * 8
+    fsb = arr.cast(pa.binary(w))  # validates uniform width, zero-copy data
+    return np.frombuffer(
+        fsb.buffers()[1], np.uint64, n * num_perm, offset=fsb.offset * w
+    ).reshape(n, num_perm)
 
 
 def _attach_sig(
@@ -538,14 +551,36 @@ def simhash_dedup_pairs(
 
 
 def embedding_dup_pairs(
-    embeddings: Dataset, threshold: float = 0.95, id_col: str = "vec_id"
+    embeddings: Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    max_broadcast_rows: int = 1_000_000,
 ) -> Dataset:
     """Near-dup pairs by embedding cosine >= threshold (a < b).
 
     Brute-force per batch against the broadcast normalized matrix
     (ray.put once, read in every task) — exact baseline; the scale path
-    is LSH bucketing on random hyperplanes (see simhash) or IVF."""
+    is LSH bucketing on random hyperplanes (see simhash) or IVF.
+
+    Size guard: this exact path collects the full (id, embedding)
+    matrix to the driver, which is only valid at oracle scale. Above
+    ``max_broadcast_rows`` the call diverts to
+    :func:`embedding_dup_lsh` (the distributed scale path) so the
+    broadcast can't be misused at 100-TB scale."""
     import ray
+
+    n = embeddings.count()
+    if n > max_broadcast_rows:
+        import warnings
+
+        warnings.warn(
+            f"embedding_dup_pairs: {n} rows exceeds the exact-path broadcast "
+            f"budget ({max_broadcast_rows}); diverting to embedding_dup_lsh",
+            stacklevel=2,
+        )
+        pairs = embedding_dup_lsh(embeddings, threshold=threshold, id_col=id_col)
+        # LSH path reports (a, b) only — match this op's schema
+        return pairs.select_columns(["a", "b"])
 
     mat_t = embeddings.select_columns([id_col, "embedding"]).to_pandas()
     ids_all = mat_t[id_col].to_numpy().astype(np.int64)

@@ -266,6 +266,10 @@ def train_ivf_centroids(
         return t.take(pa.array(np.flatnonzero(u < frac)))
 
     sdf = embeddings.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if len(sdf) == 0:
+        # empty corpus (or the sample missed everything): no quantizer
+        # to train — callers fall back to _empty_knn on the empty set.
+        return np.zeros((0, 0), np.float64)
     X = _normalize(np.stack(sdf["embedding"].to_numpy()).astype(np.float64))
     k = min(n_lists, len(X))
     rng = np.random.default_rng(seed)
@@ -364,6 +368,8 @@ def knn_cosine_ivf(
     qset = np.array(sorted(set(int(q) for q in query_ids)), np.int64)
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, n_lists, id_col)
+    if centroids.size == 0 or len(qset) == 0:
+        return _empty_knn()
     cref = ray.put(centroids)
     qref = ray.put(qset)
     rows = embeddings.map_batches(
@@ -466,6 +472,19 @@ def knn_graph_ivf(
 
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, n_lists, id_col)
+    if centroids.size == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                    "nn_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
     cref = ray.put(centroids)
     rows = embeddings.map_batches(
         _IvfAssignRows,

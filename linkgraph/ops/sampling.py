@@ -42,7 +42,12 @@ def sample_per_key(
             {
                 key_col: df[key_col],
                 id_col: df[id_col],
-                "_p": (df[id_col] * _A + _B) % _M,
+                # reduce id mod _M FIRST so the product stays < 2**63 for
+                # every 64-bit id (max (_M-1)*_A ~= 5.7e18) — the naive
+                # id*_A silently wraps int64 for ids >= ~3.47e9 while
+                # DuckDB BIGINT arithmetic errors/diverges, breaking the
+                # row_number() oracle parity. Mirrored in *_sql below.
+                "_p": ((df[id_col] % _M) * _A + _B) % _M,
             }
         )
         d = d.sort_values([key_col, "_p", id_col], kind="mergesort")
@@ -73,6 +78,6 @@ def sample_per_key_sql(
         f"SELECT {key_col}, {id_col} FROM ("
         f"SELECT {key_col}, {id_col}, row_number() OVER ("
         f"PARTITION BY {key_col} "
-        f"ORDER BY ({id_col} * {_A} + {_B}) % {_M}, {id_col}) AS rn "
+        f"ORDER BY (({id_col} % {_M}) * {_A} + {_B}) % {_M}, {id_col}) AS rn "
         f"FROM {table}) WHERE rn <= {k}"
     )
