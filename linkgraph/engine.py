@@ -355,19 +355,26 @@ class GraphPartition:
         return 0, self.n_edges
 
     # ---- one-time destination-index exchange + phase-2 build ----------
-    def get_seg_udst_all(self) -> list[np.ndarray]:
-        return self.seg_udst
+    def get_seg_udst_refs(self) -> list:
+        """One ObjectRef per destination partition (the dst ids this
+        partition will message there). Returning refs instead of the
+        list itself makes the exchange point-to-point: each receiver
+        fetches only its own column of the P x P matrix, instead of
+        every actor deserializing every other actor's full P-array list
+        (the former O(P^2) broadcast — the documented large-P limit)."""
+        return [ray.put(a) for a in self.seg_udst]
 
-    def build_incoming_index(self, *seg_lists) -> list[np.ndarray]:
-        """Phase 2. The incoming seg lists (dst ids other partitions will
-        message) are exactly this partition's externally-referenced
-        vertices — union them with local srcs and prior vertices to form
-        the vertex index, then build every vertex-dependent structure
-        (src_idx, out_deg, CSR-by-src, inv outdeg). Returns, for each
-        source partition p, the local int32 indices of the dst ids p
-        will send here (per-superstep messages then carry compact local
-        indices instead of 64-bit ids)."""
-        incoming = [seg_lists[p][self.pid] for p in range(self.P)]
+    def build_incoming_index(self, seg_refs: list) -> list:
+        """Phase 2. ``seg_refs[p]`` is a ref to the dst ids partition p
+        will message here — exactly this partition's externally-
+        referenced vertices. Union them with local srcs and prior
+        vertices to form the vertex index, then build every
+        vertex-dependent structure (src_idx, out_deg, CSR-by-src, inv
+        outdeg). Returns, for each source partition p, a ref to the
+        local int32 indices of the dst ids p will send here
+        (per-superstep messages then carry compact local indices
+        instead of 64-bit ids)."""
+        incoming = ray.get(list(seg_refs))
         chunks = list(self._vert_chunks) + incoming
         self._vert_chunks = []
         if len(self._prior_verts):
@@ -393,17 +400,21 @@ class GraphPartition:
         self.inv_outdeg = inv
         self.src_order = np.argsort(self.edge_src_idx, kind="stable").astype(np.int32)
         self.src_indptr = np.r_[np.int64(0), np.cumsum(out_deg)]
-        return [np.searchsorted(self.verts, inc).astype(np.int32) for inc in incoming]
+        return [
+            ray.put(np.searchsorted(self.verts, inc).astype(np.int32))
+            for inc in incoming
+        ]
 
     def n_local(self) -> int:
         v = getattr(self, "verts", None)
         return 0 if v is None else len(v)
 
-    def set_outgoing_idx(self, *incoming) -> None:
-        """incoming[q][p] = dst-local indices for messages p -> q; keep
-        row self.pid of each, plus a per-edge expansion for the
-        labelvote path (per-iteration (dst,label) segments)."""
-        self.seg_ridx = [incoming[q][self.pid] for q in range(self.P)]
+    def set_outgoing_idx(self, inc_refs: list) -> None:
+        """inc_refs[q] = ref to the dst-local indices for messages
+        this-partition -> q (point-to-point: only this partition's row
+        of the exchange matrix is fetched), plus a per-edge expansion
+        for the labelvote path (per-iteration (dst,label) segments)."""
+        self.seg_ridx = ray.get(list(inc_refs))
         edge_ridx = np.empty(self.n_edges, np.int32)
         for q in range(self.P):
             a, b = self.part_starts[q], self.part_starts[q + 1]
@@ -947,6 +958,19 @@ def _route_block(fn, *tbls: pa.Table):
     return len(tbl)
 
 
+@ray.remote(num_cpus=0.5)
+def _route_slice(fn, tbl: pa.Table, j: int, k: int):
+    """Route slice j of k of one (large) block — parallelizes the
+    hash+sort+push work when the edge table has fewer blocks than the
+    desired routing task count (a materialized table often arrives as
+    ONE block; a single routing task serializes the whole load)."""
+    n = len(tbl)
+    a, b = n * j // k, n * (j + 1) // k
+    if a < b:
+        fn(tbl.slice(a, b - a))
+    return b - a
+
+
 # --------------------------------------------------------------------------
 # Engine driver
 # --------------------------------------------------------------------------
@@ -1087,12 +1111,21 @@ class SuperstepEngine:
             # still makes ~one add_chunk call per actor.
             fn = _router(self.actors, self.P, self.symmetrize, delete=delete)
             refs = cols.to_arrow_refs()
-            n_groups = max(1, min(len(refs), (edges.count() >> 17) + 1))
-            per = (len(refs) + n_groups - 1) // n_groups
-            futs = [
-                _route_block.remote(fn, *refs[i : i + per])
-                for i in range(0, len(refs), per)
-            ]
+            n_groups = max(1, (edges.count() >> 17) + 1)
+            if len(refs) >= n_groups:
+                # many small blocks: coalesce to ~256k-row groups
+                per = (len(refs) + n_groups - 1) // n_groups
+                futs = [
+                    _route_block.remote(fn, *refs[i : i + per])
+                    for i in range(0, len(refs), per)
+                ]
+            else:
+                # few big blocks (often ONE): split each into row-range
+                # slices so the hash+sort+push work parallelizes
+                k = (n_groups + len(refs) - 1) // len(refs)
+                futs = [
+                    _route_slice.remote(fn, r, j, k) for r in refs for j in range(k)
+                ]
             if not wait:
                 return futs
             ray.get(futs)
@@ -1111,13 +1144,28 @@ class SuperstepEngine:
         # one-time dst-local index exchange: registers every partition's
         # externally-referenced vertices with their owner (phase 2 of the
         # build) and hands back compact int32 local indices so superstep
-        # messages never carry 64-bit ids
-        seg_lists = [a.get_seg_udst_all.remote() for a in self.actors]
-        inc = [
-            self.actors[q].build_incoming_index.remote(*seg_lists)
-            for q in range(P)
-        ]
-        ray.get([self.actors[p].set_outgoing_idx.remote(*inc) for p in range(P)])
+        # messages never carry 64-bit ids. Point-to-point: the driver
+        # only transposes the P x P matrix of SMALL ObjectRefs; every
+        # cell's payload moves owner -> receiver exactly once (the old
+        # broadcast form deserialized all P lists on every actor —
+        # O(P^2) data movement, the documented large-P limit).
+        seg_refs = ray.get([a.get_seg_udst_refs.remote() for a in self.actors])
+        inc_refs = ray.get(
+            [
+                self.actors[q].build_incoming_index.remote(
+                    [seg_refs[p][q] for p in range(P)]
+                )
+                for q in range(P)
+            ]
+        )
+        ray.get(
+            [
+                self.actors[p].set_outgoing_idx.remote(
+                    [inc_refs[q][p] for q in range(P)]
+                )
+                for p in range(P)
+            ]
+        )
         nloc = ray.get([a.n_local.remote() for a in self.actors])
         self.n_total = int(sum(nloc))
         self.n_edges = int(sum(s[1] for s in sizes))
