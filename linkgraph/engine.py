@@ -60,6 +60,16 @@ def part_of(v: "np.ndarray", P: int) -> "np.ndarray":
     return (splitmix64(np.asarray(v, dtype=np.uint64)) % np.uint64(P)).astype(np.int64)
 
 
+def _pair_key(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """16-byte big-endian (dst, src) keys: memcmp order == lexicographic
+    numeric order, so one np.searchsorted merges / dedups edge runs that
+    are sorted by (dst, src) without multi-key comparisons."""
+    k = np.empty((len(dst), 2), dtype=">u8")
+    k[:, 0] = dst
+    k[:, 1] = src
+    return k.reshape(-1).view("V16")
+
+
 def _pairs_in(src, dst, dsrc, ddst) -> np.ndarray:
     """Exact membership mask: which (src[i], dst[i]) pairs appear in the
     (dsrc, ddst) set. Prefilter by src membership, then tag-and-lexsort
@@ -269,11 +279,20 @@ class GraphPartition:
         targets — so the router never ships dst ids to their owners.
         Returns (0, n_local_edges); vertex counts come from phase 2.
 
-        keep_raw retains the concatenated raw edge arrays so further
-        ``add_chunk`` calls + a re-finalize can extend the graph
+        keep_raw retains the finalized arrays as the merge base so
+        further ``add_chunk`` calls + a re-finalize can extend the graph
         incrementally (streaming inserts, reference
-        test/update_rates.cpp:31-56 / connected_components.c:62-86)."""
+        test/update_rates.cpp:31-56 / connected_components.c:62-86).
+
+        Incremental path: the edge arrays are kept sorted by
+        (dst_part, dst, src), so a streamed batch is lexsorted ALONE
+        (O(batch log batch)) and merged into the prior run with one
+        searchsorted per partition over cached 16-byte (dst, src) keys —
+        no re-sort, no re-hash, no re-dedup of the stored edge set (the
+        reference's delta-only update_edge_info, src/hoover.cpp:450-600).
+        Deletions are order-preserving masks on the sorted run."""
         P = self.P
+        t_fin = time.perf_counter()
         if getattr(self, "ctx", None) is not None:
             # snapshot state for warm restart after a graph extension
             self._warm = (self.ctx.verts, dict(self.ctx.state))
@@ -282,56 +301,82 @@ class GraphPartition:
             if getattr(self, "verts", None) is not None
             else np.empty(0, np.uint64)
         )
-        prior = getattr(self, "_raw_edges", None)
-        psrc = prior[0] if prior is not None else np.empty(0, np.uint64)
-        pdst = prior[1] if prior is not None else np.empty(0, np.uint64)
+        has_prior = getattr(self, "_prior_kept", False)
+        if not has_prior:
+            self.edge_dst = np.empty(0, np.uint64)
+            self._edge_src_sorted = np.empty(0, np.uint64)
+            self._edge_key = None
+            self.part_starts = np.zeros(P + 1, np.int64)
+        elif getattr(self, "_edge_key", None) is None:
+            self._edge_key = _pair_key(self.edge_dst, self._edge_src_sorted)
         # ---- buffered deletions apply to the PRIOR graph only: a pair
         # both deleted and re-inserted in the same batch survives (the
         # delete-old-edge-set / insert-new-edge-set replacement pattern).
         # (reference src/hvr_vertex.cpp:25-48, src/hoover.cpp:1695-1733;
         # behavior spec test/remove_vertices_test.c)
-        if self._vdel_chunks:
-            vdels = np.unique(np.concatenate(self._vdel_chunks))
-            self._vdel_chunks = []
-            if len(self._prior_verts):
-                self._prior_verts = self._prior_verts[~np.isin(self._prior_verts, vdels)]
-            if len(psrc):
-                keep = ~(np.isin(psrc, vdels) | np.isin(pdst, vdels))
-                psrc, pdst = psrc[keep], pdst[keep]
-        if self._del_chunks and len(psrc):
-            dsrc = np.concatenate([c[0] for c in self._del_chunks])
-            ddst = np.concatenate([c[1] for c in self._del_chunks])
-            keep = ~_pairs_in(psrc, pdst, dsrc, ddst)
-            psrc, pdst = psrc[keep], pdst[keep]
-        self._del_chunks = []
-        if self._edge_chunks or prior is not None:
-            srcs = [psrc]
-            dsts = [pdst]
-            srcs.extend(c[0] for c in self._edge_chunks)
-            dsts.extend(c[1] for c in self._edge_chunks)
-            src = np.concatenate(srcs)
-            dst = np.concatenate(dsts)
+        if self._vdel_chunks or self._del_chunks:
+            keep = np.ones(len(self.edge_dst), bool)
+            if self._vdel_chunks:
+                vdels = np.unique(np.concatenate(self._vdel_chunks))
+                self._vdel_chunks = []
+                if len(self._prior_verts):
+                    self._prior_verts = self._prior_verts[
+                        ~np.isin(self._prior_verts, vdels)
+                    ]
+                if len(keep):
+                    keep &= ~(
+                        np.isin(self._edge_src_sorted, vdels)
+                        | np.isin(self.edge_dst, vdels)
+                    )
+            if self._del_chunks and len(keep):
+                dsrc = np.concatenate([c[0] for c in self._del_chunks])
+                ddst = np.concatenate([c[1] for c in self._del_chunks])
+                keep &= ~_pairs_in(self._edge_src_sorted, self.edge_dst, dsrc, ddst)
+            self._del_chunks = []
+            if not keep.all():
+                # order-preserving compaction of the sorted run
+                per_part = np.array(
+                    [
+                        int(keep[self.part_starts[q] : self.part_starts[q + 1]].sum())
+                        for q in range(P)
+                    ],
+                    np.int64,
+                )
+                self.edge_dst = self.edge_dst[keep]
+                self._edge_src_sorted = self._edge_src_sorted[keep]
+                if self._edge_key is not None:
+                    self._edge_key = self._edge_key[keep]
+                self.part_starts = np.r_[np.int64(0), np.cumsum(per_part)]
+        # ---- incoming batch: sort + dedup the DELTA only --------------
+        if self._edge_chunks:
+            bsrc = np.concatenate([c[0] for c in self._edge_chunks])
+            bdst = np.concatenate([c[1] for c in self._edge_chunks])
         else:
-            src = np.empty(0, np.uint64)
-            dst = np.empty(0, np.uint64)
+            bsrc = np.empty(0, np.uint64)
+            bdst = np.empty(0, np.uint64)
         self._edge_chunks = []
-        if self.dedup and len(src):
+        bpart = part_of(bdst, P)
+        order = np.lexsort((bsrc, bdst, bpart))
+        bsrc, bdst, bpart = bsrc[order], bdst[order], bpart[order]
+        if self.dedup and len(bsrc):
             # all edges with this src live here, so local dedup == global
-            # dedup (keeps simple-graph semantics after symmetrize, matching
-            # the reference's idempotent edge upsert, src/hoover.cpp:485).
-            # lexsort + adjacent-mask: same result as np.unique(axis=0),
-            # several-fold faster (no void-record view)
-            order = np.lexsort((dst, src))
-            src, dst = src[order], dst[order]
-            keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
-            src, dst = src[keep], dst[keep]
-
-        dpart = part_of(dst, P)
-        order = np.lexsort((dst, dpart))
-        self.edge_dst = dst[order]
-        self._edge_src_sorted = src[order]  # src ids in final edge order
-        dpart = dpart[order]
-        self.part_starts = np.searchsorted(dpart, np.arange(P + 1))
+            # dedup (keeps simple-graph semantics after symmetrize,
+            # matching the reference's idempotent edge upsert,
+            # src/hoover.cpp:485)
+            keepb = np.r_[True, (bsrc[1:] != bsrc[:-1]) | (bdst[1:] != bdst[:-1])]
+            bsrc, bdst, bpart = bsrc[keepb], bdst[keepb], bpart[keepb]
+        n_batch = len(bsrc)
+        if len(self.edge_dst):
+            self._merge_batch(bsrc, bdst, bpart)
+            mode = "incremental"
+        else:
+            self.edge_dst = bdst
+            self._edge_src_sorted = bsrc
+            self.part_starts = np.searchsorted(bpart, np.arange(P + 1)).astype(
+                np.int64
+            )
+            self._edge_key = _pair_key(bdst, bsrc) if keep_raw else None
+            mode = "full"
         # per destination partition: unique dst ids + reduceat segment starts
         self.seg_udst: list[np.ndarray] = []
         self.seg_starts: list[np.ndarray] = []
@@ -339,7 +384,7 @@ class GraphPartition:
             a, b = self.part_starts[q], self.part_starts[q + 1]
             d = self.edge_dst[a:b]
             if len(d) == 0:
-                self.seg_udst.append(np.empty(0, dst.dtype))
+                self.seg_udst.append(np.empty(0, np.uint64))
                 self.seg_starts.append(np.empty(0, np.int64))
                 continue
             starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
@@ -351,30 +396,90 @@ class GraphPartition:
             np.arange(P, dtype=np.int16), np.diff(self.part_starts)
         )
         self.seg_ridx: list[np.ndarray] | None = None  # filled by index exchange
-        self._raw_edges = (src, dst) if keep_raw else None
+        self._prior_kept = keep_raw
+        if not keep_raw:
+            self._edge_key = None
+        self._rebuild_info = {
+            "mode": mode,
+            "batch_rows": int(n_batch),
+            "sec": round(time.perf_counter() - t_fin, 4),
+        }
         return 0, self.n_edges
 
-    # ---- one-time destination-index exchange + phase-2 build ----------
-    def get_seg_udst_refs(self) -> list:
-        """One ObjectRef per destination partition (the dst ids this
-        partition will message there). Returning refs instead of the
-        list itself makes the exchange point-to-point: each receiver
-        fetches only its own column of the P x P matrix, instead of
-        every actor deserializing every other actor's full P-array list
-        (the former O(P^2) broadcast — the documented large-P limit)."""
-        return [ray.put(a) for a in self.seg_udst]
+    def _merge_batch(self, bsrc, bdst, bpart) -> None:
+        """Merge a (dst_part, dst, src)-sorted deduped batch into the
+        prior sorted edge run: per touched partition, ONE searchsorted of
+        the batch keys into the cached prior keys positions both sides
+        (O(prior_seg) scatter-copy + O(batch log prior) search — no sort
+        of the stored edges). Batch pairs already present are dropped."""
+        P = self.P
+        bstarts = np.searchsorted(bpart, np.arange(P + 1))
+        out_src, out_dst, out_key, sizes = [], [], [], []
+        for q in range(P):
+            a, b = int(self.part_starts[q]), int(self.part_starts[q + 1])
+            c, d = int(bstarts[q]), int(bstarts[q + 1])
+            if c == d:  # untouched partition: reuse the prior run as-is
+                out_src.append(self._edge_src_sorted[a:b])
+                out_dst.append(self.edge_dst[a:b])
+                out_key.append(self._edge_key[a:b])
+                sizes.append(b - a)
+                continue
+            kp = self._edge_key[a:b]
+            bs, bd = bsrc[c:d], bdst[c:d]
+            kb = _pair_key(bd, bs)
+            idx = np.searchsorted(kp, kb, side="left")
+            if self.dedup and b > a:
+                m = idx < (b - a)
+                dup = np.zeros(d - c, bool)
+                dup[m] = kp[idx[m]] == kb[m]
+                if dup.any():
+                    fresh = ~dup
+                    bs, bd, kb, idx = bs[fresh], bd[fresh], kb[fresh], idx[fresh]
+            n, mrows = b - a, len(bs)
+            src_o = np.empty(n + mrows, np.uint64)
+            dst_o = np.empty(n + mrows, np.uint64)
+            key_o = np.empty(n + mrows, kp.dtype)
+            pos_b = idx + np.arange(mrows)
+            cnt = np.bincount(idx, minlength=n + 1)
+            pos_p = np.arange(n) + np.cumsum(cnt)[:n]
+            src_o[pos_p] = self._edge_src_sorted[a:b]
+            src_o[pos_b] = bs
+            dst_o[pos_p] = self.edge_dst[a:b]
+            dst_o[pos_b] = bd
+            key_o[pos_p] = kp
+            key_o[pos_b] = kb
+            out_src.append(src_o)
+            out_dst.append(dst_o)
+            out_key.append(key_o)
+            sizes.append(n + mrows)
+        self._edge_src_sorted = np.concatenate(out_src)
+        self.edge_dst = np.concatenate(out_dst)
+        self._edge_key = np.concatenate(out_key)
+        self.part_starts = np.r_[np.int64(0), np.cumsum(np.array(sizes, np.int64))]
 
-    def build_incoming_index(self, seg_refs: list) -> list:
-        """Phase 2. ``seg_refs[p]`` is a ref to the dst ids partition p
-        will message here — exactly this partition's externally-
-        referenced vertices. Union them with local srcs and prior
-        vertices to form the vertex index, then build every
-        vertex-dependent structure (src_idx, out_deg, CSR-by-src, inv
-        outdeg). Returns, for each source partition p, a ref to the
-        local int32 indices of the dst ids p will send here
-        (per-superstep messages then carry compact local indices
+    # ---- one-time destination-index exchange + phase-2 build ----------
+    def finalize_segs(self, keep_raw: bool = False) -> tuple:
+        """Phase 1 + seg export in ONE actor round trip: called with
+        ``num_returns=P+2`` so each per-destination dst-id list becomes
+        its own return object — the exchange is point-to-point (each
+        receiver fetches only its column of the P x P matrix, never the
+        O(P^2) broadcast of every actor's full list — the documented
+        large-P limit) with zero explicit ray.put round trips."""
+        meta = self.finalize(keep_raw)
+        return (meta, self._rebuild_info, *self.seg_udst)
+
+    def build_incoming_index(self, *incoming) -> tuple:
+        """Phase 2. ``incoming[p]`` holds the dst ids partition p will
+        message here — exactly this partition's externally-referenced
+        vertices (Ray resolves the per-cell refs before dispatch).
+        Union them with local srcs and prior vertices to form the
+        vertex index, then build every vertex-dependent structure
+        (src_idx, out_deg, CSR-by-src, inv outdeg). Called with
+        ``num_returns=P+1``: returns n_local plus, for each source
+        partition p, the local int32 indices of the dst ids p will send
+        here (per-superstep messages then carry compact local indices
         instead of 64-bit ids)."""
-        incoming = ray.get(list(seg_refs))
+        incoming = list(incoming)
         chunks = list(self._vert_chunks) + incoming
         self._vert_chunks = []
         if len(self._prior_verts):
@@ -400,21 +505,28 @@ class GraphPartition:
         self.inv_outdeg = inv
         self.src_order = np.argsort(self.edge_src_idx, kind="stable").astype(np.int32)
         self.src_indptr = np.r_[np.int64(0), np.cumsum(out_deg)]
-        return [
-            ray.put(np.searchsorted(self.verts, inc).astype(np.int32))
-            for inc in incoming
-        ]
+        return (
+            n,
+            *(np.searchsorted(self.verts, inc).astype(np.int32) for inc in incoming),
+        )
 
     def n_local(self) -> int:
         v = getattr(self, "verts", None)
         return 0 if v is None else len(v)
 
-    def set_outgoing_idx(self, inc_refs: list) -> None:
-        """inc_refs[q] = ref to the dst-local indices for messages
+    def edge_arrays(self) -> tuple:
+        """Debug/test accessor: the finalized sorted edge run + partition
+        boundaries (structural-equality checks between incremental merges
+        and cold rebuilds)."""
+        return self._edge_src_sorted, self.edge_dst, self.part_starts
+
+    def set_outgoing_idx(self, *incoming) -> None:
+        """incoming[q] = the dst-local indices for messages
         this-partition -> q (point-to-point: only this partition's row
-        of the exchange matrix is fetched), plus a per-edge expansion
-        for the labelvote path (per-iteration (dst,label) segments)."""
-        self.seg_ridx = ray.get(list(inc_refs))
+        of the exchange matrix is fetched; Ray resolves the refs), plus
+        a per-edge expansion for the labelvote path (per-iteration
+        (dst,label) segments)."""
+        self.seg_ridx = list(incoming)
         edge_ridx = np.empty(self.n_edges, np.int32)
         for q in range(self.P):
             a, b = self.part_starts[q], self.part_starts[q + 1]
@@ -1139,34 +1251,43 @@ class SuperstepEngine:
         return []
 
     def _finalize_and_index(self, keep_raw: bool) -> None:
+        """Rebuild indexes in exactly THREE pipelined actor rounds with
+        zero driver-side payload fetches: finalize+seg export (phase 1),
+        incoming-index build (phase 2), outgoing-index set. Every
+        exchange cell is its own return object (``num_returns``), so the
+        driver only transposes a P x P matrix of SMALL ObjectRefs; each
+        cell's payload moves owner -> receiver exactly once (the old
+        broadcast form deserialized all P lists on every actor — O(P^2)
+        data movement, the documented large-P limit)."""
         P = self.P
-        sizes = ray.get([a.finalize.remote(keep_raw) for a in self.actors])
-        # one-time dst-local index exchange: registers every partition's
-        # externally-referenced vertices with their owner (phase 2 of the
-        # build) and hands back compact int32 local indices so superstep
-        # messages never carry 64-bit ids. Point-to-point: the driver
-        # only transposes the P x P matrix of SMALL ObjectRefs; every
-        # cell's payload moves owner -> receiver exactly once (the old
-        # broadcast form deserialized all P lists on every actor —
-        # O(P^2) data movement, the documented large-P limit).
-        seg_refs = ray.get([a.get_seg_udst_refs.remote() for a in self.actors])
-        inc_refs = ray.get(
-            [
-                self.actors[q].build_incoming_index.remote(
-                    [seg_refs[p][q] for p in range(P)]
-                )
-                for q in range(P)
-            ]
-        )
-        ray.get(
-            [
-                self.actors[p].set_outgoing_idx.remote(
-                    [inc_refs[q][p] for q in range(P)]
-                )
-                for p in range(P)
-            ]
-        )
-        nloc = ray.get([a.n_local.remote() for a in self.actors])
+        outs = [
+            a.finalize_segs.options(num_returns=P + 2).remote(keep_raw)
+            for a in self.actors
+        ]
+        meta_refs = [o[0] for o in outs]
+        info_refs = [o[1] for o in outs]
+        seg_refs = [o[2:] for o in outs]
+        inc_outs = [
+            self.actors[q]
+            .build_incoming_index.options(num_returns=P + 1)
+            .remote(*[seg_refs[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+        nloc_refs = [o[0] for o in inc_outs]
+        inc_refs = [o[1:] for o in inc_outs]
+        done = [
+            self.actors[p].set_outgoing_idx.remote(*[inc_refs[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        sizes = ray.get(meta_refs)
+        nloc = ray.get(nloc_refs)
+        ray.get(done)
+        infos = ray.get(info_refs)
+        self.last_rebuild = {
+            "mode": infos[0]["mode"],
+            "batch_rows": int(sum(i["batch_rows"] for i in infos)),
+            "max_actor_sec": max(i["sec"] for i in infos),
+        }
         self.n_total = int(sum(nloc))
         self.n_edges = int(sum(s[1] for s in sizes))
         self.part_sizes = [(v, s[1]) for v, s in zip(nloc, sizes)]

@@ -61,3 +61,65 @@ def test_streaming_pagerank_warm_restart():
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-5, (v, got[v], want[v])
+
+
+def test_incremental_merge_equals_cold_rebuild():
+    """The incremental (searchsorted-merge) finalize must produce
+    bit-identical edge structures to a cold build of the union — the
+    delta-only update_edge_info contract (reference
+    src/hoover.cpp:450-600), including batch-vs-prior dedup and
+    batch-internal dedup."""
+    import numpy as np
+    import ray
+
+    batches = [random_edges(200, 700, seed=s) for s in (11, 12, 13)]
+    batches[1] += batches[0][:50]  # duplicates across batches
+    batches[2] += batches[2][:30]  # duplicates inside a batch
+    eng = SuperstepEngine(num_parts=4, symmetrize=True).load_edges(
+        edges_ds(batches[0]), streaming=True
+    )
+    for b in batches[1:]:
+        eng.extend_edges(edges_ds(b))
+        assert eng.last_rebuild["mode"] == "incremental"
+    cold = SuperstepEngine(num_parts=4, symmetrize=True).load_edges(
+        edges_ds([e for b in batches for e in b])
+    )
+    assert cold.last_rebuild["mode"] == "full"
+    got = ray.get([a.edge_arrays.remote() for a in eng.actors])
+    want = ray.get([a.edge_arrays.remote() for a in cold.actors])
+    for (gs, gd, gp), (ws, wd, wp) in zip(got, want):
+        np.testing.assert_array_equal(gp, wp)
+        np.testing.assert_array_equal(gd, wd)
+        np.testing.assert_array_equal(gs, ws)
+    eng.shutdown()
+    cold.shutdown()
+
+
+def test_incremental_merge_with_deletions_equals_cold():
+    """Deletions compact the sorted run in place (order-preserving mask);
+    a later insert batch still merges incrementally and matches a cold
+    build of the surviving edge set."""
+    import numpy as np
+    import ray
+
+    b0 = random_edges(150, 500, seed=21)
+    dels = b0[::5]
+    b1 = random_edges(150, 300, seed=22)
+    eng = SuperstepEngine(num_parts=4, symmetrize=True).load_edges(
+        edges_ds(b0), streaming=True
+    )
+    eng.delete_edges(edges_ds(dels))
+    eng.extend_edges(edges_ds(b1))
+    assert eng.last_rebuild["mode"] == "incremental"
+    # symmetrized deletion removes BOTH directions of each deleted pair
+    gone = set(dels) | {(b, a) for a, b in dels}
+    survivors = [e for e in b0 if e not in gone] + b1
+    cold = SuperstepEngine(num_parts=4, symmetrize=True).load_edges(edges_ds(survivors))
+    got = ray.get([a.edge_arrays.remote() for a in eng.actors])
+    want = ray.get([a.edge_arrays.remote() for a in cold.actors])
+    for (gs, gd, gp), (ws, wd, wp) in zip(got, want):
+        np.testing.assert_array_equal(gp, wp)
+        np.testing.assert_array_equal(gd, wd)
+        np.testing.assert_array_equal(gs, ws)
+    eng.shutdown()
+    cold.shutdown()
