@@ -35,6 +35,8 @@ KNN_QUERIES = [0, 1, 2, 3, 4]
 NUM_PARTS = 8
 HITS_ITERS = 5
 SSSP_BOUND = 100  # > max weighted eccentricity of v0 at driver scales
+KCORE_KS = (11, 12)  # lo: mixed core at driver scale; hi: full cascade
+KCORE_ROUNDS = (6, 12)  # unrolled peel rounds per k (fixpoint + margin)
 PPR_SOURCES = [0, 1, 2, 3]
 
 
@@ -200,14 +202,19 @@ def q_bfs(sf_dir: str):
 
 
 def q_kcore(sf_dir: str):
-    """k-core membership (k=8) on the undirected doc graph (iterative
-    peel; rows-only — pytest property test vs peeling oracle)."""
+    """k-core membership at k=11 (mixed core: exact per-vertex
+    membership) AND k=12 (full multi-round cascade to the empty core at
+    driver scale) on the undirected doc graph — one engine load, two
+    peels. Hard oracle: unrolled peel rounds in SQL (the SSSP_BOUND
+    pattern for iterative ops)."""
     from linkgraph.algos.kcore import kcore
 
-    out, _, eng = kcore(_doc_edges_ds(sf_dir), k=8, num_parts=NUM_PARTS)
-    df = out.to_pandas()
+    out11, _, eng = kcore(_doc_edges_ds(sf_dir), k=KCORE_KS[0], num_parts=NUM_PARTS)
+    df11 = out11.to_pandas().rename(columns={"in_kcore": "in_lo"})
+    out12, _, eng = kcore(None, k=KCORE_KS[1], engine=eng)
+    df12 = out12.to_pandas().rename(columns={"in_kcore": "in_hi"})
     eng.shutdown()
-    return df
+    return df11.merge(df12, on="v")
 
 
 def q_exact_dedup(sf_dir: str):
@@ -717,7 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_kclique": q_community,
         "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
-        "kcore_8": q_kcore,
+        "kcore_peel": q_kcore,
         "gcn_2layer": q_gcn,
         "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,
@@ -786,6 +793,38 @@ _UE = (
     "ue AS (SELECT DISTINCT a, b FROM "
     "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e))"
 )
+
+
+def _kcore_sql() -> str:
+    """Unrolled k-core peel (the SSSP_BOUND pattern): each round keeps
+    vertices with >= k surviving undirected neighbors and drops their
+    dead edges; KCORE_ROUNDS rounds exceed the fixpoint at driver scale.
+    Reports exact membership for both KCORE_KS cores."""
+    ctes = [_edges_cte(), _VERTS, _UE]
+    for k, bound in zip(KCORE_KS, KCORE_ROUNDS):
+        prev = "ue"
+        for r in range(bound):
+            # MATERIALIZED: each round references its predecessor three
+            # times; inlining would blow up exponentially in the planner
+            ctes.append(
+                f"al{k}_{r} AS MATERIALIZED (SELECT a AS v FROM {prev} "
+                f"GROUP BY a HAVING count(*) >= {k})"
+            )
+            ctes.append(
+                f"ue{k}_{r} AS MATERIALIZED (SELECT a, b FROM {prev} "
+                f"WHERE a IN (SELECT v FROM al{k}_{r}) "
+                f"AND b IN (SELECT v FROM al{k}_{r}))"
+            )
+            prev = f"ue{k}_{r}"
+        ctes.append(f"core{k} AS (SELECT v FROM al{k}_{bound - 1})")
+    lo, hi = KCORE_KS
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT verts.v AS v, "
+        f"CAST(CASE WHEN verts.v IN (SELECT v FROM core{lo}) THEN 1 ELSE 0 END"
+        " AS BIGINT) AS in_lo, "
+        f"CAST(CASE WHEN verts.v IN (SELECT v FROM core{hi}) THEN 1 ELSE 0 END"
+        " AS BIGINT) AS in_hi FROM verts"
+    )
 
 
 def _pagerank_sql() -> str:
@@ -1013,6 +1052,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         ),
         "pagerank_5": _pagerank_sql(),
         "pagerank_ds_5": _pagerank_sql(),
+        "kcore_peel": _kcore_sql(),
         "cc_labels": (
             f"WITH RECURSIVE {e},\n{_VERTS},\n{_UE},\n"
             "reach(v, label) AS ("
