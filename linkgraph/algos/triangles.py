@@ -4,8 +4,8 @@ Reference parity: test/count_triangles.c:90-133 counts each triangle at
 one distinguished vertex by adjacency intersection. Here: degree
 orientation + wedge closure, expressed as hash-bucketed map_groups
 rounds (every shuffle has exactly B groups, every group body is
-vectorized numpy / pandas-merge — no per-vertex Python, no broadcast of
-the edge set):
+vectorized numpy over zero-copy Arrow columns — no per-vertex Python,
+no pandas round-trips, no broadcast of the edge set):
 
   1. canonicalize (u < v unique) — bucket by pair hash, np.unique per bucket
   2. degrees — partial counts per batch, combined inside the join buckets
@@ -13,8 +13,8 @@ the edge set):
      becomes O(sqrt(m)), bounding hub wedge explosion (the power-law
      skew handling for this operator)
   4. wedges per source, pairs keyed (min_id, max_id)
-  5. closure: wedge (b, c) joins canonical edge (b, c) — bucketed merge,
-     sum of wedge multiplicities = triangle count.
+  5. closure: wedge (b, c) joins canonical edge (b, c) — bucketed
+     sorted-key membership, sum of wedge multiplicities = triangle count.
 
 All rows travel in one uniform narrow schema (part, kind, k1, k2, w) so
 tagged unions stay zero-copy Arrow.
@@ -23,7 +23,6 @@ tagged unions stay zero-copy Arrow.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -42,6 +41,48 @@ def _rows(part, kind, k1, k2, w) -> pa.Table:
     )
 
 
+def _i64(values) -> pa.Array:
+    return pa.array(np.asarray(values, np.int64), pa.int64())
+
+
+def _pack2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """16-byte big-endian (a, b) keys — memcmp-sortable, so one
+    searchsorted does the pair join inside a bucket."""
+    k = np.empty((len(a), 2), dtype=">i8")
+    k[:, 0] = a
+    k[:, 1] = b
+    return k.reshape(-1).view("V16")
+
+
+def _member(keys_sorted: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    if len(keys_sorted) == 0 or len(probe) == 0:
+        return np.zeros(len(probe), bool)
+    idx = np.clip(np.searchsorted(keys_sorted, probe), 0, len(keys_sorted) - 1)
+    return keys_sorted[idx] == probe
+
+
+def _all_pairs_per_run(a: np.ndarray, b: np.ndarray):
+    """For rows sorted by a (b ascending within each a-run), emit every
+    within-run pair (i < j) fully vectorized: returns (ii, jj) global
+    index arrays — no per-run Python loop (the wedge hot path)."""
+    n = len(a)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    run_start = np.repeat(starts, np.diff(np.r_[starts, n]))  # per element
+    lj = np.arange(n, dtype=np.int64) - run_start  # local index == #pairs as j
+    tot = int(lj.sum())
+    if tot == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    jj = np.repeat(np.arange(n, dtype=np.int64), lj)
+    off = np.cumsum(lj) - lj
+    step = np.arange(tot, dtype=np.int64) - np.repeat(off, lj)
+    ii = np.repeat(run_start, lj) + step
+    return ii, jj
+
+
 def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
     """unique (u < v) pairs, bucketed by pair hash with per-bucket np.unique."""
 
@@ -57,16 +98,17 @@ def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
         part = (u + 31 * v) % B
         return _rows(part, 0, u, v, 0)
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup(t: pa.Table) -> pa.Table:
         pairs = np.unique(
-            np.stack([g["k1"].to_numpy(), g["k2"].to_numpy()], axis=1), axis=0
+            np.stack([t.column("k1").to_numpy(), t.column("k2").to_numpy()], axis=1),
+            axis=0,
         )
-        return pd.DataFrame({"u": pairs[:, 0], "v": pairs[:, 1]})
+        return pa.table({"u": _i64(pairs[:, 0]), "v": _i64(pairs[:, 1])})
 
     return (
         edges.map_batches(canon, batch_format="pyarrow", batch_size=131072)
         .groupby("part")
-        .map_groups(dedup, batch_format="pandas")
+        .map_groups(dedup, batch_format="pyarrow")
     )
 
 
@@ -101,20 +143,28 @@ def _degree_oriented(canon: Dataset, B: int) -> Dataset:
         return fn
 
     def join_round(col: str):
-        def fn(g: pd.DataFrame) -> pd.DataFrame:
-            e = g[g["kind"] == 0]
-            d = g[g["kind"] == 1].groupby("k1", as_index=False)["w"].sum()
-            if len(e) == 0:
-                return pd.DataFrame({"u": [], "v": [], "du": [], "dv": []}).astype(np.int64)
-            key = e["k1"] if col == "u" else e["k2"]
-            m = pd.DataFrame(
-                {"u": e["k1"].to_numpy(), "v": e["k2"].to_numpy(), "prev": e["w"].to_numpy(), "key": key.to_numpy()}
-            ).merge(d.rename(columns={"k1": "key", "w": "deg"}), on="key", how="left")
+        def fn(t: pa.Table) -> pa.Table:
+            kind = t.column("kind").to_numpy()
+            k1 = t.column("k1").to_numpy()
+            k2 = t.column("k2").to_numpy()
+            w = t.column("w").to_numpy()
+            em = kind == 0
+            u, v, prev = k1[em], k2[em], w[em]
+            cols = ["u", "v", "du"] if col == "u" else ["u", "v", "du", "dv"]
+            if len(u) == 0:
+                return pa.table({c: pa.array([], pa.int64()) for c in cols})
+            dm = ~em
+            uids, inv = np.unique(k1[dm], return_inverse=True)
+            deg = np.bincount(inv, weights=w[dm]).astype(np.int64)
+            key = u if col == "u" else v
+            # every endpoint's degree partial lands in this bucket (same
+            # key % B routing), so the lookup always hits
+            deg_of = deg[np.searchsorted(uids, key)]
             if col == "u":
-                return pd.DataFrame({"u": m["u"], "v": m["v"], "du": m["deg"].astype(np.int64)})
-            return pd.DataFrame(
-                {"u": m["u"], "v": m["v"], "du": m["prev"], "dv": m["deg"].astype(np.int64)}
-            )
+                vals = [u, v, deg_of]
+            else:
+                vals = [u, v, prev, deg_of]
+            return pa.table({c: _i64(x) for c, x in zip(cols, vals)})
 
         return fn
 
@@ -122,7 +172,7 @@ def _degree_oriented(canon: Dataset, B: int) -> Dataset:
         canon.map_batches(tag_edges("u"), batch_format="pyarrow", batch_size=131072)
         .union(partials)
         .groupby("part")
-        .map_groups(join_round("u"), batch_format="pandas")
+        .map_groups(join_round("u"), batch_format="pyarrow")
     )
 
     def tag_r1(t: pa.Table) -> pa.Table:
@@ -133,7 +183,7 @@ def _degree_oriented(canon: Dataset, B: int) -> Dataset:
         r1.map_batches(tag_r1, batch_format="pyarrow", batch_size=131072)
         .union(partials)
         .groupby("part")
-        .map_groups(join_round("v"), batch_format="pandas")
+        .map_groups(join_round("v"), batch_format="pyarrow")
     )
 
     # --- orient ---------------------------------------------------------
@@ -150,6 +200,13 @@ def _degree_oriented(canon: Dataset, B: int) -> Dataset:
     return r2.map_batches(orient, batch_format="pyarrow", batch_size=131072)
 
 
+def _sorted_runs(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    a = t.column("k1").to_numpy()
+    b = t.column("k2").to_numpy()
+    order = np.lexsort((b, a))
+    return a[order], b[order]
+
+
 def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
     """Global triangle count of the undirected simple graph."""
     B = num_partitions or 32
@@ -158,28 +215,19 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         return 0
     oriented = _degree_oriented(canon, B)
 
-    def wedge_gen(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["k1"].to_numpy()
-        b = g["k2"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-        ends = np.r_[starts[1:], len(a)]
-        outs = []
-        for s, e in zip(starts, ends):
-            k = e - s
-            if k < 2:
-                continue
-            i, j = np.triu_indices(k, 1)
-            nb = b[s:e]
-            outs.append(np.stack([nb[i], nb[j]], axis=1))
-        if not outs:
-            return pd.DataFrame({"b": [], "c": [], "w": []}).astype(np.int64)
-        pairs = np.concatenate(outs)  # already (min, max): nb sorted ascending
-        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
-        return pd.DataFrame({"b": uniq[:, 0], "c": uniq[:, 1], "w": cnt.astype(np.int64)})
+    def wedge_gen(t: pa.Table) -> pa.Table:
+        a, b = _sorted_runs(t)
+        ii, jj = _all_pairs_per_run(a, b)
+        if len(ii) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"b": e, "c": e, "w": e})
+        # b ascending within each a-run, ii < jj -> pairs arrive (min, max)
+        uniq, cnt = np.unique(np.stack([b[ii], b[jj]], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {"b": _i64(uniq[:, 0]), "c": _i64(uniq[:, 1]), "w": _i64(cnt)}
+        )
 
-    wedges = oriented.groupby("part").map_groups(wedge_gen, batch_format="pandas")
+    wedges = oriented.groupby("part").map_groups(wedge_gen, batch_format="pyarrow")
 
     # --- closure: wedge (b,c) must be a canonical edge ------------------
     def tag_wedges(t: pa.Table) -> pa.Table:
@@ -192,19 +240,22 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
         v = t.column("v").to_numpy()
         return _rows((u + 31 * v) % B, 0, u, v, 0)
 
-    def close(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["kind"] == 0][["k1", "k2"]]
-        w = g[g["kind"] == 1][["k1", "k2", "w"]]
-        if len(e) == 0 or len(w) == 0:
-            return pd.DataFrame({"t": [0]})
-        m = w.merge(e, on=["k1", "k2"], how="inner")
-        return pd.DataFrame({"t": [int(m["w"].sum())]})
+    def close(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy()
+        k1 = t.column("k1").to_numpy()
+        k2 = t.column("k2").to_numpy()
+        w = t.column("w").to_numpy()
+        em = kind == 0
+        ke = np.sort(_pack2(k1[em], k2[em]))
+        wm = ~em
+        hit = _member(ke, _pack2(k1[wm], k2[wm]))
+        return pa.table({"t": pa.array([int(w[wm][hit].sum())], pa.int64())})
 
     closed = (
         wedges.map_batches(tag_wedges, batch_format="pyarrow", batch_size=131072)
         .union(canon.map_batches(tag_canon, batch_format="pyarrow", batch_size=131072))
         .groupby("part")
-        .map_groups(close, batch_format="pandas")
+        .map_groups(close, batch_format="pyarrow")
     )
     return int(sum(r["t"] for r in closed.take_all()))
 
@@ -223,8 +274,6 @@ def triangle_counts_per_vertex(
     closed wedge names its full triangle (a, b, c); a final bucketed
     count aggregates per corner. Wedge volume is bounded by the
     sqrt(m) orientation cap exactly like the global count."""
-    import pyarrow.compute as pc
-
     B = num_partitions or 32
     canon = _canonical_bucketed(edges, B).materialize()
     if canon.count() == 0:
@@ -236,28 +285,16 @@ def triangle_counts_per_vertex(
         )
     oriented = _degree_oriented(canon, B)
 
-    def wedge_gen_centered(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["k1"].to_numpy()
-        b = g["k2"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-        ends = np.r_[starts[1:], len(a)]
-        out = []
-        for s, e in zip(starts, ends):
-            k = e - s
-            if k < 2:
-                continue
-            i, j = np.triu_indices(k, 1)
-            nb = b[s:e]
-            out.append(np.stack([np.full(len(i), a[s]), nb[i], nb[j]], axis=1))
-        if not out:
-            return pd.DataFrame({"ctr": [], "b": [], "c": []}).astype(np.int64)
-        w = np.concatenate(out)
-        return pd.DataFrame({"ctr": w[:, 0], "b": w[:, 1], "c": w[:, 2]})
+    def wedge_gen_centered(t: pa.Table) -> pa.Table:
+        a, b = _sorted_runs(t)
+        ii, jj = _all_pairs_per_run(a, b)
+        e = pa.array([], pa.int64())
+        if len(ii) == 0:
+            return pa.table({"ctr": e, "b": e, "c": e})
+        return pa.table({"ctr": _i64(a[ii]), "b": _i64(b[ii]), "c": _i64(b[jj])})
 
     wedges = oriented.groupby("part").map_groups(
-        wedge_gen_centered, batch_format="pandas"
+        wedge_gen_centered, batch_format="pyarrow"
     )
 
     def tag_wedges(t: pa.Table) -> pa.Table:
@@ -270,25 +307,29 @@ def triangle_counts_per_vertex(
         v = t.column("v").to_numpy()
         return _rows((u + 31 * v) % B, 0, u, v, 0)
 
-    def close_per_vertex(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["kind"] == 0][["k1", "k2"]]
-        w = g[g["kind"] == 1][["k1", "k2", "w"]]
-        if len(e) == 0 or len(w) == 0:
-            return pd.DataFrame({"v": [], "n": []}).astype(np.int64)
-        m = w.merge(e, on=["k1", "k2"], how="inner")
+    def close_per_vertex(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy()
+        k1 = t.column("k1").to_numpy()
+        k2 = t.column("k2").to_numpy()
+        w = t.column("w").to_numpy()
+        em = kind == 0
+        ke = np.sort(_pack2(k1[em], k2[em]))
+        wm = ~em
+        hit = _member(ke, _pack2(k1[wm], k2[wm]))
+        if not hit.any():
+            e = pa.array([], pa.int64())
+            return pa.table({"v": e, "n": e})
         # each closed wedge is one triangle (ctr=w, b=k1, c=k2); credit
         # every corner, combiner-count inside the bucket
-        corners = np.concatenate(
-            [m["w"].to_numpy(), m["k1"].to_numpy(), m["k2"].to_numpy()]
-        )
+        corners = np.concatenate([w[wm][hit], k1[wm][hit], k2[wm][hit]])
         ids, cnt = np.unique(corners, return_counts=True)
-        return pd.DataFrame({"v": ids, "n": cnt.astype(np.int64)})
+        return pa.table({"v": _i64(ids), "n": _i64(cnt)})
 
     per_bucket = (
         wedges.map_batches(tag_wedges, batch_format="pyarrow", batch_size=131072)
         .union(canon.map_batches(tag_canon, batch_format="pyarrow", batch_size=131072))
         .groupby("part")
-        .map_groups(close_per_vertex, batch_format="pandas")
+        .map_groups(close_per_vertex, batch_format="pyarrow")
     )
     from ray.data.aggregate import Sum
 

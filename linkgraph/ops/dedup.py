@@ -121,11 +121,15 @@ def shingle_jaccard_pairs(
         part = hash64_str(t.column("shingle").to_pylist()).view(np.int64) % B
         return t.append_column("part", pa.array(part))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g["shingle"], sort=False)
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        codes = pc.dictionary_encode(
+            t.column("shingle").combine_chunks()
+        ).indices.to_numpy()
         order = np.argsort(codes, kind="stable")
         codes = codes[order]
-        ids = g["doc_id"].to_numpy()[order]
+        ids = t.column("doc_id").to_numpy()[order]
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         ends = np.r_[starts[1:], len(codes)]
         outs = []
@@ -137,14 +141,20 @@ def shingle_jaccard_pairs(
             i, j = np.triu_indices(k, 1)
             outs.append(np.stack([seg[i], seg[j]], axis=1))
         if not outs:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_})
         p = np.concatenate(outs)
-        return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
+        return pa.table(
+            {
+                "a": pa.array(p[:, 0].astype(np.int64)),
+                "b": pa.array(p[:, 1].astype(np.int64)),
+            }
+        )
 
     cand = (
         rows.map_batches(add_part, batch_format="pyarrow", batch_size=131072)
         .groupby("part")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     ).materialize()  # materialize first: the count probe is then free
     if cand.count() == 0:
         return cand
@@ -270,12 +280,12 @@ def minhash_dedup_pairs(
 
     rows = sigs.map_batches(band_rows, batch_format="pyarrow", batch_size=65536)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(t: pa.Table) -> pa.Table:
         # segment by (band_id, band_hash) inside the hash bucket; pairs
         # only from collision segments (vectorized sort + boundaries)
-        bi = g["band_id"].to_numpy()
-        bv = g["band_hash"].to_numpy()
-        ids = g["doc_id"].to_numpy()
+        bi = t.column("band_id").to_numpy()
+        bv = t.column("band_hash").to_numpy()
+        ids = t.column("doc_id").to_numpy()
         order = np.lexsort((ids, bv, bi))
         bi, bv, ids = bi[order], bv[order], ids[order]
         new = np.r_[True, (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])]
@@ -292,11 +302,17 @@ def minhash_dedup_pairs(
             i, j = np.triu_indices(len(seg), 1)
             outs.append(np.stack([seg[i], seg[j]], axis=1))
         if not outs:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_})
         p = np.unique(np.concatenate(outs), axis=0)  # in-bucket combiner
-        return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
+        return pa.table(
+            {
+                "a": pa.array(p[:, 0].astype(np.int64)),
+                "b": pa.array(p[:, 1].astype(np.int64)),
+            }
+        )
 
-    cand = rows.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+    cand = rows.groupby("part").map_groups(bucket_pairs, batch_format="pyarrow")
     cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"]).materialize()
     if cand.count() == 0:
         return cand
@@ -411,30 +427,35 @@ def _attach_sig(
         sigs_bin.map_batches(tag_sig, batch_format="pyarrow", batch_size=65536)
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        is_sig = g["kind"].to_numpy() == 0
-        sk = g["key"].to_numpy()[is_sig]
-        sv = g["sig"].to_numpy()[is_sig]
-        order = np.argsort(sk, kind="stable")
-        sk, sv = sk[order], sv[order]
-        c = g[~is_sig]
-        cols: dict = {}
-        if len(c) == 0 or len(sk) == 0:
-            cols[key] = pd.Series([], dtype="int64")
-            for p in pass_cols:
-                cols[p] = pd.Series([], dtype="int64" if p in ("a", "b") else "object")
-            cols[sig_name] = pd.Series([], dtype="object")
-            return pd.DataFrame(cols)
-        ck = c["key"].to_numpy()
-        pos = np.clip(np.searchsorted(sk, ck), 0, len(sk) - 1)
-        ok = sk[pos] == ck
-        cols[key] = ck[ok]
-        for p in pass_cols:
-            cols[p] = c[p].to_numpy()[ok]
-        cols[sig_name] = sv[pos[ok]]
-        return pd.DataFrame(cols)
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return tagged.groupby("part").map_groups(join_bucket, batch_format="pandas")
+        tc = t.combine_chunks()
+        kind = tc.column("kind").to_numpy()
+        keyv = tc.column("key").to_numpy()
+        is_sig = kind == 0
+        sig_rows = np.flatnonzero(is_sig)
+        cand_rows = np.flatnonzero(~is_sig)
+        sk = keyv[sig_rows]
+        order = np.argsort(sk, kind="stable")
+        sk, sig_rows = sk[order], sig_rows[order]
+        if len(cand_rows) and len(sk):
+            ck = keyv[cand_rows]
+            pos = np.clip(np.searchsorted(sk, ck), 0, len(sk) - 1)
+            ok = sk[pos] == ck
+            sel = cand_rows[ok]
+            sig_sel = sig_rows[pos[ok]]
+        else:
+            sel = sig_sel = np.zeros(0, np.int64)
+        # Arrow take keeps the sig column as zero-copy-sliceable binary —
+        # no pandas object boxing of the signature blobs
+        cols = {key: pc.take(tc.column("key"), pa.array(sel))}
+        for p in pass_cols:
+            cols[p] = pc.take(tc.column(p), pa.array(sel))
+        cols[sig_name] = pc.take(tc.column("sig"), pa.array(sig_sel))
+        return pa.table(cols)
+
+    return tagged.groupby("part").map_groups(join_bucket, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -503,11 +524,11 @@ def simhash_dedup_pairs(
 
     rows = sigs.map_batches(chunk_rows, batch_format="pyarrow", batch_size=65536)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ch = g["chunk"].to_numpy()
-        val = g["val"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        sg = g["sig"].to_numpy().view(np.uint64)
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ch = t.column("chunk").to_numpy()
+        val = t.column("val").to_numpy()
+        ids = t.column("doc_id").to_numpy()
+        sg = t.column("sig").to_numpy().view(np.uint64)
         order = np.lexsort((ids, val, ch))
         ch, val, ids, sg = ch[order], val[order], ids[order], sg[order]
         new = np.r_[True, (ch[1:] != ch[:-1]) | (val[1:] != val[:-1])]
@@ -527,16 +548,17 @@ def simhash_dedup_pairs(
             out_b.append(np.maximum(a[keep], b[keep]))
             out_h.append(ham[keep])
         if not out_a:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
-        return pd.DataFrame(
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_, "hamming": e_})
+        return pa.table(
             {
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "hamming": np.concatenate(out_h),
+                "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "hamming": pa.array(np.concatenate(out_h).astype(np.int64)),
             }
         )
 
-    pairs = rows.groupby("part").map_groups(bucket_pairs, batch_format="pandas").materialize()
+    pairs = rows.groupby("part").map_groups(bucket_pairs, batch_format="pyarrow").materialize()
     if pairs.count() == 0:
         return pairs
     return (
@@ -642,11 +664,14 @@ def embedding_dup_lsh(
         fn_constructor_args=(n_tables, n_planes, dim, id_col, num_buckets),
     )
 
-    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        tb = g["table"].to_numpy()
-        cd = g["code"].to_numpy()
-        ids = g["vid"].to_numpy()
-        M = np.stack(g["emb"].to_numpy()).astype(np.float64)
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        tb = t.column("table").to_numpy()
+        cd = t.column("code").to_numpy()
+        ids = t.column("vid").to_numpy()
+        emb = t.column("emb").combine_chunks()
+        # fixed-dim list column: one zero-copy flatten + reshape, no
+        # per-row object boxing
+        M = emb.flatten().to_numpy().reshape(len(emb), -1).astype(np.float64)
         order = np.lexsort((ids, cd, tb))
         tb, cd, ids, M = tb[order], cd[order], ids[order], M[order]
         new = np.r_[True, (tb[1:] != tb[:-1]) | (cd[1:] != cd[:-1])]
@@ -665,15 +690,19 @@ def embedding_dup_lsh(
                 out_a.append(np.minimum(a, b))
                 out_b.append(np.maximum(a, b))
         if not out_a:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-            )
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_})
         p = np.unique(
             np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1), axis=0
         )  # in-bucket combiner (same pair can collide in several tables)
-        return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
+        return pa.table(
+            {
+                "a": pa.array(p[:, 0].astype(np.int64)),
+                "b": pa.array(p[:, 1].astype(np.int64)),
+            }
+        )
 
-    pairs = rows.groupby("part").map_groups(pairs_bucket, batch_format="pandas")
+    pairs = rows.groupby("part").map_groups(pairs_bucket, batch_format="pyarrow")
     # cross-bucket dedup: a pair found in tables that hash to different
     # bucket groups appears once per group
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])

@@ -21,7 +21,21 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from ..algos.triangles import _all_pairs_per_run, _i64, _member, _pack2
 from ..edges import _partial_counts
+
+
+def _filter_runs(a: np.ndarray, b: np.ndarray, cap: int | None):
+    """Keep only rows whose a-run has 2..cap members (a sorted); returns
+    (a, b, run_len_per_row) over the kept rows — run structure intact."""
+    n = len(a)
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]]) if n else np.zeros(0, np.int64)
+    lens = np.diff(np.r_[starts, n])
+    per_row = np.repeat(lens, lens)
+    keep = per_row >= 2
+    if cap is not None:
+        keep &= per_row <= cap
+    return a[keep], b[keep], per_row[keep]
 
 
 def _nparts(num_partitions: int | None) -> int:
@@ -104,106 +118,93 @@ def adamic_adar(
 
     cap = max_degree
 
-    def wedge_scores(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["ctr"].to_numpy()
-        b = g["nbr"].to_numpy()
+    def wedge_scores(t: pa.Table) -> pa.Table:
+        a = t.column("ctr").to_numpy()
+        b = t.column("nbr").to_numpy()
         order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-        ends = np.r_[starts[1:], len(a)]
-        pa_, pb_, sc_ = [], [], []
-        for s, e in zip(starts, ends):
-            k = e - s
-            if k < 2 or (cap is not None and k > cap):
-                continue
-            i, j = np.triu_indices(k, 1)
-            nb = b[s:e]
-            pa_.append(nb[i])
-            pb_.append(nb[j])
-            sc_.append(np.full(len(i), 1.0 / np.log(k)))
-        if not pa_:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
-                 "cn": pd.Series([], dtype=np.int64), "aa": pd.Series([], dtype=np.float64)}
+        a, b, runlen = _filter_runs(a[order], b[order], cap)
+        ii, jj = _all_pairs_per_run(a, b)
+        if len(ii) == 0:
+            e_ = pa.array([], pa.int64())
+            return pa.table(
+                {"part2": e_, "kind": pa.array([], pa.int8()), "a": e_, "b": e_,
+                 "cn": e_, "aa": pa.array([], pa.float64())}
             )
-        x, y, sc = np.concatenate(pa_), np.concatenate(pb_), np.concatenate(sc_)
+        x, y = b[ii], b[jj]
+        sc = 1.0 / np.log(runlen[jj].astype(np.float64))
         # in-bucket combiner: sum score + count per (a, b)
         key = np.stack([x, y], axis=1)
         uk, inv = np.unique(key, axis=0, return_inverse=True)
         cn = np.bincount(inv)
         aa = np.bincount(inv, weights=sc)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "part2": (uk[:, 0] + 31 * uk[:, 1]) % B,
-                "kind": np.ones(len(uk), np.int8),
-                "a": uk[:, 0],
-                "b": uk[:, 1],
-                "cn": cn.astype(np.int64),
-                "aa": aa,
+                "part2": _i64((uk[:, 0] + 31 * uk[:, 1]) % B),
+                "kind": pa.array(np.ones(len(uk), np.int8)),
+                "a": _i64(uk[:, 0]),
+                "b": _i64(uk[:, 1]),
+                "cn": _i64(cn),
+                "aa": pa.array(aa.astype(np.float64)),
             }
         )
 
     partials = (
         cpairs.map_batches(adj, batch_format="pyarrow", batch_size=1 << 20)
         .groupby("part")
-        .map_groups(wedge_scores, batch_format="pandas")
+        .map_groups(wedge_scores, batch_format="pyarrow")
     )
 
-    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["u"].to_numpy()
-        v = df["v"].to_numpy()
-        return pd.DataFrame(
+    def tag_edges(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        return pa.table(
             {
-                "part2": (u + 31 * v) % B,
-                "kind": np.zeros(len(u), np.int8),
-                "a": u,
-                "b": v,
-                "cn": np.zeros(len(u), np.int64),
-                "aa": np.zeros(len(u), np.float64),
+                "part2": _i64((u + 31 * v) % B),
+                "kind": pa.array(np.zeros(len(u), np.int8)),
+                "a": _i64(u),
+                "b": _i64(v),
+                "cn": _i64(np.zeros(len(u), np.int64)),
+                "aa": pa.array(np.zeros(len(u), np.float64)),
             }
         )
 
     mc = int(min_cn)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(t: pa.Table) -> pa.Table:
         """Sum score partials per (a, b); drop pairs present as edges."""
-        sc = g[g["kind"] == 1]
-        if not len(sc):
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
-                 "common_neighbors": pd.Series([], dtype=np.int64),
-                 "adamic_adar": pd.Series([], dtype=np.float64)}
+        kind = t.column("kind").to_numpy()
+        av = t.column("a").to_numpy()
+        bv = t.column("b").to_numpy()
+        sm = kind == 1
+        if not sm.any():
+            e_ = pa.array([], pa.int64())
+            return pa.table(
+                {"a": e_, "b": e_, "common_neighbors": e_,
+                 "adamic_adar": pa.array([], pa.float64())}
             )
-        key = np.stack([sc["a"].to_numpy(), sc["b"].to_numpy()], axis=1)
+        key = np.stack([av[sm], bv[sm]], axis=1)
         uk, inv = np.unique(key, axis=0, return_inverse=True)
-        cn = np.bincount(inv, weights=sc["cn"].to_numpy()).astype(np.int64)
-        aa = np.bincount(inv, weights=sc["aa"].to_numpy())
-        ed = g[g["kind"] == 0]
-        # anti-merge: keep score pairs not present in the edge set
-        # (two-column pandas merge — safe for full-width 64-bit ids)
-        if len(ed):
-            sdf = pd.DataFrame({"a": uk[:, 0], "b": uk[:, 1]})
-            m = sdf.merge(
-                ed[["a", "b"]].drop_duplicates(), on=["a", "b"],
-                how="left", indicator=True,
-            )
-            keep = (m["_merge"] == "left_only").to_numpy()
-        else:
-            keep = np.ones(len(uk), bool)
+        cn = np.bincount(inv, weights=t.column("cn").to_numpy()[sm]).astype(np.int64)
+        aa = np.bincount(inv, weights=t.column("aa").to_numpy()[sm])
+        # anti-join: keep score pairs not present in the edge set
+        # (sorted 16-byte pair keys — exact for full-width 64-bit ids)
+        em = ~sm
+        ke = np.sort(_pack2(av[em], bv[em]))
+        keep = ~_member(ke, _pack2(uk[:, 0], uk[:, 1]))
         keep &= cn >= mc
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": uk[keep, 0],
-                "b": uk[keep, 1],
-                "common_neighbors": cn[keep],
-                "adamic_adar": np.round(aa[keep], 8),
+                "a": _i64(uk[keep, 0]),
+                "b": _i64(uk[keep, 1]),
+                "common_neighbors": _i64(cn[keep]),
+                "adamic_adar": pa.array(np.round(aa[keep], 8).astype(np.float64)),
             }
         )
 
     return (
-        partials.union(cpairs.map_batches(tag_edges, batch_format="pandas"))
+        partials.union(cpairs.map_batches(tag_edges, batch_format="pyarrow"))
         .groupby("part2")
-        .map_groups(merge_bucket, batch_format="pandas")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 
@@ -238,75 +239,66 @@ def edge_jaccard(
 
     adj_ds = cpairs.map_batches(adj, batch_format="pyarrow", batch_size=1 << 20)
 
-    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["ctr"].to_numpy()
-        b = g["nbr"].to_numpy()
+    def wedge_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("ctr").to_numpy()
+        b = t.column("nbr").to_numpy()
         order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-        ends = np.r_[starts[1:], len(a)]
-        pa_, pb_ = [], []
-        for s, e in zip(starts, ends):
-            k = e - s
-            if k < 2:
-                continue
-            i, j = np.triu_indices(k, 1)
-            nb = b[s:e]
-            pa_.append(nb[i])
-            pb_.append(nb[j])
-        if not pa_:
-            return pd.DataFrame(
-                {"part2": pd.Series([], dtype=np.int64),
-                 "kind": pd.Series([], dtype=np.int8),
-                 "a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
-                 "cn": pd.Series([], dtype=np.int64)}
+        a, b, _ = _filter_runs(a[order], b[order], None)
+        ii, jj = _all_pairs_per_run(a, b)
+        if len(ii) == 0:
+            e_ = pa.array([], pa.int64())
+            return pa.table(
+                {"part2": e_, "kind": pa.array([], pa.int8()), "a": e_, "b": e_, "cn": e_}
             )
-        x, y = np.concatenate(pa_), np.concatenate(pb_)
-        key = np.stack([x, y], axis=1)
+        key = np.stack([b[ii], b[jj]], axis=1)
         uk, inv = np.unique(key, axis=0, return_inverse=True)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "part2": (uk[:, 0] + 31 * uk[:, 1]) % B,
-                "kind": np.ones(len(uk), np.int8),
-                "a": uk[:, 0],
-                "b": uk[:, 1],
-                "cn": np.bincount(inv).astype(np.int64),
+                "part2": _i64((uk[:, 0] + 31 * uk[:, 1]) % B),
+                "kind": pa.array(np.ones(len(uk), np.int8)),
+                "a": _i64(uk[:, 0]),
+                "b": _i64(uk[:, 1]),
+                "cn": _i64(np.bincount(inv)),
             }
         )
 
-    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["u"].to_numpy()
-        v = df["v"].to_numpy()
-        return pd.DataFrame(
+    def tag_edges(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        return pa.table(
             {
-                "part2": (u + 31 * v) % B,
-                "kind": np.zeros(len(u), np.int8),
-                "a": u,
-                "b": v,
-                "cn": np.zeros(len(u), np.int64),
+                "part2": _i64((u + 31 * v) % B),
+                "kind": pa.array(np.zeros(len(u), np.int8)),
+                "a": _i64(u),
+                "b": _i64(v),
+                "cn": _i64(np.zeros(len(u), np.int64)),
             }
         )
 
-    def inner_merge(g: pd.DataFrame) -> pd.DataFrame:
-        sc = g[g["kind"] == 1]
-        ed = g[g["kind"] == 0]
-        if not len(sc) or not len(ed):
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
-                 "cn": pd.Series([], dtype=np.int64)}
-            )
-        key = np.stack([sc["a"].to_numpy(), sc["b"].to_numpy()], axis=1)
+    def inner_merge(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy()
+        av = t.column("a").to_numpy()
+        bv = t.column("b").to_numpy()
+        sm = kind == 1
+        em = ~sm
+        if not sm.any() or not em.any():
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_, "cn": e_})
+        key = np.stack([av[sm], bv[sm]], axis=1)
         uk, inv = np.unique(key, axis=0, return_inverse=True)
-        cn = np.bincount(inv, weights=sc["cn"].to_numpy()).astype(np.int64)
-        sdf = pd.DataFrame({"a": uk[:, 0], "b": uk[:, 1], "cn": cn})
-        return sdf.merge(ed[["a", "b"]].drop_duplicates(), on=["a", "b"], how="inner")
+        cn = np.bincount(inv, weights=t.column("cn").to_numpy()[sm]).astype(np.int64)
+        ke = np.sort(_pack2(av[em], bv[em]))
+        hit = _member(ke, _pack2(uk[:, 0], uk[:, 1]))
+        return pa.table(
+            {"a": _i64(uk[hit, 0]), "b": _i64(uk[hit, 1]), "cn": _i64(cn[hit])}
+        )
 
     on_edges = (
         adj_ds.groupby("part")
-        .map_groups(wedge_pairs, batch_format="pandas")
-        .union(cpairs.map_batches(tag_edges, batch_format="pandas"))
+        .map_groups(wedge_pairs, batch_format="pyarrow")
+        .union(cpairs.map_batches(tag_edges, batch_format="pyarrow"))
         .groupby("part2")
-        .map_groups(inner_merge, batch_format="pandas")
+        .map_groups(inner_merge, batch_format="pyarrow")
     )
 
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -484,16 +476,17 @@ def modularity(
             }
         )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_pairs(t: pa.Table) -> pa.Table:
         pairs = np.unique(
-            np.stack([g["u"].to_numpy(), g["v"].to_numpy()], axis=1), axis=0
+            np.stack([t.column("u").to_numpy(), t.column("v").to_numpy()], axis=1),
+            axis=0,
         )
-        return pd.DataFrame({"u": pairs[:, 0], "v": pairs[:, 1]})
+        return pa.table({"u": _i64(pairs[:, 0]), "v": _i64(pairs[:, 1])})
 
     pairs = (
         edges.map_batches(canon, batch_format="pyarrow", batch_size=1 << 20)
         .groupby("part")
-        .map_groups(dedup_pairs, batch_format="pandas")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
     j1 = pairs.join(
         labels, join_type="inner", num_partitions=P, on=("u",), right_on=(id_col,)
@@ -653,18 +646,19 @@ def clustering_coefficient(
             {"u": t.column("u"), "v": t.column("v"), "part": pa.array((u * 31 + v) % B)}
         )
 
-    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_count(t: pa.Table) -> pa.Table:
         pairs = np.unique(
-            np.stack([g["u"].to_numpy(), g["v"].to_numpy()], axis=1), axis=0
+            np.stack([t.column("u").to_numpy(), t.column("v").to_numpy()], axis=1),
+            axis=0,
         )
         ends = np.concatenate([pairs[:, 0], pairs[:, 1]])
         ids, cnt = np.unique(ends, return_counts=True)  # in-bucket combiner
-        return pd.DataFrame({"v": ids, "_c": cnt.astype(np.int64)})
+        return pa.table({"v": _i64(ids), "_c": _i64(cnt)})
 
     deg = (
         cpairs.map_batches(bucket, batch_format="pyarrow", batch_size=1 << 20)
         .groupby("part")
-        .map_groups(dedup_count, batch_format="pandas")
+        .map_groups(dedup_count, batch_format="pyarrow")
         .groupby("v")
         .aggregate(Sum("_c", alias_name="degree"))
     )

@@ -13,7 +13,6 @@ recall grows with n_tables.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -25,6 +24,23 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(M, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return M / n
+
+
+def _emb_matrix(t: pa.Table, col: str = "emb") -> np.ndarray:
+    """Fixed-dim list<float> column -> (n, dim) float64 matrix via one
+    zero-copy flatten + reshape (no per-row object boxing)."""
+    arr = t.column(col).combine_chunks()
+    return arr.flatten().to_numpy().reshape(len(arr), -1).astype(np.float64)
+
+
+def _first_pair_idx(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Indices of one representative per distinct (a, b) pair, in
+    original order (the numpy drop_duplicates)."""
+    k = np.empty((len(a), 2), dtype=">i8")
+    k[:, 0] = a
+    k[:, 1] = b
+    _, idx = np.unique(k.reshape(-1).view("V16"), return_index=True)
+    return np.sort(idx)
 
 
 def knn_cosine(
@@ -97,13 +113,33 @@ def knn_cosine(
         LocalTopK, batch_format="pyarrow", concurrency=(1, 2), fn_constructor_args=(ref,)
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
+    return local.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )
 
-    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+def _final_topk(k: int, dedup: bool = False):
+    """Per-query-group global top-k (sim desc, neighbor_id asc), ranked
+    1..k — vectorized over the Arrow group, no pandas round-trip."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        qid = t.column("query_id").to_numpy()
+        nid = t.column("neighbor_id").to_numpy()
+        sim = t.column("sim").to_numpy()
+        if dedup:
+            # a (q, n) pair colliding in several tables has the same sim
+            keep = _first_pair_idx(qid, nid)
+            qid, nid, sim = qid[keep], nid[keep], sim[keep]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(qid[order].astype(np.int64)),
+                "neighbor_id": pa.array(nid[order].astype(np.int64)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return fn
 
 
 def _deterministic_planes(n_tables: int, n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
@@ -189,11 +225,11 @@ def knn_cosine_lsh(
         fn_constructor_args=(n_tables, n_planes, dim, id_col, num_buckets),
     )
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        tb = g["table"].to_numpy()
-        cd = g["code"].to_numpy()
-        ids = g["vid"].to_numpy()
-        M = np.stack(g["emb"].to_numpy()).astype(np.float64)
+    def score_bucket(t: pa.Table) -> pa.Table:
+        tb = t.column("table").to_numpy()
+        cd = t.column("code").to_numpy()
+        ids = t.column("vid").to_numpy()
+        M = _emb_matrix(t)
         order = np.lexsort((ids, cd, tb))
         tb, cd, ids, M = tb[order], cd[order], ids[order], M[order]
         isq = np.isin(ids, qset)
@@ -215,33 +251,30 @@ def knn_cosine_lsh(
                 out_n.append(nid[keep])
                 out_s.append(sims[r][keep])
         if not out_q:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "sim": pd.Series([], dtype="float64"),
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
                 }
             )
-        df = pd.DataFrame(
+        q = np.concatenate(out_q)
+        n = np.concatenate(out_n)
+        s = np.concatenate(out_s)
+        # in-bucket combiner: a (q, n) pair can collide in many tables
+        keep = _first_pair_idx(q, n)
+        return pa.table(
             {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "sim": np.concatenate(out_s),
+                "query_id": pa.array(q[keep]),
+                "neighbor_id": pa.array(n[keep].astype(np.int64)),
+                "sim": pa.array(s[keep].astype(np.float64)),
             }
         )
-        # in-bucket combiner: a (q, n) pair can collide in many tables
-        return df.drop_duplicates(["query_id", "neighbor_id"])
 
-    local = rows.groupby("part").map_groups(score_bucket, batch_format="pandas")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["query_id", "neighbor_id"])
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    local = rows.groupby("part").map_groups(score_bucket, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        _final_topk(k, dedup=True), batch_format="pyarrow"
+    )
 
 
 def train_ivf_centroids(
@@ -380,11 +413,11 @@ def knn_cosine_ivf(
         fn_constructor_args=(cref, qref, nprobe, id_col, num_buckets),
     )
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lst = g["list"].to_numpy()
-        ids = g["vid"].to_numpy()
-        isq = g["isq"].to_numpy().astype(bool)
-        M = np.stack(g["emb"].to_numpy()).astype(np.float64)
+    def score_bucket(t: pa.Table) -> pa.Table:
+        lst = t.column("list").to_numpy()
+        ids = t.column("vid").to_numpy()
+        isq = t.column("isq").to_numpy().astype(bool)
+        M = _emb_matrix(t)
         order = np.lexsort((ids, lst))
         lst, ids, isq, M = lst[order], ids[order], isq[order], M[order]
         starts = np.flatnonzero(np.r_[True, lst[1:] != lst[:-1]])
@@ -403,30 +436,25 @@ def knn_cosine_ivf(
                 out_n.append(nid[keep])
                 out_s.append(sims[r][keep])
         if not out_q:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "sim": pd.Series([], dtype="float64"),
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
                 }
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "sim": np.concatenate(out_s),
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+                "sim": pa.array(np.concatenate(out_s).astype(np.float64)),
             }
         )
 
-    local = rows.groupby("part").map_groups(score_bucket, batch_format="pandas")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    local = rows.groupby("part").map_groups(score_bucket, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )
 
 
 def _empty_knn():
@@ -496,11 +524,11 @@ def knn_graph_ivf(
 
     B = num_buckets
 
-    def score_list(g: pd.DataFrame) -> pd.DataFrame:
-        lst = g["list"].to_numpy()
-        ids = g["vid"].to_numpy()
-        isq = g["isq"].to_numpy().astype(bool)
-        M = np.stack(g["emb"].to_numpy()).astype(np.float64)
+    def score_list(t: pa.Table) -> pa.Table:
+        lst = t.column("list").to_numpy()
+        ids = t.column("vid").to_numpy()
+        isq = t.column("isq").to_numpy().astype(bool)
+        M = _emb_matrix(t)
         order = np.lexsort((ids, lst))
         lst, ids, isq, M = lst[order], ids[order], isq[order], M[order]
         starts = np.flatnonzero(np.r_[True, lst[1:] != lst[:-1]])
@@ -524,35 +552,48 @@ def knn_graph_ivf(
             out_n.append(nid[csel][keep])
             out_s.append(sv[keep])
         if not out_q:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "bucket": pd.Series([], dtype="int64"),
-                    "src": pd.Series([], dtype="int64"),
-                    "dst": pd.Series([], dtype="int64"),
-                    "sim": pd.Series([], dtype="float64"),
+                    "bucket": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
                 }
             )
         q = np.concatenate(out_q)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "bucket": splitmix64(q.astype(np.uint64)).view(np.int64) % B,
-                "src": q,
-                "dst": np.concatenate(out_n),
-                "sim": np.concatenate(out_s),
+                "bucket": pa.array(splitmix64(q.astype(np.uint64)).view(np.int64) % B),
+                "src": pa.array(q),
+                "dst": pa.array(np.concatenate(out_n).astype(np.int64)),
+                "sim": pa.array(np.concatenate(out_s).astype(np.float64)),
             }
         )
 
-    local = rows.groupby("part").map_groups(score_list, batch_format="pandas")
+    local = rows.groupby("part").map_groups(score_list, batch_format="pyarrow")
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def final_topk(t: pa.Table) -> pa.Table:
         # a probe pair can repeat only if a vector probes a list twice
         # (it can't: lists are argpartition-distinct) — dedup anyway for
         # safety, then vectorized per-src top-k
-        g = g.drop_duplicates(subset=["src", "dst"])
-        g = g.sort_values(["src", "sim", "dst"], ascending=[True, False, True], kind="mergesort")
-        g = g.groupby("src", sort=False).head(k).copy()
-        g["nn_rank"] = g.groupby("src", sort=False).cumcount() + 1
-        g["sim"] = np.round(g["sim"].to_numpy(), 8)
-        return g[["src", "dst", "sim", "nn_rank"]]
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        sim = t.column("sim").to_numpy()
+        keep = _first_pair_idx(src, dst)
+        src, dst, sim = src[keep], dst[keep], sim[keep]
+        order = np.lexsort((dst, -sim, src))
+        src, dst, sim = src[order], dst[order], sim[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(src)]))
+        rank = np.arange(len(src), dtype=np.int64) - run_start
+        top = rank < k
+        return pa.table(
+            {
+                "src": pa.array(src[top].astype(np.int64)),
+                "dst": pa.array(dst[top].astype(np.int64)),
+                "sim": pa.array(np.round(sim[top], 8)),
+                "nn_rank": pa.array(rank[top] + 1),
+            }
+        )
 
-    return local.groupby("bucket").map_groups(final_topk, batch_format="pandas")
+    return local.groupby("bucket").map_groups(final_topk, batch_format="pyarrow")
