@@ -217,6 +217,17 @@ def q_kcore(sf_dir: str):
     return df11.merge(df12, on="v")
 
 
+def q_motif_census(sf_dir: str):
+    """Bounded motif census (GBAD-lite, reference
+    test/intrusion_detection.cpp:33-46): exact non-induced counts of
+    every connected <=4-vertex motif class on the undirected doc graph,
+    top-5 pattern shares. Hard oracle: closed-form degree/triangle
+    moments + wedge-pair/6-way-clique joins in DuckDB."""
+    from linkgraph.ops.motifs import motif_census
+
+    return motif_census(_doc_edges_ds(sf_dir), num_partitions=NUM_PARTS, top=5)
+
+
 def q_exact_dedup(sf_dir: str):
     from linkgraph.ops import exact_dedup
 
@@ -725,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
         "kcore_peel": q_kcore,
+        "motif_census": q_motif_census,
         "gcn_2layer": q_gcn,
         "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,
@@ -824,6 +836,59 @@ def _kcore_sql() -> str:
         " AS BIGINT) AS in_lo, "
         f"CAST(CASE WHEN verts.v IN (SELECT v FROM core{hi}) THEN 1 ELSE 0 END"
         " AS BIGINT) AS in_hi FROM verts"
+    )
+
+
+def _motif_sql() -> str:
+    """Exact <=4-vertex non-induced motif census in SQL: canonical edge
+    table -> degree moments (wedge/star3/path4), triangle triple join
+    (triangle/tadpole/diamond via triangles-per-edge), wedge-pair
+    common-neighbor counts (cycle4: each 4-cycle seen at its two
+    diagonals), 6-way join for K4. Top-5 by (count desc, motif asc)."""
+    return (
+        f"WITH {_edges_cte()},\n"
+        "ce AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        " greatest(src, dst) AS v FROM e WHERE src <> dst),\n"
+        "ue2 AS MATERIALIZED (SELECT u AS a, v AS b FROM ce"
+        " UNION ALL SELECT v, u FROM ce),\n"
+        "deg AS MATERIALIZED (SELECT a AS v, count(*) AS d FROM ue2 GROUP BY a),\n"
+        "tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c"
+        " FROM ce e1 JOIN ce e2 ON e2.u = e1.v"
+        " JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),\n"
+        "tv AS (SELECT v, count(*) AS t FROM (SELECT a AS v FROM tri"
+        " UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY v),\n"
+        "te AS (SELECT x, y, count(*) AS t FROM ("
+        " SELECT a AS x, b AS y FROM tri UNION ALL SELECT a, c FROM tri"
+        " UNION ALL SELECT b, c FROM tri) GROUP BY x, y),\n"
+        "cn AS MATERIALIZED (SELECT e1.b AS x, e2.b AS y, count(*) AS c"
+        " FROM ue2 e1 JOIN ue2 e2 ON e1.a = e2.a AND e1.b < e2.b GROUP BY 1, 2),\n"
+        "k4 AS (SELECT count(*) AS n FROM ce ab"
+        " JOIN ce ac ON ac.u = ab.u AND ac.v > ab.v"
+        " JOIN ce ad ON ad.u = ab.u AND ad.v > ac.v"
+        " JOIN ce bc ON bc.u = ab.v AND bc.v = ac.v"
+        " JOIN ce bd ON bd.u = ab.v AND bd.v = ad.v"
+        " JOIN ce cd ON cd.u = ac.v AND cd.v = ad.v),\n"
+        "counts AS ("
+        " SELECT 'wedge' AS motif,"
+        "  (SELECT COALESCE(sum(d*(d-1)//2), 0) FROM deg) AS n"
+        " UNION ALL SELECT 'triangle', (SELECT count(*) FROM tri)"
+        " UNION ALL SELECT 'star3',"
+        "  (SELECT COALESCE(sum(d*(d-1)*(d-2)//6), 0) FROM deg)"
+        " UNION ALL SELECT 'path4',"
+        "  (SELECT COALESCE(sum((da.d-1)*(db.d-1)), 0) FROM ce"
+        "   JOIN deg da ON da.v = ce.u JOIN deg db ON db.v = ce.v)"
+        "   - 3 * (SELECT count(*) FROM tri)"
+        " UNION ALL SELECT 'cycle4',"
+        "  (SELECT COALESCE(sum(c*(c-1)), 0) FROM cn) // 4"
+        " UNION ALL SELECT 'tadpole',"
+        "  (SELECT COALESCE(sum(tv.t * (deg.d - 2)), 0) FROM tv"
+        "   JOIN deg ON deg.v = tv.v)"
+        " UNION ALL SELECT 'diamond',"
+        "  (SELECT COALESCE(sum(t*(t-1)//2), 0) FROM te)"
+        " UNION ALL SELECT 'clique4', (SELECT n FROM k4))\n"
+        "SELECT motif, CAST(n AS BIGINT) AS \"count\","
+        " round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM counts), 8) AS share"
+        " FROM counts ORDER BY n DESC, motif LIMIT 5"
     )
 
 
@@ -1053,6 +1118,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "pagerank_5": _pagerank_sql(),
         "pagerank_ds_5": _pagerank_sql(),
         "kcore_peel": _kcore_sql(),
+        "motif_census": _motif_sql(),
         "cc_labels": (
             f"WITH RECURSIVE {e},\n{_VERTS},\n{_UE},\n"
             "reach(v, label) AS ("

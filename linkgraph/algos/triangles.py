@@ -112,10 +112,10 @@ def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
     )
 
 
-def _degree_oriented(canon: Dataset, B: int) -> Dataset:
-    """canonical (u, v) edges -> rows (part = a % B, k1 = a, k2 = b)
-    oriented from smaller (degree, id) to larger — max out-degree
-    becomes O(sqrt(m)), bounding hub wedge explosion."""
+def _edges_with_degrees(canon: Dataset, B: int) -> Dataset:
+    """canonical (u, v) edges annotated with both endpoint degrees
+    (u, v, du, dv) — two bucketed join rounds against per-batch degree
+    partials (no degree table broadcast)."""
 
     # --- degree partials ------------------------------------------------
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -179,14 +179,20 @@ def _degree_oriented(canon: Dataset, B: int) -> Dataset:
         v = t.column("v").to_numpy()
         return _rows(v % B, 0, t.column("u").to_numpy(), v, t.column("du").to_numpy())
 
-    r2 = (
+    return (
         r1.map_batches(tag_r1, batch_format="pyarrow", batch_size=131072)
         .union(partials)
         .groupby("part")
         .map_groups(join_round("v"), batch_format="pyarrow")
     )
 
-    # --- orient ---------------------------------------------------------
+
+def _degree_oriented(canon: Dataset, B: int) -> Dataset:
+    """canonical (u, v) edges -> rows (part = a % B, k1 = a, k2 = b)
+    oriented from smaller (degree, id) to larger — max out-degree
+    becomes O(sqrt(m)), bounding hub wedge explosion."""
+    r2 = _edges_with_degrees(canon, B)
+
     def orient(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy()
         v = t.column("v").to_numpy()
