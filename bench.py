@@ -378,16 +378,20 @@ def run_scaling() -> dict:
     Steal gating (round-2 lesson: two attempts were corrupted by
     44k-59k stolen jiffies per child): an arm whose measurement window
     shows host CPU-steal share above GRAFT_SCALE_STEAL_SHARE is retried
-    up to GRAFT_SCALE_ARM_RETRIES times; the attempt with the LOWEST
-    steal is the record (not the fastest — a steal-flattered arm is as
-    corrupt as a steal-depressed one). Per-arm jiffies are reported."""
+    up to GRAFT_SCALE_ARM_RETRIES times. Record selection: the FASTEST
+    attempt among those at or below the gate; if none qualify, the
+    fastest among attempts within 1.5x of the lowest observed steal
+    (round-3 lesson: picking the single lowest-steal attempt once
+    selected an arm that was slow for non-steal reasons — frequency /
+    thermal variance — and flattered the ratio). Every attempt's
+    jiffies are reported so the selection is auditable."""
     max_retries = int(os.environ.get("GRAFT_SCALE_ARM_RETRIES", "2"))
     gate = float(os.environ.get("GRAFT_SCALE_STEAL_SHARE", "0.01"))
     out = {}
     attempts_log: dict[int, list] = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        best = None
+        arms = []
         for attempt in range(max_retries + 1):
             # taskset pins the whole child (driver + raylet + actors) to
             # ncpu hardware threads: a REAL quarter-size machine, not
@@ -409,11 +413,14 @@ def run_scaling() -> dict:
                  "steal_share": arm.get("steal_share"),
                  "pagerank_edges_per_sec": arm.get("pagerank_edges_per_sec")}
             )
-            if best is None or arm.get("steal_share", 0.0) < best.get("steal_share", 0.0):
-                best = arm
+            arms.append(arm)
             if arm.get("steal_share", 0.0) <= gate:
                 break
-        out[ncpu] = best
+        clean = [a for a in arms if a.get("steal_share", 0.0) <= gate]
+        if not clean:
+            lo = min(a.get("steal_share", 0.0) for a in arms)
+            clean = [a for a in arms if a.get("steal_share", 0.0) <= lo * 1.5]
+        out[ncpu] = max(clean, key=lambda a: a.get("pagerank_edges_per_sec", 0.0))
     tp8 = out[8]["pagerank_edges_per_sec"]
     tp32 = out[32]["pagerank_edges_per_sec"]
     eff = (tp32 / tp8) / (32 / 8)
