@@ -159,13 +159,10 @@ def strongly_connected_components(
     scc = max member id of the vertex's strongly connected component.
     Caller owns neither engine; both are shut down before returning."""
 
-    def swap(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t.column("dst"), "dst": t.column("src")})
-
     eng_f = SuperstepEngine(num_parts=num_parts).load_edges(edges)
-    eng_b = SuperstepEngine(num_parts=num_parts).load_edges(
-        edges.map_batches(swap, batch_format="pyarrow")
-    )
+    # reverse orientation straight off the forward actors' segments
+    # (actor-to-actor push — no swap pass, no re-route)
+    eng_b = eng_f.transposed()
     state = None
     rounds = 0
     fwd_iters = bwd_iters = 0

@@ -520,6 +520,23 @@ class GraphPartition:
         and cold rebuilds)."""
         return self._edge_src_sorted, self.edge_dst, self.part_starts
 
+    def push_transpose(self, actors: list) -> None:
+        """Ship this partition's edges REVERSED to their transpose
+        owners: the finalized per-destination segments are already
+        grouped by owner(dst) == owner(reversed src), so building the
+        transpose graph is one actor-to-actor slice push per (p, q)
+        cell — no Dataset re-route, no re-hash, no swap pass."""
+        futs = []
+        for q in range(self.P):
+            a, b = int(self.part_starts[q]), int(self.part_starts[q + 1])
+            if a < b:
+                futs.append(
+                    actors[q].add_chunk.remote(
+                        self.edge_dst[a:b], self._edge_src_sorted[a:b], None
+                    )
+                )
+        ray.get(futs)
+
     def set_outgoing_idx(self, *incoming) -> None:
         """incoming[q] = the dst-local indices for messages
         this-partition -> q (point-to-point: only this partition's row
@@ -1130,6 +1147,26 @@ class SuperstepEngine:
         self._finalize_and_index(keep_raw=streaming)
         self._loaded = True
         return self
+
+    def transposed(self) -> "SuperstepEngine":
+        """Build the reverse-orientation engine straight from this
+        loaded engine's partition actors: each actor's per-destination
+        segments are already grouped by the transpose owner, so the
+        edges move actor -> actor in one push per matrix cell — skipping
+        the swap map pass, the hash recompute and the Dataset routing a
+        fresh ``load_edges`` would pay. Identical vertex ownership, so
+        per-partition state refs (``export_state_refs`` /
+        ``run(import_state=...)``) align between the two engines."""
+        assert self._loaded, "call load_edges first"
+        t = SuperstepEngine(num_parts=self.P, dedup=self.dedup)
+        t.actors = [GraphPartition.remote(i, t.P, t.dedup) for i in range(t.P)]
+        ray.get([a.n_local.remote() for a in t.actors])
+        t.signed_ids = self.signed_ids
+        t.streaming = False
+        ray.get([a.push_transpose.remote(t.actors) for a in self.actors])
+        t._finalize_and_index(keep_raw=False)
+        t._loaded = True
+        return t
 
     def prefetch_edges(
         self, edges: Dataset, src_col: str = "src", dst_col: str = "dst"
