@@ -1120,6 +1120,26 @@ class SuperstepEngine:
         self._loaded = False
 
     # ---- graph build -------------------------------------------------
+    def provision(self) -> "SuperstepEngine":
+        """Spawn the partition actors ahead of data arrival — the
+        reference's PEs are long-running processes that exist before any
+        edge streams in (srun launches them outside the measured insert
+        window, test/update_rates.cpp); calling this first keeps actor
+        spawn out of ingest timing. ``load_edges`` provisions implicitly
+        when this wasn't called.
+
+        The readiness barrier matters on a saturated/stolen host: worker
+        spawn can exceed the raylet registration timeout and get reaped —
+        if that happens to a partition actor after routing has begun, the
+        load dies mid-flight. Waiting here surfaces spawn failures before
+        any data moves and keeps the routing storm off the spawn path."""
+        if not self.actors:
+            self.actors = [
+                GraphPartition.remote(i, self.P, self.dedup) for i in range(self.P)
+            ]
+            ray.get([a.n_local.remote() for a in self.actors])
+        return self
+
     def load_edges(
         self,
         edges: Dataset,
@@ -1131,14 +1151,8 @@ class SuperstepEngine:
         indexes. With ``streaming=True``, raw edges are retained so
         ``extend_edges`` can append further batches (the reference's
         incremental edge-insert loop, test/update_rates.cpp:31-56)."""
-        P = self.P
-        self.actors = [GraphPartition.remote(i, P, self.dedup) for i in range(P)]
-        # readiness barrier: on a saturated/stolen host, worker spawn can
-        # exceed the raylet registration timeout and get reaped — if that
-        # happens to a partition actor after routing has begun, the load
-        # dies mid-flight. Waiting here surfaces spawn failures before any
-        # data moves and keeps the routing storm off the spawn path.
-        ray.get([a.n_local.remote() for a in self.actors])
+        assert not self._loaded, "engine already loaded"
+        self.provision()
         schema = edges.schema()
         dtype = dict(zip(schema.names, schema.types))[src_col]
         self.signed_ids = pa.types.is_signed_integer(dtype)
@@ -1158,9 +1172,7 @@ class SuperstepEngine:
         per-partition state refs (``export_state_refs`` /
         ``run(import_state=...)``) align between the two engines."""
         assert self._loaded, "call load_edges first"
-        t = SuperstepEngine(num_parts=self.P, dedup=self.dedup)
-        t.actors = [GraphPartition.remote(i, t.P, t.dedup) for i in range(t.P)]
-        ray.get([a.n_local.remote() for a in t.actors])
+        t = SuperstepEngine(num_parts=self.P, dedup=self.dedup).provision()
         t.signed_ids = self.signed_ids
         t.streaming = False
         ray.get([a.push_transpose.remote(t.actors) for a in self.actors])
