@@ -35,7 +35,6 @@ def distinct_edges(edges: Dataset, num_buckets: int = 64) -> Dataset:
     np.unique per bucket — ~4x faster than a groupby-count over the raw
     pairs at equal exactness (per-group work is one vectorized kernel)."""
     import numpy as np
-    import pandas as pd
 
     def bucket(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy()
@@ -50,16 +49,17 @@ def distinct_edges(edges: Dataset, num_buckets: int = 64) -> Dataset:
             }
         )
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup(t: pa.Table) -> pa.Table:
         pairs = np.unique(
-            np.stack([g["src"].to_numpy(), g["dst"].to_numpy()], axis=1), axis=0
+            np.stack([t.column("src").to_numpy(), t.column("dst").to_numpy()], axis=1),
+            axis=0,
         )
-        return pd.DataFrame({"src": pairs[:, 0], "dst": pairs[:, 1]})
+        return pa.table({"src": pa.array(pairs[:, 0]), "dst": pa.array(pairs[:, 1])})
 
     return (
         edges.map_batches(bucket, batch_format="pyarrow", batch_size=1 << 20)
         .groupby("part")
-        .map_groups(dedup, batch_format="pandas")
+        .map_groups(dedup, batch_format="pyarrow")
     )
 
 
