@@ -42,7 +42,7 @@ LP_ITERS = 5
 # steal share 0.152 and recorded 2-8x regressions the clean session
 # didn't have)
 STEAL_RETRY_SHARE = float(os.environ.get("GRAFT_STEAL_RETRY_SHARE", "0.02"))
-STEAL_MAX_RETRIES = int(os.environ.get("GRAFT_STEAL_MAX_RETRIES", "1"))
+STEAL_MAX_RETRIES = int(os.environ.get("GRAFT_STEAL_MAX_RETRIES", "2"))
 
 
 class _StageTimer:
