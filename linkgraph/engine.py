@@ -314,7 +314,8 @@ class GraphPartition:
         # delete-old-edge-set / insert-new-edge-set replacement pattern).
         # (reference src/hvr_vertex.cpp:25-48, src/hoover.cpp:1695-1733;
         # behavior spec test/remove_vertices_test.c)
-        if self._vdel_chunks or self._del_chunks:
+        had_dels = bool(self._vdel_chunks or self._del_chunks)
+        if had_dels:
             keep = np.ones(len(self.edge_dst), bool)
             if self._vdel_chunks:
                 vdels = np.unique(np.concatenate(self._vdel_chunks))
@@ -369,6 +370,11 @@ class GraphPartition:
         if len(self.edge_dst):
             self._merge_batch(bsrc, bdst, bpart)
             mode = "incremental"
+            # phase 2 can remap instead of rebuild iff the prior index
+            # exists and no deletion invalidated positions this round
+            self._inc_index_ok = (
+                not had_dels and getattr(self, "src_order", None) is not None
+            )
         else:
             self.edge_dst = bdst
             self._edge_src_sorted = bsrc
@@ -377,6 +383,7 @@ class GraphPartition:
             )
             self._edge_key = _pair_key(bdst, bsrc) if keep_raw else None
             mode = "full"
+            self._inc_index_ok = False
         # per destination partition: unique dst ids + reduceat segment starts
         self.seg_udst: list[np.ndarray] = []
         self.seg_starts: list[np.ndarray] = []
@@ -396,6 +403,7 @@ class GraphPartition:
             np.arange(P, dtype=np.int16), np.diff(self.part_starts)
         )
         self.seg_ridx: list[np.ndarray] | None = None  # filled by index exchange
+        self._walk_dst = None  # walk CSR cache is graph-shape-dependent
         self._prior_kept = keep_raw
         if not keep_raw:
             self._edge_key = None
@@ -411,10 +419,18 @@ class GraphPartition:
         prior sorted edge run: per touched partition, ONE searchsorted of
         the batch keys into the cached prior keys positions both sides
         (O(prior_seg) scatter-copy + O(batch log prior) search — no sort
-        of the stored edges). Batch pairs already present are dropped."""
+        of the stored edges). Batch pairs already present are dropped.
+
+        Records the merge permutation (new global position of every old
+        edge, and of every kept batch edge + its src) so phase 2 can
+        REMAP the vertex-dependent structures instead of rebuilding
+        them (``_build_index_incremental``)."""
         P = self.P
         bstarts = np.searchsorted(bpart, np.arange(P + 1))
         out_src, out_dst, out_key, sizes = [], [], [], []
+        perm_old = np.empty(len(self.edge_dst), np.int64)
+        kept_pos, kept_src = [], []
+        new_off = 0
         for q in range(P):
             a, b = int(self.part_starts[q]), int(self.part_starts[q + 1])
             c, d = int(bstarts[q]), int(bstarts[q + 1])
@@ -423,6 +439,8 @@ class GraphPartition:
                 out_dst.append(self.edge_dst[a:b])
                 out_key.append(self._edge_key[a:b])
                 sizes.append(b - a)
+                perm_old[a:b] = np.arange(new_off, new_off + (b - a))
+                new_off += b - a
                 continue
             kp = self._edge_key[a:b]
             bs, bd = bsrc[c:d], bdst[c:d]
@@ -452,10 +470,21 @@ class GraphPartition:
             out_dst.append(dst_o)
             out_key.append(key_o)
             sizes.append(n + mrows)
+            perm_old[a:b] = pos_p + new_off
+            kept_pos.append(pos_b + new_off)
+            kept_src.append(bs)
+            new_off += n + mrows
         self._edge_src_sorted = np.concatenate(out_src)
         self.edge_dst = np.concatenate(out_dst)
         self._edge_key = np.concatenate(out_key)
         self.part_starts = np.r_[np.int64(0), np.cumsum(np.array(sizes, np.int64))]
+        self._merge_perm_old = perm_old
+        self._merge_batch_pos = (
+            np.concatenate(kept_pos) if kept_pos else np.empty(0, np.int64)
+        )
+        self._merge_batch_src = (
+            np.concatenate(kept_src) if kept_src else np.empty(0, np.uint64)
+        )
 
     # ---- one-time destination-index exchange + phase-2 build ----------
     def finalize_segs(self, keep_raw: bool = False) -> tuple:
@@ -478,8 +507,18 @@ class GraphPartition:
         ``num_returns=P+1``: returns n_local plus, for each source
         partition p, the local int32 indices of the dst ids p will send
         here (per-superstep messages then carry compact local indices
-        instead of 64-bit ids)."""
+        instead of 64-bit ids).
+
+        After an incremental finalize (no deletions), the
+        vertex-dependent structures are REMAPPED through the merge
+        permutation instead of rebuilt: the O(E log E) unique + argsort
+        drop to O(new vertices + batch log E) plus O(E) gathers — the
+        delta-only index maintenance half of update_edge_info
+        (reference src/hoover.cpp:450-600)."""
         incoming = list(incoming)
+        if getattr(self, "_inc_index_ok", False):
+            self._inc_index_ok = False
+            return self._build_index_incremental(incoming)
         chunks = list(self._vert_chunks) + incoming
         self._vert_chunks = []
         if len(self._prior_verts):
@@ -510,6 +549,93 @@ class GraphPartition:
             *(np.searchsorted(self.verts, inc).astype(np.int32) for inc in incoming),
         )
 
+    def _build_index_incremental(self, incoming: list) -> tuple:
+        """Phase 2 after an incremental merge: compute the (typically
+        tiny) set of newly-referenced vertex ids, splice them into the
+        sorted vertex index, then scatter-remap edge_src_idx / out_deg /
+        CSR order through the merge permutation. Produces bit-identical
+        structures to the full rebuild (pinned by the structural-equality
+        streaming tests)."""
+        verts_old = self.verts
+        cand = list(self._vert_chunks)
+        self._vert_chunks = []
+        cand.extend(incoming)
+        cand.append(self._merge_batch_src)
+        cand = np.concatenate(cand) if cand else np.empty(0, np.uint64)
+        if len(cand) and len(verts_old):
+            pos = np.searchsorted(verts_old, cand)
+            miss = np.ones(len(cand), bool)
+            m = pos < len(verts_old)
+            miss[m] = verts_old[pos[m]] != cand[m]
+            added = np.unique(cand[miss])
+        else:
+            added = np.unique(cand)
+        V, A = len(verts_old), len(added)
+        if A:
+            ins = np.searchsorted(verts_old, added)
+            verts_new = np.empty(V + A, np.uint64)
+            pos_a = ins + np.arange(A)
+            cnt = np.bincount(ins, minlength=V + 1)
+            pos_v = np.arange(V) + np.cumsum(cnt)[:V]  # new index of old vert j
+            verts_new[pos_v] = verts_old
+            verts_new[pos_a] = added
+        else:
+            verts_new = verts_old
+            pos_v = None
+        self.verts = verts_new
+        n = len(verts_new)
+        perm = self._merge_perm_old
+        bpos = self._merge_batch_pos
+        # edge_src_idx: remap old values (monotone shift) + batch fill
+        esi = np.empty(len(self.edge_dst), np.int32)
+        old_vals = (
+            self.edge_src_idx
+            if pos_v is None
+            else pos_v[self.edge_src_idx].astype(np.int32)
+        )
+        esi[perm] = old_vals
+        b_esi = np.searchsorted(verts_new, self._merge_batch_src).astype(np.int32)
+        esi[bpos] = b_esi
+        # out_deg: scatter old counts to shifted slots + batch increments
+        out_deg = np.zeros(n, np.int64)
+        if pos_v is None:
+            out_deg[: len(self.out_deg)] = self.out_deg
+        else:
+            out_deg[pos_v] = self.out_deg
+        if len(b_esi):
+            np.add.at(out_deg, b_esi, 1)
+        with np.errstate(divide="ignore"):
+            inv = 1.0 / out_deg.astype(np.float64)
+        inv[out_deg == 0] = 0.0
+        # CSR order: merge the (still-sorted) remapped old order with the
+        # batch edges on composite (src_idx, position) keys — identical
+        # to the full stable argsort
+        old_csr = perm[self.src_order]
+        keys_old = (esi[old_csr].astype(np.uint64) << np.uint64(32)) | old_csr.astype(
+            np.uint64
+        )
+        bo = np.lexsort((bpos, b_esi))
+        b_csr = bpos[bo]
+        keys_b = (b_esi[bo].astype(np.uint64) << np.uint64(32)) | b_csr.astype(
+            np.uint64
+        )
+        nO, nB = len(keys_old), len(keys_b)
+        so = np.empty(nO + nB, np.int32)
+        idx = np.searchsorted(keys_old, keys_b, side="left")
+        so[idx + np.arange(nB)] = b_csr.astype(np.int32)
+        cnt = np.bincount(idx, minlength=nO + 1)
+        so[np.arange(nO) + np.cumsum(cnt)[:nO]] = old_csr.astype(np.int32)
+        self.edge_src_idx = esi
+        self.out_deg = out_deg
+        self.inv_outdeg = inv
+        self.src_order = so
+        self.src_indptr = np.r_[np.int64(0), np.cumsum(out_deg)]
+        self._merge_perm_old = self._merge_batch_pos = self._merge_batch_src = None
+        return (
+            n,
+            *(np.searchsorted(self.verts, inc).astype(np.int32) for inc in incoming),
+        )
+
     def n_local(self) -> int:
         v = getattr(self, "verts", None)
         return 0 if v is None else len(v)
@@ -519,6 +645,17 @@ class GraphPartition:
         boundaries (structural-equality checks between incremental merges
         and cold rebuilds)."""
         return self._edge_src_sorted, self.edge_dst, self.part_starts
+
+    def index_arrays(self) -> tuple:
+        """Debug/test accessor: every vertex-dependent structure phase 2
+        builds (equality checks incremental remap vs full rebuild)."""
+        return (
+            self.verts,
+            self.edge_src_idx,
+            self.out_deg,
+            self.src_order,
+            self.src_indptr,
+        )
 
     def push_transpose(self, actors: list) -> None:
         """Ship this partition's edges REVERSED to their transpose

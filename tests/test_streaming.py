@@ -91,6 +91,13 @@ def test_incremental_merge_equals_cold_rebuild():
         np.testing.assert_array_equal(gp, wp)
         np.testing.assert_array_equal(gd, wd)
         np.testing.assert_array_equal(gs, ws)
+    # phase 2 (vertex index, degrees, CSR order) must ALSO be identical
+    # between the incremental remap and the full rebuild
+    got_i = ray.get([a.index_arrays.remote() for a in eng.actors])
+    want_i = ray.get([a.index_arrays.remote() for a in cold.actors])
+    for g, w in zip(got_i, want_i):
+        for ga, wa in zip(g, w):
+            np.testing.assert_array_equal(ga, wa)
     eng.shutdown()
     cold.shutdown()
 
