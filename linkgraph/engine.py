@@ -367,6 +367,7 @@ class GraphPartition:
             keepb = np.r_[True, (bsrc[1:] != bsrc[:-1]) | (bdst[1:] != bdst[:-1])]
             bsrc, bdst, bpart = bsrc[keepb], bdst[keepb], bpart[keepb]
         n_batch = len(bsrc)
+        old_seg_ridx = getattr(self, "seg_ridx", None)
         if len(self.edge_dst):
             self._merge_batch(bsrc, bdst, bpart)
             mode = "incremental"
@@ -402,6 +403,18 @@ class GraphPartition:
         self.edge_q = np.repeat(
             np.arange(P, dtype=np.int16), np.diff(self.part_starts)
         )
+        # delta exchange eligibility: the prior outgoing index survives a
+        # pure-insert incremental merge (deletions re-shape segments;
+        # vertex deletions broadcast, so every actor full-rebuilds then)
+        if mode == "incremental" and not had_dels and old_seg_ridx is not None:
+            self._seg_delta = [
+                (ids, np.searchsorted(self.seg_udst[q], ids))
+                for q, ids in enumerate(self._seg_new_scratch)
+            ]
+            self._old_seg_ridx = old_seg_ridx
+        else:
+            self._seg_delta = None
+            self._old_seg_ridx = None
         self.seg_ridx: list[np.ndarray] | None = None  # filled by index exchange
         self._walk_dst = None  # walk CSR cache is graph-shape-dependent
         self._prior_kept = keep_raw
@@ -430,6 +443,7 @@ class GraphPartition:
         out_src, out_dst, out_key, sizes = [], [], [], []
         perm_old = np.empty(len(self.edge_dst), np.int64)
         kept_pos, kept_src = [], []
+        self._seg_new_scratch = [np.empty(0, np.uint64) for _ in range(P)]
         new_off = 0
         for q in range(P):
             a, b = int(self.part_starts[q]), int(self.part_starts[q + 1])
@@ -474,6 +488,18 @@ class GraphPartition:
             kept_pos.append(pos_b + new_off)
             kept_src.append(bs)
             new_off += n + mrows
+            # dst ids this batch references in q for the FIRST time (the
+            # seg-exchange delta): kept batch dsts absent from the prior
+            # segment's (dst-sorted) run — self.edge_dst is still the
+            # pre-merge array here (reassigned after the loop)
+            if mrows:
+                ub = np.unique(bd)
+                old_d = self.edge_dst[a:b]
+                p2 = np.searchsorted(old_d, ub)
+                fresh_d = np.ones(len(ub), bool)
+                mm = p2 < len(old_d)
+                fresh_d[mm] = old_d[p2[mm]] != ub[mm]
+                self._seg_new_scratch[q] = ub[fresh_d]
         self._edge_src_sorted = np.concatenate(out_src)
         self.edge_dst = np.concatenate(out_dst)
         self._edge_key = np.concatenate(out_key)
@@ -495,30 +521,41 @@ class GraphPartition:
         O(P^2) broadcast of every actor's full list — the documented
         large-P limit) with zero explicit ray.put round trips."""
         meta = self.finalize(keep_raw)
-        return (meta, self._rebuild_info, *self.seg_udst)
+        if self._seg_delta is not None:
+            # delta exchange: ship only the dst ids each owner has never
+            # been asked about — O(new referenced ids), not O(E)
+            cells = [("delta", ids) for ids, _ in self._seg_delta]
+        else:
+            cells = [("full", s) for s in self.seg_udst]
+        return (meta, self._rebuild_info, *cells)
 
-    def build_incoming_index(self, *incoming) -> tuple:
-        """Phase 2. ``incoming[p]`` holds the dst ids partition p will
-        message here — exactly this partition's externally-referenced
-        vertices (Ray resolves the per-cell refs before dispatch).
-        Union them with local srcs and prior vertices to form the
-        vertex index, then build every vertex-dependent structure
-        (src_idx, out_deg, CSR-by-src, inv outdeg). Called with
-        ``num_returns=P+1``: returns n_local plus, for each source
-        partition p, the local int32 indices of the dst ids p will send
-        here (per-superstep messages then carry compact local indices
-        instead of 64-bit ids).
+    def build_incoming_index(self, *cells) -> tuple:
+        """Phase 2. ``cells[p] = (kind, ids)`` holds dst ids partition p
+        will message here (kind "full": p's complete per-destination
+        list; kind "delta": only ids p never asked about before — the
+        delta exchange). Union them with local srcs and prior vertices
+        to form the vertex index, then build every vertex-dependent
+        structure (src_idx, out_deg, CSR-by-src, inv outdeg). Called
+        with ``num_returns=P+2``: returns n_local, the vertex ids ADDED
+        to this index this rebuild (senders shift their stored local
+        indices by it), then for each source partition p the local
+        int32 indices of exactly the ids p sent (per-superstep messages
+        then carry compact local indices instead of 64-bit ids).
 
         After an incremental finalize (no deletions), the
         vertex-dependent structures are REMAPPED through the merge
         permutation instead of rebuilt: the O(E log E) unique + argsort
         drop to O(new vertices + batch log E) plus O(E) gathers — the
         delta-only index maintenance half of update_edge_info
-        (reference src/hoover.cpp:450-600)."""
-        incoming = list(incoming)
+        (reference src/hoover.cpp:450-600). Prior vertices are always
+        retained, so the index only shrinks via vertex deletions, which
+        broadcast (every actor full-rebuilds) — the invariant the
+        senders' delta remap relies on."""
+        incoming = [c[1] for c in cells]
         if getattr(self, "_inc_index_ok", False):
             self._inc_index_ok = False
             return self._build_index_incremental(incoming)
+        verts_prev = self._prior_verts
         chunks = list(self._vert_chunks) + incoming
         self._vert_chunks = []
         if len(self._prior_verts):
@@ -529,6 +566,15 @@ class GraphPartition:
             np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.uint64)
         )
         n = len(self.verts)
+        # ids newly added vs the pre-rebuild index (sorted setdiff)
+        if len(verts_prev):
+            pos = np.searchsorted(verts_prev, self.verts)
+            miss = np.ones(n, bool)
+            m = pos < len(verts_prev)
+            miss[m] = verts_prev[pos[m]] != self.verts[m]
+            added = self.verts[miss]
+        else:
+            added = self.verts
         self.edge_src_idx = np.searchsorted(self.verts, self._edge_src_sorted).astype(
             np.int32
         )
@@ -546,6 +592,7 @@ class GraphPartition:
         self.src_indptr = np.r_[np.int64(0), np.cumsum(out_deg)]
         return (
             n,
+            added,
             *(np.searchsorted(self.verts, inc).astype(np.int32) for inc in incoming),
         )
 
@@ -633,6 +680,7 @@ class GraphPartition:
         self._merge_perm_old = self._merge_batch_pos = self._merge_batch_src = None
         return (
             n,
+            added,
             *(np.searchsorted(self.verts, inc).astype(np.int32) for inc in incoming),
         )
 
@@ -657,6 +705,11 @@ class GraphPartition:
             self.src_indptr,
         )
 
+    def exchange_arrays(self) -> tuple:
+        """Debug/test accessor: outgoing index state (delta-exchange
+        equality checks vs a cold full exchange)."""
+        return list(self.seg_ridx), self.edge_ridx
+
     def push_transpose(self, actors: list) -> None:
         """Ship this partition's edges REVERSED to their transpose
         owners: the finalized per-destination segments are already
@@ -674,13 +727,39 @@ class GraphPartition:
                 )
         ray.get(futs)
 
-    def set_outgoing_idx(self, *incoming) -> None:
-        """incoming[q] = the dst-local indices for messages
-        this-partition -> q (point-to-point: only this partition's row
-        of the exchange matrix is fetched; Ray resolves the refs), plus
-        a per-edge expansion for the labelvote path (per-iteration
-        (dst,label) segments)."""
-        self.seg_ridx = list(incoming)
+    def set_outgoing_idx(self, *args) -> None:
+        """args = P answer arrays (owner-local indices of exactly the
+        ids this partition SENT to each owner — full lists or deltas)
+        followed by P ``added`` arrays (the vertex ids each owner
+        spliced into its index this rebuild). After a delta exchange,
+        stored indices for previously-registered ids are shifted by the
+        owner's insertions (new_idx = old_idx + #added before the id) —
+        no O(E) re-answer. Ends with the per-edge expansion for the
+        labelvote path (per-iteration (dst,label) segments)."""
+        P = self.P
+        answers = list(args[:P])
+        added = list(args[P:])
+        if getattr(self, "_seg_delta", None) is None:
+            self.seg_ridx = answers
+        else:
+            ridx = []
+            for q in range(P):
+                new_ids, new_pos = self._seg_delta[q]
+                old = self._old_seg_ridx[q]
+                segn = len(self.seg_udst[q])
+                out = np.empty(segn, np.int32)
+                mask = np.ones(segn, bool)
+                mask[new_pos] = False
+                if len(added[q]):
+                    out[mask] = old + np.searchsorted(
+                        added[q], self.seg_udst[q][mask]
+                    ).astype(np.int32)
+                else:
+                    out[mask] = old
+                out[new_pos] = answers[q]
+                ridx.append(out)
+            self.seg_ridx = ridx
+            self._seg_delta = self._old_seg_ridx = None
         edge_ridx = np.empty(self.n_edges, np.int32)
         for q in range(self.P):
             a, b = self.part_starts[q], self.part_starts[q + 1]
@@ -1455,14 +1534,18 @@ class SuperstepEngine:
         seg_refs = [o[2:] for o in outs]
         inc_outs = [
             self.actors[q]
-            .build_incoming_index.options(num_returns=P + 1)
+            .build_incoming_index.options(num_returns=P + 2)
             .remote(*[seg_refs[p][q] for p in range(P)])
             for q in range(P)
         ]
         nloc_refs = [o[0] for o in inc_outs]
-        inc_refs = [o[1:] for o in inc_outs]
+        added_refs = [o[1] for o in inc_outs]
+        inc_refs = [o[2:] for o in inc_outs]
         done = [
-            self.actors[p].set_outgoing_idx.remote(*[inc_refs[q][p] for q in range(P)])
+            self.actors[p].set_outgoing_idx.remote(
+                *[inc_refs[q][p] for q in range(P)],
+                *[added_refs[q] for q in range(P)],
+            )
             for p in range(P)
         ]
         sizes = ray.get(meta_refs)

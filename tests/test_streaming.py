@@ -98,6 +98,14 @@ def test_incremental_merge_equals_cold_rebuild():
     for g, w in zip(got_i, want_i):
         for ga, wa in zip(g, w):
             np.testing.assert_array_equal(ga, wa)
+    # and the delta exchange must reproduce the full exchange's outgoing
+    # indices (stored-index shift + new-id splice == full re-answer)
+    got_x = ray.get([a.exchange_arrays.remote() for a in eng.actors])
+    want_x = ray.get([a.exchange_arrays.remote() for a in cold.actors])
+    for (gr, ge), (wr, we) in zip(got_x, want_x):
+        np.testing.assert_array_equal(ge, we)
+        for ga, wa in zip(gr, wr):
+            np.testing.assert_array_equal(ga, wa)
     eng.shutdown()
     cold.shutdown()
 
