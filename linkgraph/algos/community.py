@@ -30,13 +30,21 @@ graph is usually far smaller than the input graph.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
 
 from ..hashing import splitmix64
-from .triangles import _canonical_bucketed, _degree_oriented, _rows
+from .triangles import (
+    _all_pairs_per_run,
+    _canonical_bucketed,
+    _degree_oriented,
+    _i64,
+    _member,
+    _pack2,
+    _rows,
+    _sorted_runs,
+)
 
 
 def _triangles_ds(canon: Dataset, B: int) -> Dataset:
@@ -45,28 +53,16 @@ def _triangles_ds(canon: Dataset, B: int) -> Dataset:
     triangle_counts_per_vertex, returning the triangle rows)."""
     oriented = _degree_oriented(canon, B)
 
-    def wedge_gen_centered(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["k1"].to_numpy()
-        b = g["k2"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-        ends = np.r_[starts[1:], len(a)]
-        out = []
-        for s, e in zip(starts, ends):
-            k = e - s
-            if k < 2:
-                continue
-            i, j = np.triu_indices(k, 1)
-            nb = b[s:e]
-            out.append(np.stack([np.full(len(i), a[s]), nb[i], nb[j]], axis=1))
-        if not out:
-            return pd.DataFrame({"ctr": [], "b": [], "c": []}).astype(np.int64)
-        w = np.concatenate(out)
-        return pd.DataFrame({"ctr": w[:, 0], "b": w[:, 1], "c": w[:, 2]})
+    def wedge_gen_centered(t: pa.Table) -> pa.Table:
+        a, b = _sorted_runs(t)
+        ii, jj = _all_pairs_per_run(a, b)
+        e = pa.array([], pa.int64())
+        if len(ii) == 0:
+            return pa.table({"ctr": e, "b": e, "c": e})
+        return pa.table({"ctr": _i64(a[ii]), "b": _i64(b[ii]), "c": _i64(b[jj])})
 
     wedges = oriented.groupby("part").map_groups(
-        wedge_gen_centered, batch_format="pandas"
+        wedge_gen_centered, batch_format="pyarrow"
     )
 
     def tag_wedges(t: pa.Table) -> pa.Table:
@@ -79,32 +75,37 @@ def _triangles_ds(canon: Dataset, B: int) -> Dataset:
         v = t.column("v").to_numpy()
         return _rows((u + 31 * v) % B, 0, u, v, 0)
 
-    def close_tri(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["kind"] == 0][["k1", "k2"]]
-        w = g[g["kind"] == 1][["k1", "k2", "w"]]
-        if len(e) == 0 or len(w) == 0:
-            return pd.DataFrame({"a": [], "b": [], "c": []}).astype(np.int64)
-        m = w.merge(e, on=["k1", "k2"], how="inner")
+    def close_tri(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy()
+        k1 = t.column("k1").to_numpy()
+        k2 = t.column("k2").to_numpy()
+        w = t.column("w").to_numpy()
+        em = kind == 0
+        wm = ~em
+        ke = np.sort(_pack2(k1[em], k2[em]))
+        hit = _member(ke, _pack2(k1[wm], k2[wm]))
+        if not hit.any():
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_, "c": e_})
         # triangle corners sorted ascending: center is the orientation
         # minimum by (degree, id), not by id — re-sort the tuple
         tri = np.sort(
-            np.stack([m["w"].to_numpy(), m["k1"].to_numpy(), m["k2"].to_numpy()], axis=1),
-            axis=1,
+            np.stack([w[wm][hit], k1[wm][hit], k2[wm][hit]], axis=1), axis=1
         )
-        return pd.DataFrame({"a": tri[:, 0], "b": tri[:, 1], "c": tri[:, 2]})
+        return pa.table({"a": _i64(tri[:, 0]), "b": _i64(tri[:, 1]), "c": _i64(tri[:, 2])})
 
     return (
         wedges.map_batches(tag_wedges, batch_format="pyarrow", batch_size=131072)
         .union(canon.map_batches(tag_canon, batch_format="pyarrow", batch_size=131072))
         .groupby("part")
-        .map_groups(close_tri, batch_format="pandas")
+        .map_groups(close_tri, batch_format="pyarrow")
     )
 
 
 def _cliques4_ds(canon: Dataset, tris: Dataset, B: int) -> Dataset:
     """4-cliques (a<b<c<d): triangle (a,b,c) + d adjacent to all three
     with d > c. Three bucketed semi-joins against canonical edges, each
-    a tagged-union groupby with a vectorized pandas merge body."""
+    a tagged-union groupby with a vectorized sorted-key join body."""
 
     def tag_tri_on_c(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -132,18 +133,40 @@ def _cliques4_ds(canon: Dataset, tris: Dataset, B: int) -> Dataset:
             }
         )
 
-    def extend(g: pd.DataFrame) -> pd.DataFrame:
-        tri = g[g["kind"] == 1][["a", "b", "c"]]
-        ed = g[g["kind"] == 0][["c", "d"]]
-        if len(tri) == 0 or len(ed) == 0:
-            return pd.DataFrame({"a": [], "b": [], "c": [], "d": []}).astype(np.int64)
-        return tri.merge(ed, on="c", how="inner")  # d > c by canonical order
+    def extend(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy()
+        tm = kind == 1
+        em = ~tm
+        e_ = pa.array([], pa.int64())
+        if not tm.any() or not em.any():
+            return pa.table({"a": e_, "b": e_, "c": e_, "d": e_})
+        ta = t.column("a").to_numpy()[tm]
+        tb = t.column("b").to_numpy()[tm]
+        tc = t.column("c").to_numpy()[tm]
+        ec = t.column("c").to_numpy()[em]
+        ed = t.column("d").to_numpy()[em]
+        order = np.argsort(ec, kind="stable")
+        ec, ed = ec[order], ed[order]
+        # one-to-many join on c (d > c by canonical order): expand each
+        # triangle over its c-run of edges
+        lo = np.searchsorted(ec, tc, side="left")
+        hi = np.searchsorted(ec, tc, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({"a": e_, "b": e_, "c": e_, "d": e_})
+        jj = np.repeat(np.arange(len(tc)), cnt)
+        off = np.cumsum(cnt) - cnt
+        kk = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(off, cnt))
+        return pa.table(
+            {"a": _i64(ta[jj]), "b": _i64(tb[jj]), "c": _i64(tc[jj]), "d": _i64(ed[kk])}
+        )
 
     cand = (
         tris.map_batches(tag_tri_on_c, batch_format="pyarrow", batch_size=131072)
         .union(canon.map_batches(tag_edge_on_u, batch_format="pyarrow", batch_size=131072))
         .groupby("part")
-        .map_groups(extend, batch_format="pandas")
+        .map_groups(extend, batch_format="pyarrow")
     )
 
     def semi_join(pair_cols):
@@ -166,12 +189,25 @@ def _cliques4_ds(canon: Dataset, tris: Dataset, B: int) -> Dataset:
             cols["kind"] = pa.array(np.zeros(n, np.int64))
             return pa.table(cols)
 
-        def check(g: pd.DataFrame) -> pd.DataFrame:
-            cand_ = g[g["kind"] == 1][["a", "b", "c", "d"]]
-            ed = g[g["kind"] == 0][[x, y]].drop_duplicates()
-            if len(cand_) == 0 or len(ed) == 0:
-                return pd.DataFrame({"a": [], "b": [], "c": [], "d": []}).astype(np.int64)
-            return cand_.merge(ed, on=[x, y], how="inner")
+        def check(t: pa.Table) -> pa.Table:
+            kind = t.column("kind").to_numpy()
+            cm = kind == 1
+            em = ~cm
+            e_ = pa.array([], pa.int64())
+            if not cm.any() or not em.any():
+                return pa.table({"a": e_, "b": e_, "c": e_, "d": e_})
+            ke = np.sort(
+                _pack2(t.column(x).to_numpy()[em], t.column(y).to_numpy()[em])
+            )
+            hit = _member(
+                ke, _pack2(t.column(x).to_numpy()[cm], t.column(y).to_numpy()[cm])
+            )
+            return pa.table(
+                {
+                    c: _i64(t.column(c).to_numpy()[cm][hit])
+                    for c in ("a", "b", "c", "d")
+                }
+            )
 
         return tag_cand, tag_edge, check
 
@@ -182,7 +218,7 @@ def _cliques4_ds(canon: Dataset, tris: Dataset, B: int) -> Dataset:
             out.map_batches(tag_cand, batch_format="pyarrow", batch_size=131072)
             .union(canon.map_batches(tag_edge, batch_format="pyarrow", batch_size=131072))
             .groupby("part")
-            .map_groups(check, batch_format="pandas")
+            .map_groups(check, batch_format="pyarrow")
         )
     return out
 
@@ -246,9 +282,9 @@ def kclique_communities(
             }
         )
 
-    def overlap_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        sk = g["skey"].to_numpy()
-        cid = g["cid"].to_numpy()
+    def overlap_pairs(t: pa.Table) -> pa.Table:
+        sk = t.column("skey").to_numpy()
+        cid = t.column("cid").to_numpy()
         order = np.lexsort((cid, sk))
         sk, cid = sk[order], cid[order]
         starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
@@ -264,20 +300,20 @@ def kclique_communities(
             i, j = np.triu_indices(len(seg), 1)
             outs.append(np.stack([seg[i], seg[j]], axis=1))
         if not outs:
-            return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
+            e_ = pa.array([], pa.int64())
+            return pa.table({"src": e_, "dst": e_})
         p = np.unique(np.concatenate(outs), axis=0)
-        return pd.DataFrame({"src": p[:, 0], "dst": p[:, 1]})
+        return pa.table({"src": _i64(p[:, 0]), "dst": _i64(p[:, 1])})
 
     overlaps = (
         cliques.map_batches(subset_rows, batch_format="pyarrow", batch_size=65536)
         .groupby("part")
-        .map_groups(overlap_pairs, batch_format="pandas")
+        .map_groups(overlap_pairs, batch_format="pyarrow")
     )
-    # register every clique (incl. overlap-free singletons) via
-    # self-loops (pandas blocks to match the map_groups output type)
+    # register every clique (incl. overlap-free singletons) via self-loops
     selfloops = members.map_batches(
-        lambda df: pd.DataFrame({"src": df["cid"], "dst": df["cid"]}),
-        batch_format="pandas",
+        lambda t: pa.table({"src": t.column("cid"), "dst": t.column("cid")}),
+        batch_format="pyarrow",
     )
     clique_graph = overlaps.union(selfloops)
 
@@ -318,27 +354,33 @@ def kclique_communities(
             }
         )
 
-    def join_cid(g: pd.DataFrame) -> pd.DataFrame:
-        is_c = g["kind"].to_numpy() == 0
-        ck = g["cid"].to_numpy()[is_c]
-        cv = g["comp"].to_numpy()[is_c]
+    def join_cid(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy()
+        cidv = t.column("cid").to_numpy()
+        is_c = kind == 0
+        ck = cidv[is_c]
+        cv = t.column("comp").to_numpy()[is_c]
         order = np.argsort(ck, kind="stable")
         ck, cv = ck[order], cv[order]
-        m = g[~is_c]
-        if len(m) == 0 or len(ck) == 0:
-            return pd.DataFrame(
-                {"v": pd.Series([], dtype="int64"), "comp": pd.Series([], dtype="int64")}
-            )
-        mk = m["cid"].to_numpy()
+        mm = ~is_c
+        e_ = pa.array([], pa.int64())
+        if not mm.any() or len(ck) == 0:
+            return pa.table({"v": e_, "comp": e_})
+        mk = cidv[mm]
         pos = np.clip(np.searchsorted(ck, mk), 0, len(ck) - 1)
         ok = ck[pos] == mk
-        return pd.DataFrame({"v": m["v"].to_numpy()[ok], "comp": cv[pos[ok]]})
+        return pa.table(
+            {
+                "v": _i64(t.column("v").to_numpy()[mm][ok]),
+                "comp": _i64(cv[pos[ok]]),
+            }
+        )
 
     withcomp = (
         members.map_batches(tag_members, batch_format="pyarrow", batch_size=65536)
         .union(comp.map_batches(tag_comp, batch_format="pyarrow", batch_size=65536))
         .groupby("part")
-        .map_groups(join_cid, batch_format="pandas")
+        .map_groups(join_cid, batch_format="pyarrow")
     )
 
     def bucket(t: pa.Table) -> pa.Table:
@@ -353,19 +395,20 @@ def kclique_communities(
             }
         )
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        cmp_ = g["comp"].to_numpy()
-        v = g["v"].to_numpy()
+    def assign(t: pa.Table) -> pa.Table:
+        cmp_ = t.column("comp").to_numpy()
+        v = t.column("v").to_numpy()
         order = np.lexsort((v, cmp_))
         cmp_, v = cmp_[order], v[order]
         starts = np.flatnonzero(np.r_[True, cmp_[1:] != cmp_[:-1]])
         community = np.repeat(v[starts], np.diff(np.r_[starts, len(v)]))
-        return pd.DataFrame({"v": v, "community": community}).drop_duplicates()
+        pairs = np.unique(np.stack([v, community], axis=1), axis=0)
+        return pa.table({"v": _i64(pairs[:, 0]), "community": _i64(pairs[:, 1])})
 
     assigned = (
         withcomp.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("part")
-        .map_groups(assign, batch_format="pandas")
+        .map_groups(assign, batch_format="pyarrow")
     )
     # global distinct: a vertex can be the min member of several
     # disjoint components and carry the same community label twice
