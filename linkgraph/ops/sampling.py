@@ -18,7 +18,8 @@ reproduces it bit-exactly) is intentionally SQL-replicable: the
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 
 from ray.data import Dataset
 
@@ -37,33 +38,46 @@ def sample_per_key(
     groups, one vectorized sort + groupby-head per bucket) — never a
     Python function per key."""
 
-    def combiner(df: pd.DataFrame) -> pd.DataFrame:
-        d = pd.DataFrame(
+    def _rank_topk(keyv, idv, p):
+        order = np.lexsort((idv, p, keyv))
+        keyv, idv, p = keyv[order], idv[order], p[order]
+        starts = np.flatnonzero(np.r_[True, keyv[1:] != keyv[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(keyv)]))
+        top = (np.arange(len(keyv)) - run_start) < k
+        return keyv[top], idv[top], p[top]
+
+    def combiner(t: pa.Table) -> pa.Table:
+        keyv = t.column(key_col).to_numpy()
+        idv = t.column(id_col).to_numpy()
+        # reduce id mod _M FIRST so the product stays < 2**63 for
+        # every 64-bit id (max (_M-1)*_A ~= 5.7e18) — the naive
+        # id*_A silently wraps int64 for ids >= ~3.47e9 while
+        # DuckDB BIGINT arithmetic errors/diverges, breaking the
+        # row_number() oracle parity. Mirrored in *_sql below.
+        p = ((idv % _M) * _A + _B) % _M
+        keyv, idv, p = _rank_topk(keyv, idv, p)
+        return pa.table(
             {
-                key_col: df[key_col],
-                id_col: df[id_col],
-                # reduce id mod _M FIRST so the product stays < 2**63 for
-                # every 64-bit id (max (_M-1)*_A ~= 5.7e18) — the naive
-                # id*_A silently wraps int64 for ids >= ~3.47e9 while
-                # DuckDB BIGINT arithmetic errors/diverges, breaking the
-                # row_number() oracle parity. Mirrored in *_sql below.
-                "_p": ((df[id_col] % _M) * _A + _B) % _M,
+                key_col: pa.array(keyv),
+                id_col: pa.array(idv),
+                "_p": pa.array(p),
+                "_b": pa.array(keyv % num_buckets),
             }
         )
-        d = d.sort_values([key_col, "_p", id_col], kind="mergesort")
-        d = d.groupby(key_col, sort=False).head(k)
-        d["_b"] = d[key_col] % num_buckets
-        return d
 
-    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, "_p", id_col], kind="mergesort")
-        return g.groupby(key_col, sort=False).head(k)[[key_col, id_col]]
+    def bucket_merge(t: pa.Table) -> pa.Table:
+        keyv, idv, _ = _rank_topk(
+            t.column(key_col).to_numpy(),
+            t.column(id_col).to_numpy(),
+            t.column("_p").to_numpy(),
+        )
+        return pa.table({key_col: pa.array(keyv), id_col: pa.array(idv)})
 
     return (
         events.select_columns([key_col, id_col])
-        .map_batches(combiner, batch_format="pandas", batch_size=131072)
+        .map_batches(combiner, batch_format="pyarrow", batch_size=131072)
         .groupby("_b")
-        .map_groups(bucket_merge, batch_format="pandas")
+        .map_groups(bucket_merge, batch_format="pyarrow")
     )
 
 

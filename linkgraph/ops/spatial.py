@@ -64,15 +64,23 @@ def radius_join(
 
     rows = points.map_batches(cell_rows, batch_format="pyarrow", batch_size=1 << 16)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates([id_col, "home"])
-        ids = g[id_col].to_numpy()
-        home = g["home"].to_numpy().astype(bool)
-        X = np.stack([g[c].to_numpy() for c in dims], axis=1)
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        homev = t.column("home").to_numpy().astype(np.int64)
+        # dedup (id, home) keeping one representative per pair
+        kkey = np.empty((len(ids), 2), dtype=">i8")
+        kkey[:, 0] = ids
+        kkey[:, 1] = homev
+        _, uidx = np.unique(kkey.reshape(-1).view("V16"), return_index=True)
+        uidx = np.sort(uidx)
+        ids = ids[uidx]
+        home = homev[uidx].astype(bool)
+        X = np.stack([t.column(c).to_numpy()[uidx] for c in dims], axis=1)
+        e_ = pa.array([], pa.int64())
         # candidates: home point a vs any point b in the bucket, a < b
         ha = np.nonzero(home)[0]
         if len(ha) == 0 or len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+            return pa.table({"a": e_, "b": e_})
         D = X[ha, None, :] - X[None, :, :]
         dist2 = (D**2).sum(axis=2)
         ii, jj = np.nonzero(dist2 <= r * r)
@@ -81,9 +89,11 @@ def radius_join(
         keep = a < b
         p = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
         if len(p) == 0:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        return pd.DataFrame({"a": p[:, 0], "b": p[:, 1]})
+            return pa.table({"a": e_, "b": e_})
+        return pa.table(
+            {"a": pa.array(p[:, 0].astype(np.int64)), "b": pa.array(p[:, 1].astype(np.int64))}
+        )
 
-    pairs = rows.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = rows.groupby("part").map_groups(bucket_pairs, batch_format="pyarrow")
     # a pair can be found in several buckets -> global distinct
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])

@@ -285,19 +285,38 @@ def tfidf_top_terms(docs, n_docs: int, k: int = 3, num_buckets: int = 32):
             }
         )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+    def topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tc = t.combine_chunks()
+        doc = tc.column("doc_id").to_numpy()
+        score = tc.column("score").to_numpy()
+        # (doc asc, score desc, term asc): rank terms by Arrow sort index
+        # so the string column never boxes into Python objects
+        term_rank_order = pc.sort_indices(tc.column("term")).to_numpy()
+        term_pos = np.empty(len(doc), np.int64)
+        term_pos[term_rank_order] = np.arange(len(doc))
+        order = np.lexsort((term_pos, -score, doc))
+        doc_s = doc[order]
+        starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(doc_s)]))
+        rank = np.arange(len(doc_s)) - run_start
+        top = rank < k
+        sel = order[top]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[sel]),
+                "term": pc.take(tc.column("term"), pa.array(sel)),
+                "tf": pc.take(tc.column("tf"), pa.array(sel)),
+                "tfidf": pa.array(np.round(score[sel], 8)),
+                "term_rank": pa.array(rank[top] + 1),
+            }
         )
-        g = g.groupby("doc_id", sort=False).head(k).copy()
-        g["term_rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
-        g["tfidf"] = np.round(g["score"].to_numpy(), 8)
-        return g[["doc_id", "term", "tf", "tfidf", "term_rank"]]
 
     return (
         joined.map_batches(score_bucket, batch_format="pyarrow", batch_size=1 << 20)
         .groupby("bucket")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
     )
 
 

@@ -130,9 +130,9 @@ def sessionize(events: Dataset, gap_minutes: int = 30, num_buckets: int = 64) ->
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["user_id"].to_numpy()
-        t = g["ts_ns"].to_numpy()
+    def per_bucket(tb: pa.Table) -> pa.Table:
+        u = tb.column("user_id").to_numpy()
+        t = tb.column("ts_ns").to_numpy()
         order = np.lexsort((t, u))
         u, t = u[order], t[order]
         new_user = np.r_[True, u[1:] != u[:-1]]
@@ -142,12 +142,16 @@ def sessionize(events: Dataset, gap_minutes: int = 30, num_buckets: int = 64) ->
         starts = np.flatnonzero(new_user)
         n_events = np.diff(np.r_[starts, len(u)])
         n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
-        return pd.DataFrame(
-            {"user_id": u[starts], "n_sessions": n_sessions, "n_events": n_events}
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                "n_events": pa.array(n_events.astype(np.int64)),
+            }
         )
 
     return (
         events.map_batches(add_bucket, batch_format="pandas", batch_size=131072)
         .groupby("part")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
