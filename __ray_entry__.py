@@ -167,15 +167,21 @@ def q_radius_join(sf_dir: str):
     return radius_join(points, RADIUS_2D).to_pandas()
 
 
+GCN_DIM = 4
+
+
 def q_gcn(sf_dir: str):
     """2-layer GCN feature propagation over the derived doc graph
-    (deterministic features/weights; rows-only driver check, dense
-    numpy oracle in tests)."""
+    (deterministic splitmix64 features/weights). Hard oracle: the SQL
+    unrolls both layers — splitmix64 emulated with HUGEINT wrapping
+    multiplies, W inlined as literals — and matches at 8 dp."""
     from linkgraph.algos.gcn import gcn_features
 
-    out, eng = gcn_features(_doc_edges_ds(sf_dir), dim=4, layers=2, num_parts=4)
+    out, eng = gcn_features(_doc_edges_ds(sf_dir), dim=GCN_DIM, layers=2, num_parts=4)
     df = out.to_pandas()
     eng.shutdown()
+    for j in range(GCN_DIM):
+        df[f"h{j}"] = np.round(df[f"h{j}"], 8)
     return df
 
 
@@ -309,10 +315,13 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup pairs with the md5 token hash — cross-engine
+    reproducible, so the driver gets a hard SQL oracle (the default
+    siphash production path keeps its pytest oracle)."""
     from linkgraph.ops import simhash_dedup_pairs
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return simhash_dedup_pairs(docs).to_pandas()
+    return simhash_dedup_pairs(docs, token_hash="md5").to_pandas()
 
 
 def q_embedding_dup(sf_dir: str):
@@ -720,29 +729,35 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # The driver evaluates the FIRST 50 entries only. Round-4 rotation
+    # (VERDICT r3 item #1): the 10 entries that had never had a driver
+    # CORRECTNESS row (edge_jaccard .. hyperanf_nf) move into the
+    # checked window; 10 long-stable trivial/duplicate greens (green in
+    # r1-r3: in_degree, degree_hist, pagerank_ds_5, cc_ds,
+    # tri_per_vertex, token_counts, char_classes, hopping_1h_15m,
+    # q1_lineitem, media_features) rotate to the tail — each family
+    # keeps one representative in the window (out_degree, pagerank_5,
+    # cc_labels, triangle_count, quality_score, tumbling_1h).
     return {
         "doc_edges": q_doc_edges,
         "out_degree": q_out_degree,
-        "in_degree": q_in_degree,
-        "degree_hist": q_degree_hist,
         "pagerank_5": q_pagerank,
-        "pagerank_ds_5": q_pagerank_ds,
         "cc_labels": q_cc,
-        "cc_ds": q_cc_ds,
         "labelprop_3": q_labelprop,
         "triangle_count": q_triangles,
-        "tri_per_vertex": q_tri_per_vertex,
         "community_kclique": q_community,
         "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
         "kcore_peel": q_kcore,
         "motif_census": q_motif_census,
+        "scc_labels": q_scc,
+        "betweenness_4": q_betweenness,
+        "harmonic_cent": q_harmonic,
+        "hyperanf_nf": q_hyperanf,
         "gcn_2layer": q_gcn,
         "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,
-        "token_counts": q_token_counts,
         "quality_score": q_quality_score,
-        "char_classes": q_char_classes,
         "top_tokens_100": q_top_tokens,
         "approx_distinct_tokens": q_approx_distinct,
         "near_dup_shingle": q_near_dup_shingle,
@@ -758,10 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "random_walks_4": q_random_walks,
         "tumbling_1h": q_tumbling,
-        "hopping_1h_15m": q_hopping,
         "sessionize": q_sessionize,
-        "q1_lineitem": q_q1,
-        "media_features": q_media_features,
         "sssp_weighted": q_sssp,
         "hits_5": q_hits,
         "ppr_5": q_ppr,
@@ -777,10 +789,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha": q_powerlaw,
         "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
-        "scc_labels": q_scc,
-        "betweenness_4": q_betweenness,
-        "harmonic_cent": q_harmonic,
-        "hyperanf_nf": q_hyperanf,
+        # ---- past the driver's 50-query window (stable greens) ----
+        "in_degree": q_in_degree,
+        "degree_hist": q_degree_hist,
+        "pagerank_ds_5": q_pagerank_ds,
+        "cc_ds": q_cc_ds,
+        "tri_per_vertex": q_tri_per_vertex,
+        "token_counts": q_token_counts,
+        "char_classes": q_char_classes,
+        "hopping_1h_15m": q_hopping,
+        "q1_lineitem": q_q1,
+        "media_features": q_media_features,
     }
 
 
@@ -1106,6 +1125,132 @@ def _sample_sql() -> str:
     return sample_per_key_sql(k=5)
 
 
+_M64 = "18446744073709551616"  # 2**64
+
+
+def _sql_mul64(expr: str, b: int) -> str:
+    """64-bit wrapping multiply of a UBIGINT expression by a constant,
+    via HUGEINT 32-bit-split (DuckDB has no wrapping arithmetic)."""
+    return (
+        f"CAST((CAST(({expr}) % 4294967296 AS HUGEINT) * {b} + "
+        f"((CAST(({expr}) // 4294967296 AS HUGEINT) * {b}) % 4294967296) "
+        f"* 4294967296) % {_M64} AS UBIGINT)"
+    )
+
+
+def _sql_splitmix_ctes(tag: str, src: str, inputs: dict[str, str]) -> tuple[list[str], str]:
+    """CTE chain computing splitmix64 of each input expression (keyed by
+    output column name) over rows of `src` (which must expose `v`).
+    Returns (ctes, final_cte_name); final CTE has columns v + the keys,
+    each UBIGINT. Bit-exact vs linkgraph.hashing.splitmix64 (verified
+    against numpy uint64 wraparound)."""
+    cols = list(inputs)
+    c0 = ", ".join(
+        f"CAST((CAST(({inputs[c]}) AS HUGEINT) + 11400714819323198485) % {_M64} "
+        f"AS UBIGINT) AS {c}"
+        for c in cols
+    )
+    ctes = [f"{tag}0 AS (SELECT v, {c0} FROM {src})"]
+    steps = [
+        lambda c: f"xor({c}, {c} >> 30) AS {c}",
+        lambda c: f"{_sql_mul64(c, 0xBF58476D1CE4E5B9)} AS {c}",
+        lambda c: f"xor({c}, {c} >> 27) AS {c}",
+        lambda c: f"{_sql_mul64(c, 0x94D049BB133111EB)} AS {c}",
+        lambda c: f"xor({c}, {c} >> 31) AS {c}",
+    ]
+    for i, step in enumerate(steps):
+        body = ", ".join(step(c) for c in cols)
+        ctes.append(f"{tag}{i + 1} AS (SELECT v, {body} FROM {tag}{i})")
+    return ctes, f"{tag}{len(steps)}"
+
+
+def _gcn_sql() -> str:
+    """Unrolled 2-layer GCN (reference analogue test/gcn.cpp:63-71):
+    h0 = uniform01(splitmix64(v XOR (5*1000003+j))); per layer
+    agg = h + sum over in-edges of h[src]; h' = relu(agg @ W) with the
+    deterministic W inlined as exact float literals."""
+    from linkgraph.algos.gcn import deterministic_weights
+
+    dim = GCN_DIM
+    W = deterministic_weights(dim, dim)
+    feats = {f"h{j}": f"xor(CAST(v AS BIGINT), {5 * 1_000_003 + j})" for j in range(dim)}
+    sm_ctes, last = _sql_splitmix_ctes("gsm", "verts", feats)
+    f0 = ", ".join(
+        f"CAST(h{j} >> 11 AS DOUBLE) / 9007199254740992.0 AS h{j}" for j in range(dim)
+    )
+    ctes = [_edges_cte(), _VERTS, *sm_ctes, f"f0 AS (SELECT v, {f0} FROM {last})"]
+    for layer in (1, 2):
+        p = f"f{layer - 1}"
+        sums = ", ".join(f"sum(f.h{j}) AS s{j}" for j in range(dim))
+        ctes.append(
+            f"m{layer} AS (SELECT e.dst AS v, {sums} FROM e "
+            f"JOIN {p} f ON e.src = f.v GROUP BY e.dst)"
+        )
+        aggs = ", ".join(
+            f"f.h{j} + coalesce(m.s{j}, 0.0) AS a{j}" for j in range(dim)
+        )
+        ctes.append(
+            f"ag{layer} AS (SELECT f.v, {aggs} FROM {p} f "
+            f"LEFT JOIN m{layer} m ON f.v = m.v)"
+        )
+        outs = ", ".join(
+            "greatest(0.0, "
+            + " + ".join(f"a{j} * {W[j, k]!r}" for j in range(dim))
+            + f") AS h{k}"
+            for k in range(dim)
+        )
+        ctes.append(f"f{layer} AS (SELECT v, {outs} FROM ag{layer})")
+    sel = ", ".join(f"round(h{j}, 8) AS h{j}" for j in range(dim))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT v, {sel} FROM f2"
+
+
+def _fingerprint_sql() -> str:
+    """fp_full = md5_number_upper(text) (= first 8 digest bytes
+    little-endian, the op's spec); fp_rolling_min = min over all 8-byte
+    windows of the 257-polynomial rolling hash mod 2^64 (texts are
+    ASCII, so ascii(substr()) == byte value); docs shorter than 8 bytes
+    fall back to fp_full."""
+    coeff = [(257**j) % (1 << 64) for j in range(8)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i.i + {j}, 1)) AS HUGEINT) * {c}"
+        for j, c in enumerate(coeff)
+    )
+    return (
+        "WITH base AS (SELECT doc_id, text, md5_number_upper(text) AS fp_full, "
+        "length(text) AS n FROM documents),\n"
+        f"w AS (SELECT doc_id, ({terms}) % {_M64} AS h FROM base, "
+        "LATERAL (SELECT unnest(range(1, n - 6)) AS i) i WHERE n >= 8),\n"
+        "rm AS (SELECT doc_id, min(h) AS r FROM w GROUP BY doc_id)\n"
+        "SELECT base.doc_id, base.fp_full, "
+        "CAST(coalesce(rm.r, CAST(base.fp_full AS HUGEINT)) AS UBIGINT) "
+        "AS fp_rolling_min FROM base LEFT JOIN rm USING (doc_id)"
+    )
+
+
+def _simhash_sql() -> str:
+    """Token-set simhash with the md5 token hash (md5_number_lower ==
+    digest bytes 8..16 little-endian), bit-vote per position, all-pairs
+    hamming via bit_count(xor()) — exhaustive, which equals the Ray
+    op's pigeonhole-chunk candidate set for max_hamming=3 < n_chunks=4."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok FROM documents),\n"
+        "th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),\n"
+        "bits AS (SELECT doc_id, i.i AS i, "
+        "sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM th, (SELECT unnest(range(64)) AS i) i GROUP BY 1, 2),\n"
+        "sig0 AS (SELECT doc_id, bit_or(CASE WHEN s > 0 THEN "
+        "(CAST(1 AS UBIGINT) << i) ELSE CAST(0 AS UBIGINT) END) AS sig "
+        "FROM bits GROUP BY doc_id),\n"
+        "sigs AS (SELECT d.doc_id, coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig "
+        "FROM documents d LEFT JOIN sig0 s USING (doc_id))\n"
+        "SELECT a.doc_id AS a, b.doc_id AS b, "
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
+    )
+
+
 def _oracle_sql_base(e: str) -> dict[str, str]:
     return {
         "doc_edges": f"WITH {e} SELECT src, dst FROM e",
@@ -1119,6 +1264,9 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "pagerank_ds_5": _pagerank_sql(),
         "kcore_peel": _kcore_sql(),
         "motif_census": _motif_sql(),
+        "gcn_2layer": _gcn_sql(),
+        "fingerprint": _fingerprint_sql(),
+        "simhash_dedup": _simhash_sql(),
         "cc_labels": (
             f"WITH RECURSIVE {e},\n{_VERTS},\n{_UE},\n"
             "reach(v, label) AS ("
@@ -1402,7 +1550,8 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT doc_id, term, tf, round(score, 8) AS tfidf, term_rank "
             "FROM r WHERE term_rank <= 3"
         ),
-        # langid / fingerprint / minhash_dedup / simhash_dedup /
-        # media_features: heuristic or probabilistic — rows-only check;
-        # pytest oracles cover them (tests/test_ops.py).
+        # langid / minhash_dedup / media_features: heuristic or
+        # probabilistic — rows-only check; pytest oracles cover them
+        # (tests/test_ops.py). gcn_2layer / fingerprint / simhash_dedup
+        # gained hard oracles in round 4.
     }

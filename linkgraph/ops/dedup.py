@@ -464,13 +464,33 @@ def _attach_sig(
 
 
 def simhash_dedup_pairs(
-    docs: Dataset, max_hamming: int = 3, n_chunks: int = 4
+    docs: Dataset, max_hamming: int = 3, n_chunks: int = 4,
+    token_hash: str = "sip",
 ) -> Dataset:
     """SimHash near-dup pairs (a < b, hamming(sig) <= max_hamming).
 
     64-bit token-set simhash; candidates via pigeonhole chunking (a pair
-    within hamming<=3 agrees on >=1 of 4 16-bit chunks) -> bucket
-    groupby -> exact hamming verify. Returns (a, b, hamming)."""
+    within hamming<=3 agrees on >=1 of 4 16-bit chunks — exhaustive, so
+    the pair set equals the all-pairs scan) -> bucket groupby -> exact
+    hamming verify. Returns (a, b, hamming).
+
+    ``token_hash``: "sip" (default) = pandas' keyed siphash, fully
+    vectorized — the production path; "md5" = DuckDB's
+    ``md5_number_lower()`` per unique token — cross-engine reproducible,
+    used by the driver's hard SQL oracle (hashed once per *unique*
+    token per batch, so cost tracks vocabulary, not token count)."""
+
+    def _md5_low64(uniq: np.ndarray) -> np.ndarray:
+        import hashlib
+
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+                for s in uniq
+            ),
+            np.uint64,
+            len(uniq),
+        )
 
     def sig_rows(t: pa.Table) -> pa.Table:
         # whole-batch vectorized: concatenate every doc's token hashes,
@@ -484,7 +504,11 @@ def simhash_dedup_pairs(
         nonempty = np.flatnonzero(m > 0)
         if len(nonempty):
             flat = [tok for i in nonempty for tok in tok_lists[i]]
-            h = hash64_str(flat)  # (M,) uint64
+            if token_hash == "md5":
+                uniq, inv = np.unique(np.asarray(flat, object), return_inverse=True)
+                h = _md5_low64(uniq)[inv]
+            else:
+                h = hash64_str(flat)  # (M,) uint64
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
                 np.int32
             )

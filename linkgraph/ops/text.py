@@ -154,7 +154,11 @@ class QualityScore:
 class Fingerprint:
     """(doc_id, text) -> 64-bit content fingerprint: md5-based whole-doc
     hash plus a rolling-window min-hash (winnowing-style robust
-    fingerprint over 8-byte windows)."""
+    fingerprint over 8-byte windows).
+
+    ``fp_full`` is the first 8 md5 digest bytes little-endian — exactly
+    DuckDB's ``md5_number_upper()`` — so the op is hard-verifiable
+    cross-engine (the SQL oracle recomputes both columns)."""
 
     W = 8
 
@@ -164,7 +168,7 @@ class Fingerprint:
         rolling = np.empty(len(texts), np.uint64)
         for i, t in enumerate(texts):
             b = t.encode("utf-8")
-            full[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+            full[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "little")
             if len(b) >= self.W:
                 a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
                 # polynomial rolling hash of each W-byte window, vectorized
