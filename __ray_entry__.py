@@ -40,10 +40,14 @@ KCORE_ROUNDS = (6, 12)  # unrolled peel rounds per k (fixpoint + margin)
 PPR_SOURCES = [0, 1, 2, 3]
 
 
-def _read(sf_dir: str, name: str):
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    """read_parquet with column pruning at the read (only the needed
+    columns leave storage — at 100 TB an unpruned read is wrong)."""
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
 
 
 def _n_docs(sf_dir: str) -> int:
@@ -55,7 +59,7 @@ def _n_docs(sf_dir: str) -> int:
 def _doc_edges_ds(sf_dir: str):
     from linkgraph.docgraph import doc_edges
 
-    return doc_edges(_read(sf_dir, "documents"), _n_docs(sf_dir))
+    return doc_edges(_read(sf_dir, "documents", ["doc_id"]), _n_docs(sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -149,7 +153,7 @@ def q_radius_join(sf_dir: str):
     embedding dims (the reference's implicit-edge discovery)."""
     from linkgraph.ops.spatial import radius_join
 
-    emb = _read(sf_dir, "embeddings")
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def pts(t):
         import pyarrow as pa
@@ -237,7 +241,7 @@ def q_motif_census(sf_dir: str):
 def q_exact_dedup(sf_dir: str):
     from linkgraph.ops import exact_dedup
 
-    return exact_dedup(_read(sf_dir, "documents")).to_pandas()
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
 
 
 def q_quality_score(sf_dir: str):
@@ -246,7 +250,7 @@ def q_quality_score(sf_dir: str):
     pipeline. Oracle: same integer counts + IEEE double ratios in SQL."""
     from linkgraph.ops import QualityScore
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(
         QualityScore, batch_format="pyarrow", concurrency=(1, 2)
     ).to_pandas()
@@ -255,7 +259,7 @@ def q_quality_score(sf_dir: str):
 def q_token_counts(sf_dir: str):
     from linkgraph.ops import TokenCount
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(TokenCount, batch_format="pyarrow", concurrency=2).to_pandas()
 
 
@@ -265,7 +269,7 @@ def q_top_tokens(sf_dir: str):
     asc) matches the SQL oracle row-for-row."""
     from linkgraph.ops.text import top_k_tokens
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return top_k_tokens(docs, k=100).to_pandas()
 
 
@@ -274,42 +278,42 @@ def q_approx_distinct(sf_dir: str):
     pytest asserts <=3% error vs the exact count)."""
     from linkgraph.ops.hll import approx_distinct_tokens
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return approx_distinct_tokens(docs)
 
 
 def q_char_classes(sf_dir: str):
     from linkgraph.ops import CharClasses
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(CharClasses, batch_format="pyarrow", concurrency=2).to_pandas()
 
 
 def q_near_dup_shingle(sf_dir: str):
     from linkgraph.ops import shingle_jaccard_pairs
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return shingle_jaccard_pairs(docs, k=3, threshold=JACCARD_T).to_pandas()
 
 
 def q_langid(sf_dir: str):
     from linkgraph.ops import LangId
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
 
 
 def q_fingerprint(sf_dir: str):
     from linkgraph.ops import Fingerprint
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(Fingerprint(), batch_format="pyarrow").to_pandas()
 
 
 def q_minhash_dedup(sf_dir: str):
     from linkgraph.ops import minhash_dedup_pairs
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     df = minhash_dedup_pairs(docs, threshold=JACCARD_T).to_pandas()
     return df[["a", "b"]] if len(df) else df
 
@@ -320,14 +324,14 @@ def q_simhash_dedup(sf_dir: str):
     siphash production path keeps its pytest oracle)."""
     from linkgraph.ops import simhash_dedup_pairs
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_dedup_pairs(docs, token_hash="md5").to_pandas()
 
 
 def q_embedding_dup(sf_dir: str):
     from linkgraph.ops import embedding_dup_pairs
 
-    df = embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=COS_T).to_pandas()
+    df = embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=COS_T).to_pandas()
     if "a" not in df.columns:  # empty result may lose schema
         df = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
     return df
@@ -336,7 +340,7 @@ def q_embedding_dup(sf_dir: str):
 def q_knn(sf_dir: str):
     from linkgraph.ops import knn_cosine
 
-    out = knn_cosine(_read(sf_dir, "embeddings"), KNN_QUERIES, k=KNN_K)
+    out = knn_cosine(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), KNN_QUERIES, k=KNN_K)
     df = out.to_pandas()
     return df.rename(columns={"rank": "nn_rank"})
 
@@ -355,7 +359,7 @@ def q_knn_lsh(sf_dir: str):
     from linkgraph.ops.knn import knn_cosine_lsh
 
     df = knn_cosine_lsh(
-        _read(sf_dir, "embeddings"), KNN_QUERIES, k=KNN_K, n_planes=3, n_tables=24
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), KNN_QUERIES, k=KNN_K, n_planes=3, n_tables=24
     ).to_pandas()
     return df.rename(columns={"rank": "nn_rank"})
 
@@ -385,7 +389,7 @@ def q_knn_ivf(sf_dir: str):
     from linkgraph.ops.knn import knn_cosine_ivf
 
     df = knn_cosine_ivf(
-        _read(sf_dir, "embeddings"), KNN_QUERIES, k=KNN_K, n_lists=16, nprobe=8
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), KNN_QUERIES, k=KNN_K, n_lists=16, nprobe=8
     ).to_pandas()
     return df.rename(columns={"rank": "nn_rank"})
 
@@ -396,7 +400,7 @@ def q_embedding_dup_lsh(sf_dir: str):
     from linkgraph.ops.dedup import embedding_dup_lsh
 
     df = embedding_dup_lsh(
-        _read(sf_dir, "embeddings"), threshold=COS_T, n_planes=4, n_tables=16
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=COS_T, n_planes=4, n_tables=16
     ).to_pandas()
     if "a" not in df.columns:
         df = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
@@ -417,7 +421,7 @@ def q_community(sf_dir: str):
 def q_tumbling(sf_dir: str):
     from linkgraph.ops import tumbling_window
 
-    df = tumbling_window(_read(sf_dir, "events"), minutes=60).to_pandas()
+    df = tumbling_window(_read(sf_dir, "events", ["ts", "event_type", "value"]), minutes=60).to_pandas()
     return pd.DataFrame(
         {
             "window_start": df["window_start"].astype("int64"),  # epoch seconds
@@ -433,7 +437,7 @@ def q_hopping(sf_dir: str):
     windows) — the sliding-window member of the windows family."""
     from linkgraph.ops.windows import hopping_window
 
-    df = hopping_window(_read(sf_dir, "events"), minutes=60, hop_minutes=15).to_pandas()
+    df = hopping_window(_read(sf_dir, "events", ["ts", "event_type", "value"]), minutes=60, hop_minutes=15).to_pandas()
     return pd.DataFrame(
         {
             "window_start": df["window_start"].astype("int64"),
@@ -447,14 +451,14 @@ def q_hopping(sf_dir: str):
 def q_sessionize(sf_dir: str):
     from linkgraph.ops import sessionize
 
-    return sessionize(_read(sf_dir, "events"), gap_minutes=30).to_pandas()
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts"]), gap_minutes=30).to_pandas()
 
 
 def q_q1(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    li = _read(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
@@ -513,7 +517,7 @@ def q_host_graph(sf_dir: str):
     combiner groupby."""
     from linkgraph.ops import host_graph
 
-    docs = _read(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
     hosts = docs.select_columns(["doc_id", "source"]).rename_columns({"source": "host"})
     return host_graph(_doc_edges_ds(sf_dir), hosts).to_pandas()
 
@@ -614,7 +618,7 @@ def q_tfidf(sf_dir: str):
     from linkgraph.ops import tfidf_top_terms
 
     return tfidf_top_terms(
-        _read(sf_dir, "documents"), _n_docs(sf_dir), k=3
+        _read(sf_dir, "documents", ["doc_id", "text"]), _n_docs(sf_dir), k=3
     ).to_pandas()
 
 
@@ -632,7 +636,7 @@ def q_knn_graph(sf_dir: str):
     from linkgraph.ops.knn import knn_graph_ivf
 
     return knn_graph_ivf(
-        _read(sf_dir, "embeddings"), k=5, n_lists=16, nprobe=12
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=5, n_lists=16, nprobe=12
     ).to_pandas()
 
 
@@ -663,7 +667,7 @@ def q_sample_per_key(sf_dir: str):
     from linkgraph.ops import sample_per_key
 
     return (
-        sample_per_key(_read(sf_dir, "events"), k=5)
+        sample_per_key(_read(sf_dir, "events", ["user_id", "event_id"]), k=5)
         .to_pandas()
         .sort_values(["user_id", "event_id"])
         .reset_index(drop=True)

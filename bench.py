@@ -56,25 +56,36 @@ class _StageTimer:
         self.steal = extra.setdefault("stage_steal_share", {})
 
     def run(self, name: str, fn, cleanup=None, retries: int | None = None):
+        # Selection rule (round-4, mirrors run_scaling's clean-arm
+        # rule): an attempt at-or-below the steal gate wins outright
+        # (the loop stops at the first clean attempt, so it is also the
+        # fastest clean one); only when every attempt was steal-polluted
+        # does the fastest dirty attempt stand, with its share recorded.
         retries = STEAL_MAX_RETRIES if retries is None else retries
-        best = None  # (dt, val, share)
+        chosen = None      # first (hence fastest) clean attempt
+        best_dirty = None  # fastest attempt above the gate
         for attempt in range(retries + 1):
             s0 = _steal_counter()
             t0 = time.perf_counter()
             val = fn()
             dt = time.perf_counter() - t0
             share = (_steal_counter() - s0) / max(dt * 100.0 * os.cpu_count(), 1e-9)
-            if best is None or dt < best[0]:
-                if best is not None and cleanup is not None:
-                    cleanup(best[1])
-                best = (dt, val, share)
+            if share <= STEAL_RETRY_SHARE:
+                chosen = (dt, val, share)
+                break
+            if best_dirty is None or dt < best_dirty[0]:
+                if best_dirty is not None and cleanup is not None:
+                    cleanup(best_dirty[1])
+                best_dirty = (dt, val, share)
             elif cleanup is not None:
                 cleanup(val)
-            if share <= STEAL_RETRY_SHARE:
-                break
-        self.q[name] = best[0]
-        self.steal[name] = round(best[2], 4)
-        return best[1]
+        if chosen is None:
+            chosen = best_dirty
+        elif best_dirty is not None and cleanup is not None:
+            cleanup(best_dirty[1])
+        self.q[name] = chosen[0]
+        self.steal[name] = round(chosen[2], 4)
+        return chosen[1]
 
 
 def run_bench() -> dict:
@@ -168,18 +179,24 @@ def run_bench() -> dict:
     from linkgraph.ops import knn_cosine, minhash_dedup_pairs, tumbling_window
 
     try:
-        docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+        # columns= prunes at the read: only the needed columns leave
+        # storage (minhash reads 2 of documents' 5 columns, etc.)
+        docs = ray.data.read_parquet(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+        )
         st.run(
             "minhash_dedup",
-            lambda: minhash_dedup_pairs(
-                docs.select_columns(["doc_id", "text"]), threshold=0.7
-            ).count(),
+            lambda: minhash_dedup_pairs(docs, threshold=0.7).count(),
         )
 
-        emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        emb = ray.data.read_parquet(
+            os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
         st.run("knn_cosine", lambda: knn_cosine(emb, [0, 1, 2, 3, 4], k=10).count())
 
-        ev = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+        ev = ray.data.read_parquet(
+            os.path.join(SF_DIR, "events.parquet"), columns=["ts", "event_type", "value"]
+        )
         st.run("tumbling_window", lambda: tumbling_window(ev, minutes=60).count())
 
         from linkgraph.ops.knn import knn_graph_ivf
@@ -641,10 +658,21 @@ def run_scaling_interleaved() -> dict:
     tp8, tp32 = best[("pr", n_lo)][1], best[("pr", n_hi)][1]
     cc8, cc32 = best[("cc", n_lo)][1], best[("cc", n_hi)][1]
     ex8, ex32 = best[("ex", n_lo)][1], best[("ex", n_hi)][1]
+    # eff_vs_control: the engine's measured efficiency relative to the
+    # Ray-free kernel control from the SAME session — the share of the
+    # hardware-allowed scaling the Ray layer delivers. On this box both
+    # widths contend for ONE shared DRAM system (unlike real N vs 4N
+    # nodes), so the control, not 1.0, is the attainable ceiling.
+    ctrl = control["kernel_control_efficiency"]
     result = {
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
         "value": round((tp32 / tp8) / ratio, 3),
         "unit": "ratio",
+        "eff_vs_control": round((tp32 / tp8) / ratio / ctrl, 3),
+        "cc_eff_vs_control": round((cc32 / cc8) / ratio / ctrl, 3),
+        "pagerank_f32_eff_vs_control": round(
+            (best[("pr32", n_hi)][1] / best[("pr32", n_lo)][1]) / ratio / ctrl, 3
+        ),
         f"pagerank_edges_per_sec_{n_lo}": round(tp8, 1),
         f"pagerank_edges_per_sec_{n_hi}": round(tp32, 1),
         f"cc_edges_per_sec_{n_lo}": round(cc8, 1),

@@ -601,8 +601,9 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     max_broadcast_rows: int = 1_000_000,
+    fallback: str = "error",
 ) -> Dataset:
-    """Near-dup pairs by embedding cosine >= threshold (a < b).
+    """Near-dup pairs by embedding cosine >= threshold (a < b). EXACT.
 
     Brute-force per batch against the broadcast normalized matrix
     (ray.put once, read in every task) — exact baseline; the scale path
@@ -610,18 +611,31 @@ def embedding_dup_pairs(
 
     Size guard: this exact path collects the full (id, embedding)
     matrix to the driver, which is only valid at oracle scale. Above
-    ``max_broadcast_rows`` the call diverts to
-    :func:`embedding_dup_lsh` (the distributed scale path) so the
-    broadcast can't be misused at 100-TB scale."""
+    ``max_broadcast_rows`` the behavior is ``fallback``:
+
+    - ``"error"`` (default): raise ValueError — this function's
+      contract is exact recall, and silently returning approximate
+      pairs would break callers relying on it (round-3 ADVICE).
+    - ``"lsh"``: divert to :func:`embedding_dup_lsh` (the distributed
+      scale path, recall >= 0.9 in tests) with a warning; the result
+      then carries (a, b) only and is NOT exact."""
     import ray
 
     n = embeddings.count()
     if n > max_broadcast_rows:
+        if fallback != "lsh":
+            raise ValueError(
+                f"embedding_dup_pairs is exact-by-broadcast and {n} rows "
+                f"exceeds max_broadcast_rows={max_broadcast_rows}; pass "
+                "fallback='lsh' to opt into the approximate distributed "
+                "path (embedding_dup_lsh), or call it directly"
+            )
         import warnings
 
         warnings.warn(
             f"embedding_dup_pairs: {n} rows exceeds the exact-path broadcast "
-            f"budget ({max_broadcast_rows}); diverting to embedding_dup_lsh",
+            f"budget ({max_broadcast_rows}); diverting to embedding_dup_lsh "
+            "(approximate — recall is no longer exact)",
             stacklevel=2,
         )
         pairs = embedding_dup_lsh(embeddings, threshold=threshold, id_col=id_col)

@@ -30,7 +30,7 @@ def tumbling_window(events: Dataset, minutes: int = 60) -> Dataset:
         sec = df["ts"].astype("datetime64[s]").astype("int64")  # epoch seconds
         w = (sec // (minutes * 60)) * (minutes * 60)
         g = df.groupby([w, "event_type"], sort=False).agg(
-            _n=("event_id", "size"), _v=("value", "sum")
+            _n=("value", "size"), _v=("value", "sum")
         )
         g.index.names = ["window_start", "event_type"]
         return g.reset_index()

@@ -74,17 +74,18 @@ def test_sample_per_key_large_ids_match_duckdb():
 
 
 def test_hits_rescale_is_scale_invariant():
-    # rescale_above=0.0 forces the anti-overflow global rescale EVERY
-    # iteration; the final L2-normalized scores must still match the
-    # unscaled dense oracle (the recurrence is linear, so each final
-    # vector is a pure scalar multiple of the unscaled one).
+    # rescale_above=0.0 + check_every=1 forces the anti-overflow global
+    # rescale EVERY iteration; the final L2-normalized scores must still
+    # match the unscaled dense oracle (the recurrence is linear, so each
+    # final vector is a pure scalar multiple of the unscaled one).
     from linkgraph.algos import hits_dataset
     from oracles import FIXTURE_GRAPHS
     from test_weighted import hits_oracle
 
     edges = FIXTURE_GRAPHS["star_hub"]
     df = hits_dataset(
-        edges_ds(edges), iters=4, num_partitions=2, rescale_above=0.0
+        edges_ds(edges), iters=4, num_partitions=2, rescale_above=0.0,
+        rescale_check_every=1,
     ).to_pandas()
     assert np.isfinite(df["hub"]).all() and np.isfinite(df["auth"]).all()
     want = hits_oracle(edges, iters=4)

@@ -27,10 +27,20 @@ def _emb_ds(n=60, dim=16, seed=5):
     )
 
 
+def test_embedding_dup_pairs_over_budget_raises_by_default():
+    # round-3 ADVICE: the exact-recall contract must not silently turn
+    # approximate — over-budget calls raise unless the caller opts in.
+    ds = _emb_ds()
+    with pytest.raises(ValueError, match="fallback='lsh'"):
+        embedding_dup_pairs(ds, threshold=0.95, max_broadcast_rows=10)
+
+
 def test_embedding_dup_pairs_diverts_to_lsh_above_budget():
     ds = _emb_ds()
     with pytest.warns(UserWarning, match="diverting to embedding_dup_lsh"):
-        out = embedding_dup_pairs(ds, threshold=0.95, max_broadcast_rows=10)
+        out = embedding_dup_pairs(
+            ds, threshold=0.95, max_broadcast_rows=10, fallback="lsh"
+        )
     df = out.to_pandas()
     assert list(df.columns) == ["a", "b"]
     exact = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
