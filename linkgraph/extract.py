@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .hashing import hash64_str
+from .segops import pair_unique
 
 _TEXT_NODE = re.compile(rb">([^<]+)<")
 _HREF = re.compile(rb'<a\s+href="([^"]+)"', re.I)
@@ -58,8 +59,45 @@ def extract_links(html: bytes, page_url: str) -> list[str]:
     return [absolutize(h.decode("utf-8"), page_url) for h in _HREF.findall(html)]
 
 
+def _scan_batch(htmls: list[bytes], pattern: re.Pattern, sep: bytes):
+    """ONE regex pass over the whole batch: pages joined with ``sep``,
+    matches mapped back to page index by searchsorted on the page start
+    offsets. Returns (page_idx int64 array, match starts, captures,
+    page_starts) with cross-page artifacts NOT yet filtered — the caller
+    knows which separator artifact its pattern can produce.
+
+    This replaces the per-page ``findall`` loop (round-3 VERDICT item 5:
+    extract was the top bench stage at 24%, dominated by per-page regex
+    calls): the regex engine makes a single C-level sweep and the page
+    attribution is one vectorized searchsorted."""
+    blob = sep.join(htmls)
+    n = len(htmls)
+    lens = np.fromiter((len(h) for h in htmls), np.int64, n)
+    page_starts = np.zeros(n, np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1] + len(sep), out=page_starts[1:])
+    starts: list[int] = []
+    caps: list[bytes] = []
+    for m in pattern.finditer(blob):
+        starts.append(m.start())
+        caps.append(m.group(1))
+    return (
+        np.searchsorted(page_starts, np.asarray(starts, np.int64), side="right") - 1,
+        np.asarray(starts, np.int64),
+        caps,
+        page_starts,
+        lens,
+    )
+
+
 class ExtractText:
-    """Actor-pool stage: pages(url, html) -> (url, text)."""
+    """Actor-pool stage: pages(url, html) -> (url, text).
+
+    Per-page ``findall`` + strip + join (all C-level per page); a
+    blob-scan variant was measured SLOWER here (0.33s vs 0.18s per 20k
+    pages) because text nodes are dense — the per-match Python in a
+    single finditer sweep costs more than the per-page findall calls it
+    replaces, so the simple form stays."""
 
     def __init__(self):
         self.text_node = _TEXT_NODE  # compiled once per actor
@@ -74,38 +112,73 @@ class ExtractText:
 class ExtractEdges:
     """Actor-pool stage: pages(url, html) -> hashed edge rows (src, dst).
 
-    Per batch: regex href scan per page, absolutize, hash src/dst urls
-    with the vectorized 64-bit string hash, drop self loops, dedup
-    within the batch (global dedup is a later groupby — SURVEY.md §7
-    step 2).
+    Vectorized per batch (round-3 VERDICT item 5): ONE href regex sweep
+    over the ``b'\\x00"'``-joined batch blob, Arrow-kernel absolutize by
+    prefix class, per-page (not per-link) src hashing, in-batch dedup
+    combiner (global dedup is a later groupby — SURVEY.md §7 step 2).
+
+    Separator proof: the capture ``[^"]+`` cannot cross the separator
+    quote, and the separator cannot complete ``<a\\s+href="`` (the quote
+    is preceded by ``\\x00``, which is neither ``=`` nor ``\\s``). A
+    page-tail unterminated ``href="...`` may close on the separator
+    quote, but its capture then contains ``\\x00`` and is dropped, having
+    consumed zero bytes of the following page — per-page semantics are
+    bit-preserved (tests assert parity with scalar ``extract_links``).
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
-        src_urls: list[str] = []
-        dst_urls: list[str] = []
-        for u, h in zip(urls, htmls):
-            for link in extract_links(h, u):
-                src_urls.append(u)
-                dst_urls.append(link)
-        if not src_urls:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-            )
+        if not urls:
+            return empty
+        page_idx, _, caps, _, _ = _scan_batch(htmls, _HREF, b'\x00"')
+        keep = [i for i, c in enumerate(caps) if b"\x00" not in c]
+        if not keep:
+            return empty
+        if len(keep) != len(caps):
+            caps = [caps[i] for i in keep]
+            page_idx = page_idx[keep]
+        hs = pa.array(caps, pa.binary()).cast(pa.string())  # utf-8 validated in C
+        # absolutize, vectorized by prefix class (same precedence as the
+        # scalar absolutize(): absolute > rooted > relative)
+        take_idx = pa.array(page_idx)
+        host_l = pc.take(pa.array([_host_prefix(u) for u in urls], pa.string()), take_idx)
+        dir_l = pc.take(pa.array([_dir_prefix(u) for u in urls], pa.string()), take_idx)
+        is_abs = pc.or_(pc.starts_with(hs, "http://"), pc.starts_with(hs, "https://"))
+        is_root = pc.starts_with(hs, "/")
+        dst_urls = pc.if_else(
+            is_abs,
+            hs,
+            pc.if_else(
+                is_root,
+                pc.binary_join_element_wise(host_l, hs, ""),
+                pc.binary_join_element_wise(dir_l, hs, ""),
+            ),
+        )
         # int64 bit-view of the 64-bit hash: Ray Data's hash shuffle
         # handles int64 keys natively (uint64 keys fall back to pickled
-        # objects), and the bit pattern keeps full hash entropy.
-        src = hash64_str(src_urls).view(np.int64)
-        dst = hash64_str(dst_urls).view(np.int64)
-        keep = src != dst  # drop self loops
-        src, dst = src[keep], dst[keep]
+        # objects), and the bit pattern keeps full hash entropy. src urls
+        # hash ONCE PER PAGE and fan out by take; dst urls are
+        # dictionary-encoded first so each distinct target hashes once
+        # (Zipf outlinks: ~5x fewer hash calls measured on synth pages).
+        src = hash64_str(urls).view(np.int64)[page_idx]
+        enc = pc.dictionary_encode(dst_urls)
+        uh = hash64_str(enc.dictionary.to_numpy(zero_copy_only=False)).view(np.int64)
+        dst = uh[enc.indices.to_numpy()]
+        keep_m = src != dst  # drop self loops
+        src, dst = src[keep_m], dst[keep_m]
+        if len(src) == 0:
+            return empty
         # in-batch dedup (combiner before the global dedup shuffle)
-        pairs = np.stack([src, dst], axis=1)
-        pairs = np.unique(pairs, axis=0)
+        src, dst = pair_unique(src, dst)
         return pa.table(
             {
-                "src": pa.array(pairs[:, 0], pa.int64()),
-                "dst": pa.array(pairs[:, 1], pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
             }
         )

@@ -61,3 +61,105 @@ def test_generation_deterministic_and_order_independent():
     d1 = {u: h for u, h in zip(t1["url"].to_pylist(), t1["html"].to_pylist())}
     d2 = {u: h for u, h in zip(t2["url"].to_pylist(), t2["html"].to_pylist())}
     assert d1 == d2
+
+
+# ---- round-4: vectorized batch scan vs scalar reference (adversarial) ----
+
+ADVERSARIAL_PAGES = [
+    # (url, html) — crafted around the blob-separator edge cases
+    ("https://s0.example/p/0", b'<p>hello</p><a href="/p/1">x</a>'),
+    # unterminated href at page tail (must extract nothing, and must not
+    # swallow the next page's first link in the concatenated scan)
+    ("https://s0.example/p/1", b'<p>t</p><a href="/p/unterminated'),
+    ("https://s0.example/p/2", b'<a href="/p/3">first</a><a href="/p/4">y</a>'),
+    # page ends with <a href= (separator quote must not open a match)
+    ("https://s0.example/p/3", b"<p>tail</p><a href="),
+    ("https://s0.example/p/4", b'<a href="https://ext.example/z">z</a>'),
+    # text overhang: '>' with no closing '<' at page end
+    ("https://s0.example/p/5", b"<p>kept</p>overhang-after-last-gt"),
+    ("https://s0.example/p/6", b">leading text node<p>more</p>"),
+    # empty page, page with no markup at all
+    ("https://s0.example/p/7", b""),
+    ("https://s0.example/p/8", b"no tags here"),
+    # relative (non-rooted) href
+    ("https://s0.example/p/dir/9", b'<a href="q.html">q</a><a href="/r">r</a>'),
+    # self link (dropped) + duplicate link (deduped)
+    ("https://s0.example/p/10", b'<a href="/p/10">self</a><a href="/p/0">d</a>'
+                                b'<a href="/p/0">d</a>'),
+    # adjacent text nodes sharing delimiters
+    ("https://s0.example/p/11", b"<b>a</b>b<i>c</i>"),
+    # whitespace-only text node (stripped -> dropped)
+    ("https://s0.example/p/12", b"<p>  </p><p>kept2</p>"),
+]
+
+
+def test_vectorized_extract_text_matches_scalar_adversarial():
+    urls = [u for u, _ in ADVERSARIAL_PAGES]
+    htmls = [h for _, h in ADVERSARIAL_PAGES]
+    batch = pa.table({"url": pa.array(urls), "html": pa.array(htmls, pa.binary())})
+    got = extract.ExtractText()(batch)
+    want = [extract.extract_text(h) for h in htmls]
+    assert got.column("text").to_pylist() == want
+
+
+def test_vectorized_extract_edges_matches_scalar_adversarial():
+    urls = [u for u, _ in ADVERSARIAL_PAGES]
+    htmls = [h for _, h in ADVERSARIAL_PAGES]
+    batch = pa.table({"url": pa.array(urls), "html": pa.array(htmls, pa.binary())})
+    got = {(r["src"], r["dst"]) for r in extract.ExtractEdges()(batch).to_pylist()}
+    want = set()
+    for u, h in ADVERSARIAL_PAGES:
+        su = hash64_one_signed(u)
+        for link in extract.extract_links(h, u):
+            d = hash64_one_signed(link)
+            if su != d:
+                want.add((su, d))
+    assert got == want
+    assert len(got) == len(want)
+
+
+def test_vectorized_extract_edges_matches_scalar_synth():
+    # full-batch parity on the deterministic synth corpus
+    t = synth.pages_table(np.arange(N_PAGES), N_PAGES, N_SITES)
+    batch = pa.table({"url": t["url"], "html": t["html"]})
+    got = {(r["src"], r["dst"]) for r in extract.ExtractEdges()(batch).to_pylist()}
+    want = set()
+    for k in range(N_PAGES):
+        r = synth.page_record(k, N_PAGES, N_SITES)
+        su = hash64_one_signed(r["url"])
+        for link in extract.extract_links(r["html"], r["url"]):
+            d = hash64_one_signed(link)
+            if su != d:
+                want.add((su, d))
+    assert got == want
+
+
+def test_vectorized_extract_edges_empty_batch():
+    batch = pa.table(
+        {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}
+    )
+    out = extract.ExtractEdges()(batch)
+    assert out.num_rows == 0
+    assert out.schema.names == ["src", "dst"]
+    t = extract.ExtractText()(batch)
+    assert t.num_rows == 0
+
+
+def test_distinct_edges_exact_across_blocks():
+    # duplicates deliberately spread across MANY input blocks: the
+    # sort+mask dedup must still be exact (equal keys land in one sorted
+    # block; adjacent-mask removes them all)
+    import ray.data
+    from linkgraph.edges import distinct_edges
+
+    rng = np.random.default_rng(11)
+    n = 40000
+    src = rng.integers(-50, 50, n).astype(np.int64)
+    dst = rng.integers(-50, 50, n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(37)
+    got = {(r["src"], r["dst"]) for r in distinct_edges(ds).take_all()}
+    want = {(int(s), int(d)) for s, d in zip(src, dst)}
+    assert got == want
+    assert distinct_edges(ds).count() == len(want)  # no boundary dups survive
