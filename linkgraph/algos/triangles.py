@@ -83,6 +83,39 @@ def _all_pairs_per_run(a: np.ndarray, b: np.ndarray):
     return ii, jj
 
 
+def _all_pairs_per_run_slabbed(a: np.ndarray, b: np.ndarray, max_pairs: int = 1 << 22):
+    """Yield the `_all_pairs_per_run` pair stream in slabs of at most
+    ~``max_pairs`` pairs so an O(d^2) hub run never materializes all its
+    pairs at once (round-3 ADVICE: unoriented adjacency buckets can hold
+    degree-d hubs where C(d, 2) alone OOMs the worker). Slab boundaries
+    cut in j-position space — each j contributes its local-run index in
+    pairs — so a single giant run is itself split; the residual bound is
+    one j-row (O(d) pairs), never O(d^2)."""
+    n = len(a)
+    if n == 0:
+        return
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    run_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+    lj = np.arange(n, dtype=np.int64) - run_start  # pairs contributed as j
+    cum = np.cumsum(lj)
+    if int(cum[-1]) == 0:
+        return
+    lo = 0
+    while lo < n:
+        target = (int(cum[lo - 1]) if lo else 0) + max_pairs
+        hi = int(np.searchsorted(cum, target, side="left")) + 1
+        hi = min(max(hi, lo + 1), n)
+        ljs = lj[lo:hi]
+        stot = int(ljs.sum())
+        if stot:
+            jj = np.repeat(np.arange(lo, hi, dtype=np.int64), ljs)
+            off = np.cumsum(ljs) - ljs
+            step = np.arange(stot, dtype=np.int64) - np.repeat(off, ljs)
+            ii = np.repeat(run_start[lo:hi], ljs) + step
+            yield ii, jj
+        lo = hi
+
+
 def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
     """unique (u < v) pairs, bucketed by pair hash with per-bucket np.unique."""
 

@@ -22,9 +22,13 @@ groupby shuffle per round -> vectorized numpy inside each bucket):
   clique4   : per-edge pairs of triangle-completing vertices that are
               themselves adjacent, / 6 (each K4 hits at all 6 edges)
 
-The hub-degree orientation bounds wedge work exactly as in
-triangle_count; the heaviest residual term is C(t_e, 2) candidate pairs
-on triangle-dense edges (the diamond/K4 join), which is the census
+The triangle stages use hub-degree orientation exactly as in
+triangle_count. cycle4 cannot orient (a 4-cycle's diagonal pair shares
+no edge), so its wedge pairs come from the UNORIENTED adjacency and are
+emitted in bounded slabs (<=4M pairs, combined per slab before the next
+materializes) so a degree-d hub costs O(slab) peak memory instead of
+O(d^2). The heaviest residual term is C(t_e, 2) candidate pairs on
+triangle-dense edges (the diamond/K4 join), which is the census
 frontier any exact counter pays.
 """
 
@@ -36,8 +40,10 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from ..segops import pair_unique_counts, pair_unique_inverse
 from ..algos.triangles import (
     _all_pairs_per_run,
+    _all_pairs_per_run_slabbed,
     _canonical_bucketed,
     _degree_oriented,
     _edges_with_degrees,
@@ -225,18 +231,31 @@ def motif_census(
         )
 
     def wedge_pair_cn(t: pa.Table) -> pa.Table:
+        # Slab-bounded pair emission (round-3 ADVICE medium): the
+        # adjacency here is UNORIENTED (both directions), so a degree-d
+        # hub center owns C(d, 2) neighbor pairs in one bucket. Pairs
+        # stream in <=4M slabs, each combined to (x, y, count) before
+        # the next slab materializes, then the slab partials combine —
+        # peak memory O(slab + distinct pairs), never O(d^2) raw rows.
         a = t.column("ctr").to_numpy()
         b = t.column("nbr").to_numpy()
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
-        ii, jj = _all_pairs_per_run(a, b)
-        if len(ii) == 0:
+        xs, ys, cs = [], [], []
+        for ii, jj in _all_pairs_per_run_slabbed(a, b):
+            ux, uy, c = pair_unique_counts(b[ii], b[jj])
+            xs.append(ux)
+            ys.append(uy)
+            cs.append(c)
+        if not xs:
             e = pa.array([], pa.int64())
             return pa.table({"x": e, "y": e, "cn": e})
-        uk, inv = np.unique(np.stack([b[ii], b[jj]], axis=1), axis=0, return_inverse=True)
-        return pa.table(
-            {"x": _i64(uk[:, 0]), "y": _i64(uk[:, 1]), "cn": _i64(np.bincount(inv))}
-        )
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        c = np.concatenate(cs)
+        ux, uy, inv = pair_unique_inverse(x, y)
+        cn = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        return pa.table({"x": _i64(ux), "y": _i64(uy), "cn": _i64(cn)})
 
     cn_pairs = (
         canon.map_batches(adj, batch_format="pyarrow", batch_size=1 << 20)

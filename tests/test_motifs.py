@@ -105,3 +105,29 @@ def test_motif_census_top5_order_and_empty():
     assert counts == sorted(counts, reverse=True)
     empty = motif_census(_ds([(0, 0)]), num_partitions=2)
     assert len(empty) == 0
+
+
+def test_slabbed_pairs_match_unslabbed():
+    # tiny max_pairs forces many slabs, including splits INSIDE a hub
+    # run; the pair stream must be identical to the one-shot generator
+    import numpy as np
+    from linkgraph.algos.triangles import (
+        _all_pairs_per_run,
+        _all_pairs_per_run_slabbed,
+    )
+
+    rng = np.random.default_rng(4)
+    a = np.sort(rng.integers(0, 6, 500))  # few runs -> big runs
+    b = rng.integers(0, 1000, 500)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    ii, jj = _all_pairs_per_run(a, b)
+    want = set(zip(ii.tolist(), jj.tolist()))
+    for mp in (1, 7, 64, 1 << 22):
+        got = set()
+        tot = 0
+        for si, sj in _all_pairs_per_run_slabbed(a, b, max_pairs=mp):
+            got |= set(zip(si.tolist(), sj.tolist()))
+            tot += len(si)
+        assert got == want, mp
+        assert tot == len(want), mp  # no duplicate emission
