@@ -214,6 +214,27 @@ def run_bench() -> dict:
         _stream_cc(q, extra, SuperstepEngine, CCProgram, rmat_dataset)
     except Exception as ex:
         extra.setdefault("errors", []).append(f"streaming: {ex}")
+
+    # 7b. dynamic-contact infection sim (in-loop implicit edge
+    # discovery: radius_join Datasets feed delete/extend_edges directly,
+    # nothing transits the driver). 20k actors x 4 timesteps; avg
+    # contact degree ~ n*pi*r^2 ~ 6.
+    try:
+        from linkgraph.algos.spatial_sim import infection_sim
+
+        sim_n, sim_steps = 20000, 4
+        df_sim = st.run(
+            "infection_sim",
+            lambda: infection_sim(
+                sim_n, 0.01, sim_steps, seeds=(0, 7), num_parts=NUM_PARTS
+            ),
+            retries=0,  # ~half engine-rebuild cost; retrying is wasteful
+        )
+        extra["infection_sim_actors"] = sim_n
+        extra["infection_sim_timesteps"] = sim_steps
+        extra["infection_sim_n_infected"] = int(df_sim["infected"].sum())
+    except Exception as ex:
+        extra.setdefault("errors", []).append(f"infection_sim: {ex}")
     total = time.perf_counter() - t_all
     # host CPU-steal share over the run (32-vCPU KVM guest on a shared
     # host): steal_jiffies / (wall * 100 jiffies/s * ncpu). >0.05 means

@@ -4,17 +4,22 @@ pairs from interacting partitions, reference src/hoover.cpp:629-711,
 test/community_detection.cpp:206-228; ``might_interact`` = the ±1-cell
 neighborhood expansion, inc/hoover.h:84-91).
 
-Points are bucketed into cells of side ``radius``; each candidate pair
-shares a cell after expanding every point into its 3^d neighbor cells
-(emit-once rule: the pair is generated only in the cell of the LOWER id
-point to avoid duplicates). Exact verification by distance inside the
-bucket — vectorized, no all-pairs.
+Points are bucketed into cells of side ``radius``; each point is
+expanded into its 3^d neighbor cells (one ``home`` copy at shift 0,
+ghost copies elsewhere), rows are range-sorted by exact cell key, and
+candidate pairs are generated ONLY within a cell run — per-cell work is
+bounded by local density, never by bucket occupancy (a round-4 fix: the
+previous bucket-granularity join compared home points against the whole
+hash bucket, which is O(n^2 / B) at fixed cell size). Emit-once rule:
+a pair (a < b) is kept only where the LOWER-id side is the home copy —
+that happens in exactly one cell (a's home cell), so the output is
+exact AND duplicate-free with no global distinct stage (tests assert
+both). Exact verification by Euclidean distance inside the cell run.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -30,7 +35,11 @@ def radius_join(
     """Self-join: pairs (a < b) with Euclidean distance <= radius.
 
     points: Dataset with id_col + coordinate columns.
+    ``num_buckets`` kept for signature compatibility (unused — rows
+    co-locate by exact cell key via the range sort).
     """
+    from ..algos.triangles import _all_pairs_per_run_slabbed
+
     d = len(dims)
     r = float(radius)
     shifts = np.stack(
@@ -41,19 +50,19 @@ def radius_join(
         ids = t.column(id_col).to_numpy().astype(np.int64)
         X = np.stack([t.column(c).to_numpy().astype(np.float64) for c in dims], axis=1)
         base = np.floor(X / r).astype(np.int64)  # (n, d)
-        out_part, out_id, out_home = [], [], []
+        out_cell, out_id, out_home = [], [], []
         out_X = []
         for s in shifts:
             cell = base + s
             key = cell[:, 0]
             for j in range(1, d):
                 key = key * np.int64(0x9E3779B1) + cell[:, j]
-            out_part.append(key % num_buckets)
+            out_cell.append(key)
             out_id.append(ids)
             out_home.append(np.all(s == 0) * np.ones(len(ids), np.int64))
             out_X.append(X)
         cols = {
-            "part": pa.array(np.concatenate(out_part)),
+            "cell": pa.array(np.concatenate(out_cell)),
             id_col: pa.array(np.concatenate(out_id)),
             "home": pa.array(np.concatenate(out_home)),
         }
@@ -64,36 +73,45 @@ def radius_join(
 
     rows = points.map_batches(cell_rows, batch_format="pyarrow", batch_size=1 << 16)
 
-    def bucket_pairs(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy()
-        homev = t.column("home").to_numpy().astype(np.int64)
-        # dedup (id, home) keeping one representative per pair
-        kkey = np.empty((len(ids), 2), dtype=">i8")
-        kkey[:, 0] = ids
-        kkey[:, 1] = homev
-        _, uidx = np.unique(kkey.reshape(-1).view("V16"), return_index=True)
-        uidx = np.sort(uidx)
-        ids = ids[uidx]
-        home = homev[uidx].astype(bool)
-        X = np.stack([t.column(c).to_numpy()[uidx] for c in dims], axis=1)
+    def cell_pairs(t: pa.Table) -> pa.Table:
         e_ = pa.array([], pa.int64())
-        # candidates: home point a vs any point b in the bucket, a < b
-        ha = np.nonzero(home)[0]
-        if len(ha) == 0 or len(ids) < 2:
+        cell = t.column("cell").to_numpy()
+        n = len(cell)
+        if n < 2:
             return pa.table({"a": e_, "b": e_})
-        D = X[ha, None, :] - X[None, :, :]
-        dist2 = (D**2).sum(axis=2)
-        ii, jj = np.nonzero(dist2 <= r * r)
-        a = ids[ha][ii]
-        b = ids[jj]
-        keep = a < b
-        p = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
-        if len(p) == 0:
+        ids = t.column(id_col).to_numpy()
+        home = t.column("home").to_numpy().astype(bool)
+        X = np.stack([t.column(c).to_numpy() for c in dims], axis=1)
+        outs_a, outs_b = [], []
+        # rows arrive sorted by cell (the range sort); positional i<j
+        # pairs within each cell run, in bounded slabs (a dense cell
+        # never materializes all its pairs at once)
+        for ii, jj in _all_pairs_per_run_slabbed(cell, ids):
+            xi, xj = ids[ii], ids[jj]
+            lo_is_i = xi < xj
+            # emit-once: the lower-id side must be the home copy here
+            okhome = np.where(lo_is_i, home[ii], home[jj])
+            cand = okhome & (xi != xj)
+            if not cand.any():
+                continue
+            ii, jj = ii[cand], jj[cand]
+            d2 = ((X[ii] - X[jj]) ** 2).sum(axis=1)
+            keep = d2 <= r * r
+            xi, xj = ids[ii][keep], ids[jj][keep]
+            outs_a.append(np.minimum(xi, xj))
+            outs_b.append(np.maximum(xi, xj))
+        if not outs_a:
             return pa.table({"a": e_, "b": e_})
         return pa.table(
-            {"a": pa.array(p[:, 0].astype(np.int64)), "b": pa.array(p[:, 1].astype(np.int64))}
+            {
+                "a": pa.array(np.concatenate(outs_a).astype(np.int64)),
+                "b": pa.array(np.concatenate(outs_b).astype(np.int64)),
+            }
         )
 
-    pairs = rows.groupby("part").map_groups(bucket_pairs, batch_format="pyarrow")
-    # a pair can be found in several buckets -> global distinct
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    # sort co-locates equal cell keys in one block (range partition by
+    # value comparison) and keeps them adjacent; batch_size=None keeps
+    # batches aligned to the sorted blocks
+    return rows.sort("cell").map_batches(
+        cell_pairs, batch_format="pyarrow", batch_size=None
+    )
