@@ -45,21 +45,53 @@ def random_walks(
 
 def assemble_walks(visits) -> "ray.data.Dataset":
     """(walk_v0, walk_rep, step, v) visit rows -> one row per walk with
-    the full path as a list column (the shuffle is by walk key, so each
-    group is one walk)."""
-    import numpy as np
-    import pandas as pd
+    the full path as a list column.
 
-    def to_path(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("step")
-        return pd.DataFrame(
+    Vectorized (round-3 VERDICT item 6 — the old form made one pandas
+    group PER WALK, millions of tiny groups at corpus scale): ONE range
+    sort by (walk_v0, walk_rep, step) co-locates each walk's rows in one
+    block, already step-ordered; each block then builds its list column
+    straight from the run offsets (``pa.ListArray.from_arrays``) — no
+    per-walk Python anywhere."""
+    import numpy as np
+    import pyarrow as pa
+
+    def to_paths(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "walk_v0": pa.array([], pa.int64()),
+                    "walk_rep": pa.array([], pa.int64()),
+                    "path": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        v0 = t.column("walk_v0").to_numpy()
+        rep = t.column("walk_rep").to_numpy()
+        v = t.column("v").to_numpy().astype(np.int64)
+        step = t.column("step").to_numpy()
+        order = np.lexsort((step, rep, v0))  # step-order within each walk
+        v0, rep, v = v0[order], rep[order], v[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (v0[1:] != v0[:-1]) | (rep[1:] != rep[:-1])
+        starts = np.flatnonzero(new)
+        offsets = np.concatenate([starts, [n]]).astype(np.int64)
+        path = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(v))
+        return pa.table(
             {
-                "walk_v0": [g["walk_v0"].iloc[0]],
-                "walk_rep": [g["walk_rep"].iloc[0]],
-                "path": [g["v"].to_numpy(dtype=np.int64)],
+                "walk_v0": pa.array(v0[starts]),
+                "walk_rep": pa.array(rep[starts]),
+                "path": path.cast(pa.list_(pa.int64())),
             }
         )
 
-    return visits.groupby(["walk_v0", "walk_rep"]).map_groups(
-        to_path, batch_format="pandas"
+    # sort on the WALK KEY ONLY: rows of one walk share (walk_v0,
+    # walk_rep), so range partition by value comparison puts the whole
+    # walk in one block (sorting by step too would let a range boundary
+    # split a walk mid-sequence — steps differ within the walk); step
+    # order is restored by a local lexsort inside the block.
+    # batch_size=None keeps batches block-aligned.
+    return visits.sort(["walk_v0", "walk_rep"]).map_batches(
+        to_paths, batch_format="pyarrow", batch_size=None
     )

@@ -364,3 +364,74 @@ def test_hll_merge_matches_single(ray_session):
     b.add_strings(items[4000:])  # overlapping halves
     a.merge(b)
     assert (a.reg == one.reg).all()
+
+
+def test_decoder_adapter_seam(monkeypatch):
+    # no PIL in this env -> the seam resolves to the deterministic fake
+    import sys
+    import types
+
+    import pyarrow as pa
+
+    from linkgraph.ops import multimodal as mm
+
+    assert mm.resolve_decoder() is mm.FakeDecoder
+    assert mm.resolve_decoder(prefer="fake") is mm.FakeDecoder
+    assert mm.resolve_decoder(prefer="pil") is mm.PilImageDecoder
+    with pytest.raises(ValueError):
+        mm.resolve_decoder(prefer="libav")
+
+    # inject a minimal fake PIL: the seam must flip to PilImageDecoder
+    # and the adapter must drive it through open/convert/resize
+    class _Img:
+        def __init__(self, payload):
+            self.payload = payload
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            self.wh = wh
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            n = self.wh[0] * self.wh[1]
+            a = (np.frombuffer(self.payload, np.uint8)[:n].astype(np.float64))
+            out = np.zeros(n)
+            out[: len(a)] = a
+            return out.reshape(self.wh[1], self.wh[0])
+
+    fake_image_mod = types.SimpleNamespace(open=lambda bio: _Img(bio.read()))
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    assert mm.resolve_decoder() is mm.PilImageDecoder
+
+    dec = mm.PilImageDecoder()
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["image", "audio"], pa.string()),
+            "payload": pa.array([bytes(range(16)), b"\x01\x02"], pa.binary()),
+        }
+    )
+    out = dec(batch)
+    feats = out.column("features").to_pylist()
+    assert len(feats[0]) == mm.PilImageDecoder.DIM
+    # image path: first 8 payload bytes / 255
+    assert np.allclose(feats[0], np.arange(8) / 255.0)
+    # non-image kind: deterministic fake features (mixed-kind fallback)
+    assert np.allclose(feats[1], mm.FakeDecoder().features_one(b"\x01\x02"))
+
+
+def test_decode_features_explicit_decoder(ray_session):
+    # decode_features(decoder=...) plumbs a forced adapter end to end
+    from linkgraph.ops import multimodal as mm
+
+    media = mm.synth_media_dataset(12)
+    out = mm.decode_features(media, concurrency=1, decoder=mm.FakeDecoder).to_pandas()
+    assert len(out) == 12
+    assert set(out.columns) == {"media_id", "kind", "features"}
+    assert all(len(f) == mm.FakeDecoder.DIM for f in out["features"])
