@@ -34,6 +34,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from ..segops import pair_unique
+
 from ..hashing import splitmix64
 from .triangles import (
     _all_pairs_per_run,
@@ -302,8 +304,9 @@ def kclique_communities(
         if not outs:
             e_ = pa.array([], pa.int64())
             return pa.table({"src": e_, "dst": e_})
-        p = np.unique(np.concatenate(outs), axis=0)
-        return pa.table({"src": _i64(p[:, 0]), "dst": _i64(p[:, 1])})
+        cat = np.concatenate(outs)
+        pu, pv = pair_unique(cat[:, 0], cat[:, 1])
+        return pa.table({"src": _i64(pu), "dst": _i64(pv)})
 
     overlaps = (
         cliques.map_batches(subset_rows, batch_format="pyarrow", batch_size=65536)
@@ -402,8 +405,8 @@ def kclique_communities(
         cmp_, v = cmp_[order], v[order]
         starts = np.flatnonzero(np.r_[True, cmp_[1:] != cmp_[:-1]])
         community = np.repeat(v[starts], np.diff(np.r_[starts, len(v)]))
-        pairs = np.unique(np.stack([v, community], axis=1), axis=0)
-        return pa.table({"v": _i64(pairs[:, 0]), "community": _i64(pairs[:, 1])})
+        pv, pc = pair_unique(v, community)
+        return pa.table({"v": _i64(pv), "community": _i64(pc)})
 
     assigned = (
         withcomp.map_batches(bucket, batch_format="pyarrow", batch_size=65536)

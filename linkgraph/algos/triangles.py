@@ -7,7 +7,7 @@ rounds (every shuffle has exactly B groups, every group body is
 vectorized numpy over zero-copy Arrow columns — no per-vertex Python,
 no pandas round-trips, no broadcast of the edge set):
 
-  1. canonicalize (u < v unique) — bucket by pair hash, np.unique per bucket
+  1. canonicalize (u < v unique) — combiner + sort-distinct (distinct_pairs)
   2. degrees — partial counts per batch, combined inside the join buckets
   3. orient each edge from smaller (degree, id) to larger: max out-degree
      becomes O(sqrt(m)), bounding hub wedge explosion (the power-law
@@ -26,6 +26,8 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
+
+from ..segops import pair_unique, pair_unique_counts
 
 
 def _rows(part, kind, k1, k2, w) -> pa.Table:
@@ -117,31 +119,25 @@ def _all_pairs_per_run_slabbed(a: np.ndarray, b: np.ndarray, max_pairs: int = 1 
 
 
 def _canonical_bucketed(edges: Dataset, B: int) -> Dataset:
-    """unique (u < v) pairs, bucketed by pair hash with per-bucket np.unique."""
+    """unique (u < v) pairs: in-batch lexsort combiner + global
+    sort+adjacent-mask distinct (see edges.distinct_pairs — measured
+    ~5-10x faster than the old bucket-hash groupby/map_groups).
+    ``B`` kept for signature compatibility (unused here)."""
 
     def canon(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy().astype(np.int64, copy=False)
         d = t.column("dst").to_numpy().astype(np.int64, copy=False)
         keep = s != d
         s, d = s[keep], d[keep]
-        u = np.minimum(s, d)
-        v = np.maximum(s, d)
-        pairs = np.unique(np.stack([u, v], axis=1), axis=0)  # in-batch combiner
-        u, v = pairs[:, 0], pairs[:, 1]
-        part = (u + 31 * v) % B
-        return _rows(part, 0, u, v, 0)
+        u, v = pair_unique(np.minimum(s, d), np.maximum(s, d))  # combiner
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
 
-    def dedup(t: pa.Table) -> pa.Table:
-        pairs = np.unique(
-            np.stack([t.column("k1").to_numpy(), t.column("k2").to_numpy()], axis=1),
-            axis=0,
-        )
-        return pa.table({"u": _i64(pairs[:, 0]), "v": _i64(pairs[:, 1])})
+    from ..edges import distinct_pairs
 
-    return (
-        edges.map_batches(canon, batch_format="pyarrow", batch_size=131072)
-        .groupby("part")
-        .map_groups(dedup, batch_format="pyarrow")
+    return distinct_pairs(
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=131072),
+        "u",
+        "v",
     )
 
 
@@ -261,10 +257,8 @@ def triangle_count(edges: Dataset, num_partitions: int | None = None) -> int:
             e = pa.array([], pa.int64())
             return pa.table({"b": e, "c": e, "w": e})
         # b ascending within each a-run, ii < jj -> pairs arrive (min, max)
-        uniq, cnt = np.unique(np.stack([b[ii], b[jj]], axis=1), axis=0, return_counts=True)
-        return pa.table(
-            {"b": _i64(uniq[:, 0]), "c": _i64(uniq[:, 1]), "w": _i64(cnt)}
-        )
+        ub, uc, cnt = pair_unique_counts(b[ii], b[jj])
+        return pa.table({"b": _i64(ub), "c": _i64(uc), "w": _i64(cnt)})
 
     wedges = oriented.groupby("part").map_groups(wedge_gen, batch_format="pyarrow")
 

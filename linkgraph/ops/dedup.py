@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
+
+from ..segops import pair_unique
 from ray.data.aggregate import Count, Min, Sum
 
 from ..hashing import hash64_str, splitmix64
@@ -304,11 +306,12 @@ def minhash_dedup_pairs(
         if not outs:
             e_ = pa.array([], pa.int64())
             return pa.table({"a": e_, "b": e_})
-        p = np.unique(np.concatenate(outs), axis=0)  # in-bucket combiner
+        cat = np.concatenate(outs)
+        ua, ub = pair_unique(cat[:, 0], cat[:, 1])  # in-bucket combiner
         return pa.table(
             {
-                "a": pa.array(p[:, 0].astype(np.int64)),
-                "b": pa.array(p[:, 1].astype(np.int64)),
+                "a": pa.array(ua.astype(np.int64)),
+                "b": pa.array(ub.astype(np.int64)),
             }
         )
 

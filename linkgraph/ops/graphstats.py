@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
+
+from ..segops import pair_unique, pair_unique_inverse
 from ray.data.aggregate import Sum
 
 from ..algos.triangles import _all_pairs_per_run, _i64, _member, _pack2
@@ -133,16 +135,15 @@ def adamic_adar(
         x, y = b[ii], b[jj]
         sc = 1.0 / np.log(runlen[jj].astype(np.float64))
         # in-bucket combiner: sum score + count per (a, b)
-        key = np.stack([x, y], axis=1)
-        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        ux, uy, inv = pair_unique_inverse(x, y)
         cn = np.bincount(inv)
         aa = np.bincount(inv, weights=sc)
         return pa.table(
             {
-                "part2": _i64((uk[:, 0] + 31 * uk[:, 1]) % B),
-                "kind": pa.array(np.ones(len(uk), np.int8)),
-                "a": _i64(uk[:, 0]),
-                "b": _i64(uk[:, 1]),
+                "part2": _i64((ux + 31 * uy) % B),
+                "kind": pa.array(np.ones(len(ux), np.int8)),
+                "a": _i64(ux),
+                "b": _i64(uy),
                 "cn": _i64(cn),
                 "aa": pa.array(aa.astype(np.float64)),
             }
@@ -182,20 +183,19 @@ def adamic_adar(
                 {"a": e_, "b": e_, "common_neighbors": e_,
                  "adamic_adar": pa.array([], pa.float64())}
             )
-        key = np.stack([av[sm], bv[sm]], axis=1)
-        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        ua, ub, inv = pair_unique_inverse(av[sm], bv[sm])
         cn = np.bincount(inv, weights=t.column("cn").to_numpy()[sm]).astype(np.int64)
         aa = np.bincount(inv, weights=t.column("aa").to_numpy()[sm])
         # anti-join: keep score pairs not present in the edge set
         # (sorted 16-byte pair keys — exact for full-width 64-bit ids)
         em = ~sm
         ke = np.sort(_pack2(av[em], bv[em]))
-        keep = ~_member(ke, _pack2(uk[:, 0], uk[:, 1]))
+        keep = ~_member(ke, _pack2(ua, ub))
         keep &= cn >= mc
         return pa.table(
             {
-                "a": _i64(uk[keep, 0]),
-                "b": _i64(uk[keep, 1]),
+                "a": _i64(ua[keep]),
+                "b": _i64(ub[keep]),
                 "common_neighbors": _i64(cn[keep]),
                 "adamic_adar": pa.array(np.round(aa[keep], 8).astype(np.float64)),
             }
@@ -250,14 +250,13 @@ def edge_jaccard(
             return pa.table(
                 {"part2": e_, "kind": pa.array([], pa.int8()), "a": e_, "b": e_, "cn": e_}
             )
-        key = np.stack([b[ii], b[jj]], axis=1)
-        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        ux, uy, inv = pair_unique_inverse(b[ii], b[jj])
         return pa.table(
             {
-                "part2": _i64((uk[:, 0] + 31 * uk[:, 1]) % B),
-                "kind": pa.array(np.ones(len(uk), np.int8)),
-                "a": _i64(uk[:, 0]),
-                "b": _i64(uk[:, 1]),
+                "part2": _i64((ux + 31 * uy) % B),
+                "kind": pa.array(np.ones(len(ux), np.int8)),
+                "a": _i64(ux),
+                "b": _i64(uy),
                 "cn": _i64(np.bincount(inv)),
             }
         )
@@ -284,13 +283,12 @@ def edge_jaccard(
         if not sm.any() or not em.any():
             e_ = pa.array([], pa.int64())
             return pa.table({"a": e_, "b": e_, "cn": e_})
-        key = np.stack([av[sm], bv[sm]], axis=1)
-        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        ua, ub, inv = pair_unique_inverse(av[sm], bv[sm])
         cn = np.bincount(inv, weights=t.column("cn").to_numpy()[sm]).astype(np.int64)
         ke = np.sort(_pack2(av[em], bv[em]))
-        hit = _member(ke, _pack2(uk[:, 0], uk[:, 1]))
+        hit = _member(ke, _pack2(ua, ub))
         return pa.table(
-            {"a": _i64(uk[hit, 0]), "b": _i64(uk[hit, 1]), "cn": _i64(cn[hit])}
+            {"a": _i64(ua[hit]), "b": _i64(ub[hit]), "cn": _i64(cn[hit])}
         )
 
     on_edges = (
@@ -465,28 +463,13 @@ def modularity(
         d = t.column("dst").to_numpy().astype(np.int64, copy=False)
         keep = s != d
         s, d = s[keep], d[keep]
-        u = np.minimum(s, d)
-        v = np.maximum(s, d)
-        pairs = np.unique(np.stack([u, v], axis=1), axis=0)
-        return pa.table(
-            {
-                "u": pa.array(pairs[:, 0]),
-                "v": pa.array(pairs[:, 1]),
-                "part": pa.array((pairs[:, 0] * 31 + pairs[:, 1]) % B),
-            }
-        )
+        u, v = pair_unique(np.minimum(s, d), np.maximum(s, d))  # combiner
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
 
-    def dedup_pairs(t: pa.Table) -> pa.Table:
-        pairs = np.unique(
-            np.stack([t.column("u").to_numpy(), t.column("v").to_numpy()], axis=1),
-            axis=0,
-        )
-        return pa.table({"u": _i64(pairs[:, 0]), "v": _i64(pairs[:, 1])})
+    from ..edges import distinct_pairs
 
-    pairs = (
-        edges.map_batches(canon, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("part")
-        .map_groups(dedup_pairs, batch_format="pyarrow")
+    pairs = distinct_pairs(
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=1 << 20), "u", "v"
     )
     j1 = pairs.join(
         labels, join_type="inner", num_partitions=P, on=("u",), right_on=(id_col,)
@@ -630,35 +613,24 @@ def clustering_coefficient(
         d = t.column("dst").to_numpy().astype(np.int64, copy=False)
         keep = s != d
         s, d = s[keep], d[keep]
-        pairs = np.unique(
-            np.stack([np.minimum(s, d), np.maximum(s, d)], axis=1), axis=0
-        )
-        return pa.table({"u": pa.array(pairs[:, 0]), "v": pa.array(pairs[:, 1])})
+        u, v = pair_unique(np.minimum(s, d), np.maximum(s, d))  # combiner
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
 
     cpairs = edges.map_batches(canon, batch_format="pyarrow", batch_size=1 << 20)
-    # global dedup of canonical pairs: bucket by pair hash, unique per group
-    B = max(P * 4, 16)
+    # global dedup of canonical pairs (sort + adjacent mask), then
+    # per-block degree partials
+    from ..edges import distinct_pairs
 
-    def bucket(t: pa.Table) -> pa.Table:
-        u = t.column("u").to_numpy()
-        v = t.column("v").to_numpy()
-        return pa.table(
-            {"u": t.column("u"), "v": t.column("v"), "part": pa.array((u * 31 + v) % B)}
+    def count_ends(t: pa.Table) -> pa.Table:
+        ends = np.concatenate(
+            [t.column("u").to_numpy(), t.column("v").to_numpy()]
         )
-
-    def dedup_count(t: pa.Table) -> pa.Table:
-        pairs = np.unique(
-            np.stack([t.column("u").to_numpy(), t.column("v").to_numpy()], axis=1),
-            axis=0,
-        )
-        ends = np.concatenate([pairs[:, 0], pairs[:, 1]])
-        ids, cnt = np.unique(ends, return_counts=True)  # in-bucket combiner
+        ids, cnt = np.unique(ends, return_counts=True)  # in-block combiner
         return pa.table({"v": _i64(ids), "_c": _i64(cnt)})
 
     deg = (
-        cpairs.map_batches(bucket, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("part")
-        .map_groups(dedup_count, batch_format="pyarrow")
+        distinct_pairs(cpairs, "u", "v")
+        .map_batches(count_ends, batch_format="pyarrow", batch_size=1 << 20)
         .groupby("v")
         .aggregate(Sum("_c", alias_name="degree"))
     )
