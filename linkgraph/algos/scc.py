@@ -153,11 +153,23 @@ def strongly_connected_components(
     num_parts: int = 8,
     max_iters: int = 200,
     max_rounds: int = 64,
+    min_edges_per_part: int = 100_000,
 ):
     """edges Dataset (src, dst; directed) -> (Dataset(v, scc), summary).
 
     scc = max member id of the vertex's strongly connected component.
-    Caller owns neither engine; both are shut down before returning."""
+    Caller owns neither engine; both are shut down before returning.
+
+    Partition sizing: SCC is LATENCY-bound — it runs ~2 full fixpoints
+    per peel round with tiny frontiers after the first sweep, so the
+    per-superstep fixed exchange cost (P packed objects read by P
+    actors) dominates while per-partition work is negligible. P is
+    therefore capped so each partition owns >= ``min_edges_per_part``
+    edges (measured at sf0.1: P=32 ran the same 4 rounds 5x slower
+    than P=8 on 767k edges, pure fixed cost); ``num_parts`` remains
+    the ceiling for big inputs."""
+    n_edges = edges.count()
+    num_parts = max(2, min(num_parts, max(4, n_edges // min_edges_per_part)))
 
     eng_f = SuperstepEngine(num_parts=num_parts).load_edges(edges)
     # reverse orientation straight off the forward actors' segments
