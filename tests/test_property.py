@@ -83,3 +83,40 @@ def test_kcore_property(edges, k):
     got = {r["v"] for r in out.take_all() if r["in_kcore"]}
     eng.shutdown()
     assert got == _kcore_oracle(edges, k)
+
+
+# ---- round-4: lexsort pair kernels vs np.unique ground truth --------------
+
+import numpy as np
+
+pair_arrays = st.lists(
+    st.tuples(st.integers(-(2**62), 2**62), st.integers(-(2**62), 2**62)),
+    min_size=0,
+    max_size=200,
+)
+
+
+@given(pairs=pair_arrays)
+@settings(**SETTINGS)
+def test_pair_kernels_property(pairs):
+    from linkgraph.segops import (
+        pair_unique,
+        pair_unique_counts,
+        pair_unique_inverse,
+    )
+
+    a = np.array([p[0] for p in pairs], np.int64)
+    b = np.array([p[1] for p in pairs], np.int64)
+    ua, ub = pair_unique(a, b)
+    want = sorted(set(pairs))
+    assert list(zip(ua.tolist(), ub.tolist())) == want
+    ca, cb, cnt = pair_unique_counts(a, b)
+    assert list(zip(ca.tolist(), cb.tolist())) == want
+    from collections import Counter
+
+    wc = Counter(pairs)
+    assert cnt.tolist() == [wc[p] for p in want]
+    ia, ib, inv = pair_unique_inverse(a, b)
+    assert list(zip(ia.tolist(), ib.tolist())) == want
+    for k, p in enumerate(pairs):
+        assert (ia[inv[k]], ib[inv[k]]) == p
