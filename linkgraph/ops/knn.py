@@ -67,54 +67,114 @@ def knn_cosine(
     Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
     ref = ray.put((q_ids, Q))
 
-    class LocalTopK:
-        def __init__(self, ref):
-            self.q_ids, self.Q = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_numpy().astype(np.int64)
-            B = _normalize(
-                np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
-                    np.float64
-                )
+    # STATELESS tasks, not an actor pool: the per-task state is one
+    # tiny broadcast (the query matrix, ray.put once; ray.get of a
+    # local shared object is ~µs per task), so actor-pool startup buys
+    # nothing and measured as ~4s of a ~5s stage. Actor pools remain
+    # where per-actor setup is real work (LSH tables, IVF lists).
+    def local_topk(t: pa.Table) -> pa.Table:
+        q_ids_, Q_ = ray.get(ref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        B = _normalize(
+            np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
             )
-            sims = self.Q @ B.T  # (nq, nb)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(self.q_ids)):
-                s = sims[qi]
-                cand = np.arange(len(ids))
-                if exclude_self:
-                    cand = cand[ids != self.q_ids[qi]]
-                if len(cand) == 0:
-                    continue
-                # local top-k by (sim desc, id asc)
-                order = np.lexsort((ids[cand], -s[cand]))[: k]
-                sel = cand[order]
-                out_q.append(np.full(len(sel), self.q_ids[qi], np.int64))
-                out_n.append(ids[sel])
-                out_s.append(s[sel])
-            if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.int64()),
-                        "sim": pa.array([], pa.float64()),
-                    }
-                )
+        )
+        sims = Q_ @ B.T  # (nq, nb)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            s = sims[qi]
+            cand = np.arange(len(ids))
+            if exclude_self:
+                cand = cand[ids != q_ids_[qi]]
+            if len(cand) == 0:
+                continue
+            # local top-k by (sim desc, id asc)
+            order = np.lexsort((ids[cand], -s[cand]))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), q_ids_[qi], np.int64))
+            out_n.append(ids[sel])
+            out_s.append(s[sel])
+        if not out_q:
             return pa.table(
                 {
-                    "query_id": pa.array(np.concatenate(out_q)),
-                    "neighbor_id": pa.array(np.concatenate(out_n)),
-                    "sim": pa.array(np.concatenate(out_s)),
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
                 }
             )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
 
-    local = embeddings.map_batches(
-        LocalTopK, batch_format="pyarrow", concurrency=(1, 2), fn_constructor_args=(ref,)
-    )
+    local = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return _combine_topk(local, k)
 
-    return local.groupby("query_id").map_groups(
-        _final_topk(k), batch_format="pyarrow"
+
+def _final_topk_all(k: int, dedup: bool = False):
+    """ALL queries' global top-k in ONE vectorized pass over the
+    combined local-topk rows (lexsort by (query, sim desc, id asc) +
+    per-run rank) — the fan-in finalizer used when the combined rows
+    are small (they are bounded by n_queries x k x n_blocks)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        e_ = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table({"query_id": e_, "neighbor_id": e_, "rank": e_})
+        order = np.lexsort(
+            (
+                t.column("neighbor_id").to_numpy(),
+                -t.column("sim").to_numpy(),
+                t.column("query_id").to_numpy(),
+            )
+        )
+        q = t.column("query_id").to_numpy()[order]
+        n_ = t.column("neighbor_id").to_numpy()[order]
+        if dedup:
+            # a (q, n) pair found in several tables/lists has the same
+            # sim, so duplicates are adjacent after the sort
+            m = np.empty(len(q), bool)
+            m[0] = True
+            m[1:] = (q[1:] != q[:-1]) | (n_[1:] != n_[:-1])
+            q, n_ = q[m], n_[m]
+        new = np.empty(len(q), bool)
+        new[0] = True
+        new[1:] = q[1:] != q[:-1]
+        starts = np.flatnonzero(new)
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(q)]))
+        li = np.arange(len(q), dtype=np.int64) - run_start
+        keep = li < k
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep].astype(np.int64)),
+                "neighbor_id": pa.array(n_[keep].astype(np.int64)),
+                "rank": pa.array(li[keep] + 1),
+            }
+        )
+
+    return fn
+
+
+def _combine_topk(local: Dataset, k: int, dedup: bool = False) -> Dataset:
+    """Finalize per-block local top-k rows into global per-query top-k.
+
+    The combined rows are analytically bounded (n_queries x k x
+    n_blocks), so the normal path is a single fan-in task (one
+    vectorized multi-query finalizer) — replacing a full
+    groupby("query_id") sort shuffle that cost ~2s of pure machinery
+    for a few hundred rows. A cardinality guard keeps the groupby path
+    for pathological block counts."""
+    mat = local.materialize()
+    if mat.count() <= 4_000_000:
+        return mat.repartition(1).map_batches(
+            _final_topk_all(k, dedup=dedup), batch_format="pyarrow", batch_size=None
+        )
+    return mat.groupby("query_id").map_groups(
+        _final_topk(k, dedup=dedup), batch_format="pyarrow"
     )
 
 
@@ -272,9 +332,7 @@ def knn_cosine_lsh(
         )
 
     local = rows.groupby("part").map_groups(score_bucket, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        _final_topk(k, dedup=True), batch_format="pyarrow"
-    )
+    return _combine_topk(local, k, dedup=True)
 
 
 def train_ivf_centroids(
@@ -452,9 +510,7 @@ def knn_cosine_ivf(
         )
 
     local = rows.groupby("part").map_groups(score_bucket, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        _final_topk(k), batch_format="pyarrow"
-    )
+    return _combine_topk(local, k)
 
 
 def _empty_knn():

@@ -156,7 +156,10 @@ def main():
     for P in args.ps:
         parts = [Part.remote(i, P, args.rows_per_dest, seed=3) for i in range(P)]
         ray.get([p.pack.remote() for p in parts])  # warm
-        G = max(2, int(round(P**0.5)))
+        # G must DIVIDE P (each of the g = P/G members maps to exactly
+        # one aggregator); nearest power-of-two to sqrt(P)
+        G = max(2, 1 << ((P.bit_length()) // 2))
+        assert P % G == 0, (P, G)
         for arm, Ga in (("flat", None), (f"tree_g{P // G}", G)):
             s0 = _steal()
             sec = run_arm(parts, P, Ga, args.steps)
