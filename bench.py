@@ -228,7 +228,7 @@ def run_bench() -> dict:
             lambda: infection_sim(
                 sim_n, 0.01, sim_steps, seeds=(0, 7), num_parts=NUM_PARTS
             ),
-            retries=0,  # ~half engine-rebuild cost; retrying is wasteful
+            retries=1,  # high-variance stage (4 engine rebuilds); one retry
         )
         extra["infection_sim_actors"] = sim_n
         extra["infection_sim_timesteps"] = sim_steps

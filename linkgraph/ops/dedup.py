@@ -276,7 +276,6 @@ def minhash_dedup_pairs(
                 "band_id": pa.array(band_id),
                 "band_hash": pa.array(bh64),
                 "doc_id": pa.array(np.repeat(ids, bands)),
-                "part": pa.array(bh64 % np.int64(64)),
             }
         )
 
@@ -315,8 +314,16 @@ def minhash_dedup_pairs(
             }
         )
 
-    cand = rows.groupby("part").map_groups(bucket_pairs, batch_format="pyarrow")
-    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"]).materialize()
+    # range sort co-locates equal (band_id, band_hash) collision groups
+    # in one block (cheaper than the bucket-hash groupby machinery);
+    # bucket_pairs segments by the pair key inside each block. The
+    # cross-block distinct is the same sort+mask as distinct_edges.
+    from ..edges import distinct_pairs
+
+    cand = rows.sort(["band_id", "band_hash"]).map_batches(
+        bucket_pairs, batch_format="pyarrow", batch_size=None
+    )
+    cand = distinct_pairs(cand, "a", "b").materialize()
     if cand.count() == 0:
         return cand
 
