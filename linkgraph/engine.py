@@ -29,9 +29,14 @@ design (SURVEY.md §1.2, §4):
 Scale notes (multi-node): edge loading streams batch slices straight
 into the partition actors (no separate shuffle materialization);
 per-superstep traffic is P packed objects of combiner-reduced messages
-(int32 dst-local indices + values). At very large P the all-to-all
-packed exchange would move to a two-level tree; P here is sized ~
-cluster cores.
+(int32 dst-local indices + values). The two-level (tree) exchange was
+MEASURED in round 4 (tools/exchange_tree_bench.py, BASELINE.md): on a
+single node flat wins at every P up to 128 — reads are shared-memory
+ref resolutions, so the P^2 term is nearly free while the tree adds a
+store-and-forward copy of the whole message volume. Flat stays the
+default at P ~ cores; on a real multi-node cluster the tree grouping
+should follow NODE topology (aggregate once per node pair), where it
+cuts cross-node object pulls from P^2 to G*P + P.
 """
 
 from __future__ import annotations
