@@ -415,6 +415,7 @@ def kclique_communities(
     )
     # global distinct: a vertex can be the min member of several
     # disjoint components and carry the same community label twice
-    return (
-        assigned.groupby(["v", "community"]).count().select_columns(["v", "community"])
-    )
+    # (sort+mask distinct — see edges.distinct_pairs)
+    from ..edges import distinct_pairs
+
+    return distinct_pairs(assigned, "v", "community")

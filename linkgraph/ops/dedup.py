@@ -752,5 +752,7 @@ def embedding_dup_lsh(
 
     pairs = rows.groupby("part").map_groups(pairs_bucket, batch_format="pyarrow")
     # cross-bucket dedup: a pair found in tables that hash to different
-    # bucket groups appears once per group
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    # bucket groups appears once per group (sort+mask distinct)
+    from ..edges import distinct_pairs
+
+    return distinct_pairs(pairs, "a", "b")
