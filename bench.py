@@ -28,6 +28,15 @@ import time
 # then reaps the worker; a reaped partition actor aborts the run)
 os.environ.setdefault("RAY_worker_register_timeout_seconds", "180")
 
+# shared-host guard #2: retain worker heap pages across free (freed
+# guest pages are reclaimed host-side on this box; re-faulting them is
+# the dominant source of "steal"-correlated stage-time swings — see
+# linkgraph/hostmem.py for the measurement)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from linkgraph.hostmem import tune_worker_malloc  # noqa: E402
+
+tune_worker_malloc()
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))

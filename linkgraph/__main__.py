@@ -77,6 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
+        from .hostmem import tune_worker_malloc
+
+        tune_worker_malloc()
         kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
         ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
     import logging

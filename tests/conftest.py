@@ -11,6 +11,9 @@ def ray_session():
     import ray
     from ray.data import DataContext
 
+    from linkgraph.hostmem import tune_worker_malloc
+
+    tune_worker_malloc()
     ray.init(
         address="local",
         num_cpus=4,
