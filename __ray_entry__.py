@@ -1116,10 +1116,41 @@ def _lp_modularity_sql() -> str:
     )
 
 
+def _langid_sql() -> str:
+    """Exact replay of ops.text.LangId: per-language marker-token hit
+    counts over lowercased ``[a-z0-9]+`` tokens, argmax with 'und' on
+    zero-or-tied best. Generated from _LANG_MARKERS so the oracle can
+    never drift from the operator's marker sets."""
+    from linkgraph.ops.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    cnt = ", ".join(
+        "COUNT(*) FILTER (WHERE w IN ({})) AS s_{}".format(
+            ", ".join(f"'{m}'" for m in sorted(_LANG_MARKERS[lang])), lang
+        )
+        for lang in langs
+    )
+    cols = ", ".join(f"COALESCE(s_{lang}, 0) AS s_{lang}" for lang in langs)
+    best = "GREATEST({})".format(", ".join(f"s_{lang}" for lang in langs))
+    nwin = " + ".join(f"CASE WHEN s_{lang} = best THEN 1 ELSE 0 END" for lang in langs)
+    pick = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return (
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+        "AS w FROM documents), "
+        f"sc AS (SELECT doc_id, {cnt} FROM t GROUP BY doc_id), "
+        f"j AS (SELECT d.doc_id, {cols} FROM (SELECT doc_id FROM documents) d "
+        "LEFT JOIN sc USING (doc_id)), "
+        f"b AS (SELECT doc_id, {best} AS best, * FROM j) "
+        f"SELECT doc_id, CASE WHEN best > 0 AND ({nwin}) = 1 "
+        f"THEN CASE {pick} END ELSE 'und' END AS lang_pred FROM b"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     e = _edges_cte()
     q = _oracle_sql_base(e)
     q["cc_ds"] = q["cc_labels"]  # dataset-ops variant, same semantics
+    q["langid"] = _langid_sql()
     return q
 
 
@@ -1367,6 +1398,27 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        # Exact replay of the HLL sketch (linkgraph/ops/hll.py): item hash
+        # = first 8 md5 bytes big-endian; idx = top p=12 bits; rho =
+        # leading zeros of (h<<p)|sentinel, computed via 65-len(bin(w));
+        # zero registers contribute 2^0=1 to the harmonic sum; DuckDB and
+        # numpy agree bit-exactly on both estimator branches (parity test
+        # in tests/test_ops.py).
+        "approx_distinct_tokens": (
+            "WITH d AS (SELECT DISTINCT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+            "AS tok FROM documents), "
+            "h AS (SELECT CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS hv FROM d), "
+            "rw AS (SELECT CAST(hv >> 52 AS BIGINT) AS idx, "
+            "65 - length(bin(CAST((CAST(hv AS HUGEINT) % 4503599627370496) * 4096 + 2048 "
+            "AS UBIGINT))) AS rho FROM h), "
+            "regs AS (SELECT idx, MAX(rho) AS r FROM rw GROUP BY idx), "
+            "agg AS (SELECT COUNT(*) AS nz, SUM(POWER(2.0, -r)) AS s FROM regs), "
+            "est AS (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 "
+            "/ (s + (4096 - nz)) AS e, 4096 - nz AS zeros FROM agg) "
+            "SELECT CAST(ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0 "
+            "THEN 4096.0 * ln(4096.0 / zeros) ELSE e END) AS BIGINT) AS n_distinct_est "
+            "FROM est"
         ),
         "char_classes": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

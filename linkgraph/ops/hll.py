@@ -31,7 +31,10 @@ def _alpha(m: int) -> float:
 
 
 class HyperLogLog:
-    """Mergeable HLL with deterministic blake2b-64 item hashing."""
+    """Mergeable HLL with deterministic md5-64 item hashing (first 8
+    digest bytes, big-endian — chosen so a SQL oracle can reproduce the
+    hash exactly: ``CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)``
+    in DuckDB)."""
 
     def __init__(self, p: int = 12):
         self.p = p
@@ -57,7 +60,7 @@ class HyperLogLog:
             return
         h = np.fromiter(
             (
-                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
                 for s in items
             ),
             np.uint64,

@@ -69,8 +69,10 @@ class CharClasses:
 
 class LangId:
     """Stopword-marker language id heuristic: argmax of per-language
-    marker hit counts, ties -> 'und'. Not SQL-expressible; tested with
-    a pytest oracle on synthetic pages with known languages."""
+    marker hit counts, zero-or-tied best -> 'und'. Deterministic and
+    SQL-expressible — the driver oracle (__ray_entry__._langid_sql) is
+    generated from _LANG_MARKERS; also pytest-tested on synthetic pages
+    with known languages."""
 
     def __init__(self):
         self.tok = re.compile(TOKEN_RE)

@@ -353,6 +353,38 @@ def test_hll_distinct_tokens_error_bound(ray_session):
     assert abs(est - exact) / exact <= 0.03
 
 
+def test_hll_sql_oracle_parity():
+    """The DuckDB replay of the HLL estimator (md5-64 item hash, bin()
+    leading-zero rho, both estimator branches) is bit-exact vs the
+    numpy sketch — this is what lets approx_distinct_tokens carry a
+    hard driver oracle instead of a rows-only check."""
+    import duckdb
+
+    from linkgraph.ops.hll import HyperLogLog
+
+    sql = """
+    WITH d AS (SELECT DISTINCT tok FROM toks),
+    h AS (SELECT CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS hv FROM d),
+    rw AS (SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+           65 - length(bin(CAST((CAST(hv AS HUGEINT) % 4503599627370496) * 4096 + 2048
+           AS UBIGINT))) AS rho FROM h),
+    regs AS (SELECT idx, MAX(rho) AS r FROM rw GROUP BY idx),
+    agg AS (SELECT COUNT(*) AS nz, SUM(POWER(2.0, -r)) AS s FROM regs),
+    est AS (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+            / (s + (4096 - nz)) AS e, 4096 - nz AS zeros FROM agg)
+    SELECT CAST(ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                THEN 4096.0 * ln(4096.0 / zeros) ELSE e END) AS BIGINT) AS n
+    FROM est
+    """
+    con = duckdb.connect()
+    for n_items in (150, 30000):  # linear-counting branch / raw-estimate branch
+        items = [f"tok{i}" for i in range(n_items)] + ["Hello", "42abc", "Z"]
+        hll = HyperLogLog(12)
+        hll.add_strings(items)
+        con.execute("CREATE OR REPLACE TABLE toks AS SELECT unnest(?) AS tok", [items])
+        assert con.sql(sql).fetchone()[0] == int(round(hll.estimate()))
+
+
 def test_hll_merge_matches_single(ray_session):
     from linkgraph.ops.hll import HyperLogLog
 
