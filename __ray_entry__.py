@@ -566,10 +566,10 @@ def q_weighted_pagerank(sf_dir: str):
 
 
 def q_hyperanf(sf_dir: str):
-    """HyperANF neighborhood function (rows-only — probabilistic
-    sketch; deterministic splitmix64 hashing so the output is stable;
-    pytest asserts <15% error vs the exact neighborhood function and
-    partition-count invariance)."""
+    """HyperANF neighborhood function. Hard-oracled: the sketch is a
+    pure function of splitmix64(v), so _hyperanf_sql replays registers
+    via unrolled reach sets bit-exactly; pytest additionally holds the
+    <15% error bound vs the exact NF and partition-count invariance."""
     from linkgraph.algos import hyperanf
 
     df, _ = hyperanf(_doc_edges_ds(sf_dir), p=7, num_parts=NUM_PARTS)
@@ -577,9 +577,11 @@ def q_hyperanf(sf_dir: str):
 
 
 def q_harmonic(sf_dir: str):
-    """HyperBall harmonic centrality (rows-only — probabilistic sketch;
-    deterministic splitmix64 hashing, pytest holds the exact-BFS oracle
-    at <15% aggregate error + exact partition-count invariance)."""
+    """HyperBall harmonic centrality. Hard-oracled (_harmonic_sql):
+    registers replayed from unrolled incoming-ball reach sets, harmonic
+    increments summed per hop — bit-exact after the library's own
+    rounding; pytest additionally holds the exact-BFS oracle at <15%
+    aggregate error + exact partition-count invariance."""
     from linkgraph.algos import harmonic_centrality
 
     out, _, eng = harmonic_centrality(_doc_edges_ds(sf_dir), p=7, num_parts=NUM_PARTS)
@@ -1116,6 +1118,109 @@ def _lp_modularity_sql() -> str:
     )
 
 
+_ANF_T = 12  # unrolled ball hops; saturation at driver scale is ~4-6
+
+
+def _ball_est_ctes(direction: str, p: int, T: int) -> list[str]:
+    """CTE chain replaying the HyperANF/HyperBall sketch bit-exactly:
+    per-vertex register (idx, rho) from splitmix64(v) — identical to
+    algos/hyperanf._rho_registers — then unrolled reach sets r0..rT
+    (ball membership at hop t; register MAX over a ball equals the
+    engine's monotone register merges because max is associative), and
+    per-(t, v) HLL estimates est{t}(v, est) via the same two-branch
+    estimator as algos/hyperanf._estimate_rows.
+
+    direction 'out': B(v,t) = {u : v reaches u within t hops};
+    'in': B(v,t) = {u : u reaches v within t hops} (the HyperBall
+    centrality convention)."""
+    m = 1 << p
+    alpha = "0.7213 / (1.0 + 1.079 / {m}.0)".format(m=m)
+    sm, last = _sql_splitmix_ctes("anfsm", "verts", {"hv": "v"})
+    low = 1 << (64 - p)  # 2^(64-p): modulus keeping the low bits of h
+    ctes = [
+        *sm,
+        # w = (h << p) | (1 << (p-1)), rho = leading zeros of w + 1
+        # = 65 - bitlength(w); bin() strips leading zeros so bitlength
+        # = length(bin(w)); the sentinel bit keeps w > 0.
+        f"anfreg AS (SELECT v, CAST(hv >> {64 - p} AS BIGINT) AS idx, "
+        f"65 - length(bin(CAST((CAST(hv AS HUGEINT) % {low}) * {1 << p} + {1 << (p - 1)} "
+        "AS UBIGINT))) AS rho FROM "
+        f"{last})",
+        "r0 AS (SELECT v, v AS u FROM verts)",
+    ]
+    vexpr, wexpr = ("e.src", "e.dst") if direction == "out" else ("e.dst", "e.src")
+    for t in range(1, T + 1):
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT DISTINCT v, u FROM ("
+            f"SELECT v, u FROM r{t - 1} UNION ALL "
+            f"SELECT {vexpr} AS v, r.u FROM e JOIN r{t - 1} r ON r.v = {wexpr}))"
+        )
+    for t in range(T + 1):
+        ctes.append(
+            f"g{t} AS (SELECT r.v, p.idx, MAX(p.rho) AS mr FROM r{t} r "
+            "JOIN anfreg p ON p.v = r.u GROUP BY r.v, p.idx)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT v, COUNT(*) AS nz, SUM(POWER(2.0, -mr)) AS s "
+            f"FROM g{t} GROUP BY v)"
+        )
+        raw = f"({alpha}) * {m}.0 * {m}.0 / (s + ({m} - nz))"
+        ctes.append(
+            f"est{t} AS (SELECT v, CASE WHEN {raw} <= 2.5 * {m} AND {m} - nz > 0 "
+            f"THEN {m}.0 * ln({m}.0 / ({m} - nz)) ELSE {raw} END AS est FROM a{t})"
+        )
+    return ctes
+
+
+def _harmonic_sql(p: int = 7, T: int = _ANF_T) -> str:
+    """HyperBall harmonic centrality replay (algos/hyperball.py): the
+    engine's register state after superstep t IS the hop-t incoming
+    ball's register max (monotone merges + frontier gating deliver
+    exactly one hop per superstep), so harm(v) = sum over t of
+    (est_t(v) - est_{t-1}(v)) / t with the same increments the engine
+    accumulates; increments past saturation are exactly 0, so any
+    T >= the graph's saturation hop count produces identical output."""
+    ctes = [_edges_cte(), _VERTS, *_ball_est_ctes("in", p, T)]
+    union = " UNION ALL ".join(f"SELECT {t} AS t, v, est FROM est{t}" for t in range(T + 1))
+    ctes.append(f"ests AS ({union})")
+    ctes.append(
+        "harm AS (SELECT v, SUM((est - pe) / t) AS h FROM "
+        "(SELECT t, v, est, LAG(est) OVER (PARTITION BY v ORDER BY t) AS pe FROM ests) "
+        "WHERE t >= 1 GROUP BY v)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT harm.v, ROUND(harm.h, 6) AS harmonic, ROUND(est{T}.est, 4) AS ball "
+        f"FROM harm JOIN est{T} USING (v)"
+    )
+
+
+def _hyperanf_sql(p: int = 7, T: int = _ANF_T) -> str:
+    """HyperANF neighborhood function replay (algos/hyperanf.py):
+    nf(0) = exact vertex count (the library reconstructs N(0) from
+    n_total); nf(t) = sum over v of the hop-t out-ball estimate; rows
+    are truncated after the last strict increase — identical to the
+    library's trailing-pop loop (it removes the longest non-increasing
+    suffix)."""
+    ctes = [_edges_cte(), _VERTS, *_ball_est_ctes("out", p, T)]
+    union = " UNION ALL ".join(
+        f"SELECT {t} AS t, SUM(est) AS nf FROM est{t}" for t in range(1, T + 1)
+    )
+    ctes.append(
+        "nftab AS (SELECT 0 AS t, CAST(COUNT(*) AS DOUBLE) AS nf FROM verts "
+        f"UNION ALL {union})"
+    )
+    ctes.append(
+        "tl AS (SELECT COALESCE(MAX(t), 0) AS t_last FROM "
+        "(SELECT t, nf, LAG(nf) OVER (ORDER BY t) AS pn FROM nftab) WHERE nf > pn)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CAST(t AS BIGINT) AS t, ROUND(nf, 2) AS nf FROM nftab, tl "
+        "WHERE t <= t_last ORDER BY t"
+    )
+
+
 def _langid_sql() -> str:
     """Exact replay of ops.text.LangId: per-language marker-token hit
     counts over lowercased ``[a-z0-9]+`` tokens, argmax with 'und' on
@@ -1151,6 +1256,8 @@ def oracle_sql() -> dict[str, str]:
     q = _oracle_sql_base(e)
     q["cc_ds"] = q["cc_labels"]  # dataset-ops variant, same semantics
     q["langid"] = _langid_sql()
+    q["harmonic_cent"] = _harmonic_sql()
+    q["hyperanf_nf"] = _hyperanf_sql()
     return q
 
 
