@@ -591,10 +591,11 @@ def q_harmonic(sf_dir: str):
 
 
 def q_betweenness(sf_dir: str):
-    """Approximate betweenness centrality (rows-only — iterative
-    multi-source Brandes, not SQL-expressible; pytest holds the
-    textbook-Brandes oracle): dependency sums from the 4 highest-degree
-    sources on the undirected doc graph, vertices with bc > 0."""
+    """Approximate betweenness centrality: dependency sums from the 4
+    highest-degree sources on the undirected doc graph, vertices with
+    bc > 0. Hard-oracled (_betweenness_sql — unrolled level-synchronous
+    Brandes with exact-integer sigma); pytest additionally holds the
+    textbook-Brandes oracle."""
     from linkgraph.algos import betweenness
 
     out, _, eng = betweenness(_doc_edges_ds(sf_dir), k_sources=4, num_parts=NUM_PARTS)
@@ -1221,6 +1222,57 @@ def _hyperanf_sql(p: int = 7, T: int = _ANF_T) -> str:
     )
 
 
+def _betweenness_sql(k: int = 4, T: int = _ANF_T) -> str:
+    """Exact replay of algos/betweenness.py (multi-source Brandes):
+    sources = top-k by undirected degree over directed-edge occurrences
+    (ties -> smaller id, matching top_degree_sources); forward BFS with
+    sigma = sum of predecessor sigmas (path counts are exact float64
+    integers, so summation order is irrelevant); backward sweep per
+    level d(v) = sigma_v * sum over dist+1 neighbors w of
+    (1 + delta_w) / sigma_w — the same association the engine uses
+    (combiner-summed quotients, one multiply in apply). The source is
+    excluded (dist > 0), deepest/leaf vertices get delta 0 by absence,
+    and bc > 0 filters before the 6-decimal rounding, all as in
+    q_betweenness."""
+    ctes = [
+        _edges_cte(),
+        _UE,
+        "deg AS (SELECT v, COUNT(*) AS d FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v)",
+        f"srcs AS (SELECT v AS s FROM deg ORDER BY d DESC, v LIMIT {k})",
+        "vis0 AS (SELECT s, s AS v, 0 AS dist, 1.0 AS sigma FROM srcs)",
+        "f0 AS (SELECT * FROM vis0)",
+    ]
+    for t in range(1, T + 1):
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT f.s, ue.b AS v, {t} AS dist, "
+            f"SUM(f.sigma) AS sigma FROM f{t - 1} f JOIN ue ON ue.a = f.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vis{t - 1} w WHERE w.s = f.s "
+            "AND w.v = ue.b) GROUP BY f.s, ue.b)"
+        )
+        ctes.append(
+            f"vis{t} AS MATERIALIZED (SELECT * FROM vis{t - 1} "
+            f"UNION ALL SELECT s, v, dist, sigma FROM f{t})"
+        )
+    ctes.append(f"d{T} AS (SELECT s, v, 0.0 AS delta FROM vis{T} WHERE false)")
+    for t in range(T - 1, 0, -1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT n.s, n.v, "
+            "n.sigma * SUM((1.0 + COALESCE(dd.delta, 0.0)) / m.sigma) AS delta "
+            f"FROM vis{T} n JOIN ue ON ue.a = n.v "
+            f"JOIN vis{T} m ON m.s = n.s AND m.v = ue.b AND m.dist = {t + 1} "
+            f"LEFT JOIN d{t + 1} dd ON dd.s = n.s AND dd.v = m.v "
+            f"WHERE n.dist = {t} GROUP BY n.s, n.v, n.sigma)"
+        )
+    union = " UNION ALL ".join(f"SELECT v, delta FROM d{t}" for t in range(1, T))
+    ctes.append(f"alld AS ({union})")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT v, ROUND(bc, 6) AS bc FROM "
+        "(SELECT v, SUM(delta) AS bc FROM alld GROUP BY v) WHERE bc > 0"
+    )
+
+
 def _langid_sql() -> str:
     """Exact replay of ops.text.LangId: per-language marker-token hit
     counts over lowercased ``[a-z0-9]+`` tokens, argmax with 'und' on
@@ -1258,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
     q["langid"] = _langid_sql()
     q["harmonic_cent"] = _harmonic_sql()
     q["hyperanf_nf"] = _hyperanf_sql()
+    q["betweenness_4"] = _betweenness_sql()
     return q
 
 
