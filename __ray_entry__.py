@@ -289,6 +289,18 @@ def q_char_classes(sf_dir: str):
     return docs.map_batches(CharClasses, batch_format="pyarrow", concurrency=2).to_pandas()
 
 
+def q_dup_spans(sf_dir: str):
+    """Cross-document duplicated spans (substring-level dedup): doc
+    pairs sharing >= 2 distinct 32-char windows at 4-char-aligned
+    positions, boilerplate windows (df > 64) dropped. Hard-oracled:
+    the window semantics are pure substring equality, replayed in SQL
+    with substr + self-join."""
+    from linkgraph.ops import dup_span_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_pairs(docs).to_pandas()
+
+
 def q_near_dup_shingle(sf_dir: str):
     from linkgraph.ops import shingle_jaccard_pairs
 
@@ -764,7 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gcn_2layer": q_gcn,
         "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,
-        "quality_score": q_quality_score,
+        "dup_spans": q_dup_spans,
         "top_tokens_100": q_top_tokens,
         "approx_distinct_tokens": q_approx_distinct,
         "near_dup_shingle": q_near_dup_shingle,
@@ -797,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
         # ---- past the driver's 50-query window (stable greens) ----
+        "quality_score": q_quality_score,
         "in_degree": q_in_degree,
         "degree_hist": q_degree_hist,
         "pagerank_ds_5": q_pagerank_ds,
@@ -1558,6 +1571,21 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        # Duplicated spans by true substring equality — the Ray side
+        # groups by a 64-bit polynomial window hash (collision odds
+        # ~2^-64 per pair, the md5-class assumption exact_dedup makes)
+        "dup_spans": (
+            "WITH pos AS (SELECT doc_id, text, "
+            "unnest(range(0, CAST(length(text) AS BIGINT) - 31, 4)) AS p "
+            "FROM documents WHERE length(text) >= 32), "
+            "w AS (SELECT DISTINCT doc_id, substr(text, CAST(p + 1 AS BIGINT), 32) AS s "
+            "FROM pos), "
+            "keep AS (SELECT s FROM w GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 64), "
+            "ww AS (SELECT doc_id, s FROM w WHERE s IN (SELECT s FROM keep)), "
+            "p2 AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n FROM ww x "
+            "JOIN ww y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, CAST(n AS BIGINT) AS n_shared FROM p2 WHERE n >= 2"
         ),
         # Exact replay of the HLL sketch (linkgraph/ops/hll.py): item hash
         # = first 8 md5 bytes big-endian; idx = top p=12 bits; rho =

@@ -26,6 +26,7 @@ from .dedup import (
     minhash_dedup_pairs,
     simhash_dedup_pairs,
     embedding_dup_pairs,
+    dup_span_pairs,
 )
 from .knn import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
 from .windows import tumbling_window, hopping_window, sessionize
@@ -43,6 +44,7 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash_dedup_pairs",
     "embedding_dup_pairs",
+    "dup_span_pairs",
     "knn_cosine",
     "knn_cosine_ivf",
     "knn_cosine_lsh",

@@ -756,3 +756,153 @@ def embedding_dup_lsh(
     from ..edges import distinct_pairs
 
     return distinct_pairs(pairs, "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+class _SpanWindows:
+    """(doc_id, text) -> distinct (h, doc_id) per doc, where h is the
+    polynomial hash (base 257, wrapping uint64) of each win-char window
+    at stride-aligned character positions. ASCII fast path: one
+    sliding_window_view + matmul over the byte array per doc; non-ASCII
+    falls back to per-window slices hashed over their UTF-8 bytes with
+    the same polynomial, so decisions are path-independent."""
+
+    def __init__(self, win: int, stride: int):
+        self.win = win
+        self.stride = stride
+        with np.errstate(over="ignore"):
+            self.coeff = np.uint64(257) ** np.arange(win, dtype=np.uint64)
+
+    def _poly(self, b: bytes) -> np.uint64:
+        a = np.frombuffer(b, np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            c = np.uint64(257) ** np.arange(len(a), dtype=np.uint64)
+            return (a * c).sum(dtype=np.uint64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        hs, ds = [], []
+        for i, txt in enumerate(texts):
+            if len(txt) < self.win:
+                continue
+            b = txt.encode()
+            if len(b) == len(txt):  # pure ASCII: char pos == byte pos
+                a = np.frombuffer(b, np.uint8).astype(np.uint64)
+                wins = np.lib.stride_tricks.sliding_window_view(a, self.win)
+                wins = wins[:: self.stride]
+                with np.errstate(over="ignore"):
+                    h = (wins * self.coeff).sum(axis=1, dtype=np.uint64)
+            else:
+                h = np.fromiter(
+                    (
+                        self._poly(txt[p : p + self.win].encode())
+                        for p in range(0, len(txt) - self.win + 1, self.stride)
+                    ),
+                    np.uint64,
+                )
+            h = np.unique(h)  # one vote per distinct window per doc
+            hs.append(h)
+            ds.append(np.full(len(h), ids[i], np.int64))
+        if not hs:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(hs).view(np.int64)),
+                "doc_id": pa.array(np.concatenate(ds)),
+            }
+        )
+
+
+def dup_span_pairs(
+    docs: Dataset,
+    win: int = 32,
+    stride: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> Dataset:
+    """Cross-document duplicated-span pairs (substring-level dedup, the
+    Lee et al. 2022 "Deduplicating Training Data" family): (a, b,
+    n_shared) where n_shared = number of distinct win-char windows (at
+    stride-aligned positions) the two docs share, windows appearing in
+    more than max_df docs dropped as boilerplate.
+
+    100-TB shape: the window table is O(chars/stride) rows but ONE
+    range sort co-locates equal hashes (the distinct_pairs argument);
+    pair emission is capped at C(max_df, 2) per window group, so cost
+    tracks true duplication, never n^2. Hash collisions (wrapping
+    base-257 polynomial over >8 bytes) can merge distinct windows with
+    probability ~2^-64 per pair — the same class of assumption
+    exact_dedup makes about md5 groups.
+
+    (Reference analogue: SURVEY.md §2.7 dedup/set ops; complements the
+    exact/MinHash/SimHash/shingle/embedding families with span-level
+    semantics.)"""
+    from ..segops import pair_unique_counts
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _SpanWindows(win, stride), batch_format="pyarrow"
+    )
+
+    def group_pairs(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        if len(h) == 0:
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_, "cnt": e_})
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ends = np.r_[starts[1:], len(h)]
+        sizes = ends - starts
+        outs_a, outs_b = [], []
+        for s, e, m in zip(starts, ends, sizes):
+            if m < 2 or m > max_df:
+                continue
+            seg = d[s:e]  # distinct docs (per-doc unique upstream), sorted
+            ii, jj = np.triu_indices(len(seg), 1)
+            outs_a.append(seg[ii])
+            outs_b.append(seg[jj])
+        if not outs_a:
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_, "cnt": e_})
+        a, b, cnt = pair_unique_counts(np.concatenate(outs_a), np.concatenate(outs_b))
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "cnt": pa.array(cnt)}
+        )
+
+    partial = rows.sort("h").map_batches(
+        group_pairs, batch_format="pyarrow", batch_size=None
+    )
+
+    def merge_counts(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        c = t.column("cnt").to_numpy()
+        if len(a) == 0:
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_, "n_shared": e_})
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=c).astype(np.int64)
+        keep = tot >= min_shared
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "a": pa.array(a[st][keep]),
+                "b": pa.array(b[st][keep]),
+                "n_shared": pa.array(tot[keep]),
+            }
+        )
+
+    # equal (a, b) from different window-hash blocks land in one sorted
+    # block (range sort), so one adjacent-sum pass finalizes the counts
+    return partial.sort(["a", "b"]).map_batches(
+        merge_counts, batch_format="pyarrow", batch_size=None
+    )
