@@ -588,6 +588,26 @@ def q_hyperanf(sf_dir: str):
     return df
 
 
+def q_eff_diameter(sf_dir: str):
+    """Effective diameter (HyperANF, Boldi-Vigna): smallest
+    (interpolated) t with N(t) >= 0.9 * N(max), plus hops to
+    saturation and the reachable-pair estimate. Hard-oracled — the
+    interpolation runs over the same unrounded nf values
+    _hyperanf_sql replays."""
+    import pandas as pd
+
+    from linkgraph.algos import hyperanf
+
+    _, res = hyperanf(_doc_edges_ds(sf_dir), p=7, num_parts=NUM_PARTS)
+    return pd.DataFrame(
+        {
+            "effective_diameter": [float(res["effective_diameter"])],
+            "hops_to_saturation": [int(res["hops_to_saturation"])],
+            "reachable_pairs": [float(res["reachable_pairs"])],
+        }
+    )
+
+
 def q_harmonic(sf_dir: str):
     """HyperBall harmonic centrality. Hard-oracled (_harmonic_sql):
     registers replayed from unrolled incoming-ball reach sets, harmonic
@@ -773,11 +793,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
+        "eff_diameter": q_eff_diameter,
         "gcn_2layer": q_gcn,
         "edge_anomaly": q_edge_anomaly,
         "exact_dedup": q_exact_dedup,
         "dup_spans": q_dup_spans,
-        "top_tokens_100": q_top_tokens,
         "approx_distinct_tokens": q_approx_distinct,
         "near_dup_shingle": q_near_dup_shingle,
         "langid": q_langid,
@@ -809,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
         # ---- past the driver's 50-query window (stable greens) ----
+        "top_tokens_100": q_top_tokens,
         "quality_score": q_quality_score,
         "in_degree": q_in_degree,
         "degree_hist": q_degree_hist,
@@ -1235,6 +1256,44 @@ def _hyperanf_sql(p: int = 7, T: int = _ANF_T) -> str:
     )
 
 
+def _effdiam_sql(p: int = 7, T: int = _ANF_T, q: float = 0.9) -> str:
+    """Effective diameter over _hyperanf_sql's nf table: target =
+    q * nf(t_last); the first t whose nf crosses the target is
+    interpolated exactly as algos/hyperanf.py does (t=0 -> 0.0,
+    flat-segment crossing -> t)."""
+    ctes = [_edges_cte(), _VERTS, *_ball_est_ctes("out", p, T)]
+    union = " UNION ALL ".join(
+        f"SELECT {t} AS t, SUM(est) AS nf FROM est{t}" for t in range(1, T + 1)
+    )
+    ctes.append(
+        "nftab AS (SELECT 0 AS t, CAST(COUNT(*) AS DOUBLE) AS nf FROM verts "
+        f"UNION ALL {union})"
+    )
+    ctes.append(
+        "tl AS (SELECT COALESCE(MAX(t), 0) AS t_last FROM "
+        "(SELECT t, nf, LAG(nf) OVER (ORDER BY t) AS pn FROM nftab) WHERE nf > pn)"
+    )
+    ctes.append("trunc AS (SELECT t, nf FROM nftab, tl WHERE t <= t_last)")
+    ctes.append(
+        "fin AS (SELECT (SELECT nf FROM trunc ORDER BY t DESC LIMIT 1) AS last_nf, "
+        "(SELECT MAX(t) FROM trunc) AS tmax)"
+    )
+    ctes.append(
+        f"cross_t AS (SELECT MIN(t) AS tc FROM trunc, fin WHERE nf >= {q} * last_nf)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT ROUND(CASE WHEN tc = 0 THEN 0.0 "
+        f"WHEN hi > lo THEN tc - 1 + ({q} * last_nf - lo) / (hi - lo) "
+        "ELSE CAST(tc AS DOUBLE) END, 4) AS effective_diameter, "
+        "CAST(tmax AS BIGINT) AS hops_to_saturation, "
+        "ROUND(last_nf, 2) AS reachable_pairs FROM fin, cross_t, "
+        "(SELECT nf AS hi FROM trunc, cross_t WHERE t = tc), "
+        "(SELECT nf AS lo FROM trunc, cross_t WHERE t = tc - 1 "
+        "UNION ALL SELECT 0.0 WHERE (SELECT tc FROM cross_t) = 0)"
+    )
+
+
 def _betweenness_sql(k: int = 4, T: int = _ANF_T) -> str:
     """Exact replay of algos/betweenness.py (multi-source Brandes):
     sources = top-k by undirected degree over directed-edge occurrences
@@ -1324,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
     q["harmonic_cent"] = _harmonic_sql()
     q["hyperanf_nf"] = _hyperanf_sql()
     q["betweenness_4"] = _betweenness_sql()
+    q["eff_diameter"] = _effdiam_sql()
     return q
 
 
