@@ -71,6 +71,14 @@ def test_dup_spans_max_df_drops_boilerplate(ray_session):
     assert want == {}
 
 
+def test_dup_spans_short_docs_empty_result(ray_session):
+    # every doc shorter than the window -> no rows, stable schema
+    got = dup_span_pairs(_docs_ds(["short", "tiny", "abc"]), win=32)
+    assert got.count() == 0
+    sch = got.schema(fetch_if_missing=False)
+    assert sch is None or set(sch.names) == {"a", "b", "n_shared"}
+
+
 def test_dup_spans_non_ascii_path_consistent(ray_session):
     # identical window content in an ASCII doc and a doc with a
     # non-ASCII prefix placed so the shared span stays stride-aligned:
