@@ -118,7 +118,11 @@ def infection_sim(
     import ray.data
 
     prog = InfectionProgram(seeds)
-    eng: SuperstepEngine | None = None
+    # spawn the partition actors NOW, without blocking: they come up
+    # while the selfloop table and the first radius_join compute; the
+    # readiness barrier runs inside load_edges (provision(wait=True))
+    eng = SuperstepEngine(num_parts=num_parts, symmetrize=True).provision(wait=False)
+    loaded = False
     old_edges = None
     # every actor is always registered via a self-loop row so isolated
     # actors exist from t=0 (the reference creates all actors up front)
@@ -144,10 +148,9 @@ def infection_sim(
             .union(selfloops)
             .materialize()
         )
-        if eng is None:
-            eng = SuperstepEngine(num_parts=num_parts, symmetrize=True).load_edges(
-                edges_ds, streaming=True
-            )
+        if not loaded:
+            eng.load_edges(edges_ds, streaming=True)
+            loaded = True
         else:
             eng.delete_edges(old_edges, rebuild=False)
             eng.extend_edges(edges_ds)

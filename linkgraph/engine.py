@@ -1341,7 +1341,7 @@ class SuperstepEngine:
         self._loaded = False
 
     # ---- graph build -------------------------------------------------
-    def provision(self) -> "SuperstepEngine":
+    def provision(self, wait: bool = True) -> "SuperstepEngine":
         """Spawn the partition actors ahead of data arrival — the
         reference's PEs are long-running processes that exist before any
         edge streams in (srun launches them outside the measured insert
@@ -1353,12 +1353,21 @@ class SuperstepEngine:
         spawn can exceed the raylet registration timeout and get reaped —
         if that happens to a partition actor after routing has begun, the
         load dies mid-flight. Waiting here surfaces spawn failures before
-        any data moves and keeps the routing storm off the spawn path."""
+        any data moves and keeps the routing storm off the spawn path.
+
+        With ``wait=False`` the handles are created but the readiness
+        barrier is deferred to the next blocking ``provision()`` call
+        (``load_edges`` always issues one), so actor spawn can overlap
+        driver-side Dataset work — e.g. the sim loop computes its first
+        radius_join while the partition actors come up."""
         if not self.actors:
             self.actors = [
                 GraphPartition.remote(i, self.P, self.dedup) for i in range(self.P)
             ]
+            self._provision_ready = False
+        if wait and not getattr(self, "_provision_ready", True):
             ray.get([a.n_local.remote() for a in self.actors])
+            self._provision_ready = True
         return self
 
     def load_edges(
