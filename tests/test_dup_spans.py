@@ -71,6 +71,36 @@ def test_dup_spans_max_df_drops_boilerplate(ray_session):
     assert want == {}
 
 
+def test_dup_spans_random_corpora_property(ray_session):
+    """Property check over random tiny-alphabet corpora (maximizes
+    window collisions, boilerplate, and boundary cases): operator ==
+    brute force for every sampled corpus."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    corpus = st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=2, max_size=12
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(texts=corpus)
+    def run(texts):
+        got = dup_span_pairs(_docs_ds(texts), win=6, stride=2, min_shared=1, max_df=6)
+        got_map = {
+            (int(r["a"]), int(r["b"])): int(r["n_shared"]) for r in got.take_all()
+        }
+        assert got_map == _brute(texts, 6, 2, 1, 6)
+
+    run()
+
+
 def test_dup_spans_short_docs_empty_result(ray_session):
     # every doc shorter than the window -> no rows, stable schema
     got = dup_span_pairs(_docs_ds(["short", "tiny", "abc"]), win=32)
