@@ -622,6 +622,16 @@ def q_harmonic(sf_dir: str):
     return df
 
 
+def q_ktruss(sf_dir: str):
+    """3-truss subgraph of the doc graph (edge analogue of k-core:
+    every surviving edge sits in >= 1 triangle of the subgraph,
+    peeled to fixpoint). Hard-oracled: unrolled peel rounds in SQL
+    (the kcore_peel pattern)."""
+    from linkgraph.algos import ktruss
+
+    return ktruss(_doc_edges_ds(sf_dir), k=3, num_partitions=NUM_PARTS).to_pandas()
+
+
 def q_betweenness(sf_dir: str):
     """Approximate betweenness centrality: dependency sums from the 4
     highest-degree sources on the undirected doc graph, vertices with
@@ -788,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
         "kcore_peel": q_kcore,
+        "ktruss_3": q_ktruss,
         "motif_census": q_motif_census,
         "scc_labels": q_scc,
         "betweenness_4": q_betweenness,
@@ -819,7 +830,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank_5": q_weighted_pagerank,
         "host_graph": q_host_graph,
         "reciprocity": q_reciprocity,
-        "clustering_coeff": q_clustering,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
         "edge_jaccard": q_edge_jaccard,
@@ -829,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
         # ---- past the driver's 50-query window (stable greens) ----
+        "clustering_coeff": q_clustering,
         "top_tokens_100": q_top_tokens,
         "quality_score": q_quality_score,
         "in_degree": q_in_degree,
@@ -1256,6 +1267,32 @@ def _hyperanf_sql(p: int = 7, T: int = _ANF_T) -> str:
     )
 
 
+def _ktruss_sql(k: int = 3, R: int = 4) -> str:
+    """Unrolled k-truss peel (the kcore_peel pattern): each round keeps
+    canonical edges supported by >= k-2 triangles of the surviving
+    subgraph; R rounds exceed the fixpoint at driver scale (measured
+    fixpoint after 1 effective round on the doc graph), and rounds past
+    the fixpoint are no-ops."""
+    ctes = [
+        _edges_cte(),
+        "c0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        "FROM e WHERE src <> dst)",
+    ]
+    for r in range(1, R + 1):
+        ctes.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM c{r - 1} e1 JOIN c{r - 1} e2 ON e2.u = e1.u AND e2.v > e1.v "
+            f"JOIN c{r - 1} e3 ON e3.u = e1.v AND e3.v = e2.v)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT u, v FROM "
+            f"(SELECT a AS u, b AS v FROM tri{r} UNION ALL SELECT a, c FROM tri{r} "
+            f"UNION ALL SELECT b, c FROM tri{r}) GROUP BY u, v "
+            f"HAVING COUNT(*) >= {k - 2})"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT u, v FROM c{R}"
+
+
 def _effdiam_sql(p: int = 7, T: int = _ANF_T, q: float = 0.9) -> str:
     """Effective diameter over _hyperanf_sql's nf table: target =
     q * nf(t_last); the first t whose nf crosses the target is
@@ -1384,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
     q["hyperanf_nf"] = _hyperanf_sql()
     q["betweenness_4"] = _betweenness_sql()
     q["eff_diameter"] = _effdiam_sql()
+    q["ktruss_3"] = _ktruss_sql()
     return q
 
 

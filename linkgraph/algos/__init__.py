@@ -8,7 +8,7 @@ from .pagerank import (
 )
 from .cc import CCProgram, connected_components
 from .labelprop import LabelPropProgram, label_propagation
-from .triangles import triangle_count
+from .triangles import ktruss, triangle_count
 from .bfs import bfs_hops
 from .kcore import kcore
 from .gcn import gcn_features
@@ -31,6 +31,7 @@ __all__ = [
     "connected_components",
     "LabelPropProgram",
     "label_propagation",
+    "ktruss",
     "triangle_count",
     "bfs_hops",
     "kcore",

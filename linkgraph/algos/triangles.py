@@ -371,3 +371,123 @@ def triangle_counts_per_vertex(
         .aggregate(Sum("n", alias_name="n_triangles"))
         .select_columns(["v", "n_triangles"])
     )
+
+
+def _edge_supports(canon: Dataset, B: int) -> Dataset:
+    """canonical (u, v) edges -> (u, v, sup): per-edge triangle support.
+    Same degree-oriented centered-wedge closure as
+    :func:`triangle_counts_per_vertex`, but each closed wedge credits
+    its triangle's three EDGES instead of its corners; partial counts
+    combine in-bucket, one range sort finalizes (the dup_spans
+    merge-sum pattern). Edges in no triangle produce no row."""
+    from ..segops import pair_unique_counts
+
+    oriented = _degree_oriented(canon, B)
+
+    def wedge_gen_centered(t: pa.Table) -> pa.Table:
+        a, b = _sorted_runs(t)
+        ii, jj = _all_pairs_per_run(a, b)
+        e = pa.array([], pa.int64())
+        if len(ii) == 0:
+            return pa.table({"ctr": e, "b": e, "c": e})
+        return pa.table({"ctr": _i64(a[ii]), "b": _i64(b[ii]), "c": _i64(b[jj])})
+
+    wedges = oriented.groupby("part").map_groups(
+        wedge_gen_centered, batch_format="pyarrow"
+    )
+
+    def tag_wedges(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy()
+        c = t.column("c").to_numpy()
+        return _rows((b + 31 * c) % B, 1, b, c, t.column("ctr").to_numpy())
+
+    def tag_canon(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        return _rows((u + 31 * v) % B, 0, u, v, 0)
+
+    def close_per_edge(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy()
+        k1 = t.column("k1").to_numpy()
+        k2 = t.column("k2").to_numpy()
+        w = t.column("w").to_numpy()
+        em = kind == 0
+        ke = np.sort(_pack2(k1[em], k2[em]))
+        wm = ~em
+        hit = _member(ke, _pack2(k1[wm], k2[wm]))
+        if not hit.any():
+            e = pa.array([], pa.int64())
+            return pa.table({"u": e, "v": e, "cnt": e})
+        ctr, b, c = w[wm][hit], k1[wm][hit], k2[wm][hit]
+        # the triangle (ctr, b, c) supports edges (ctr,b), (ctr,c), (b,c)
+        ea = np.concatenate([np.minimum(ctr, b), np.minimum(ctr, c), b])
+        eb = np.concatenate([np.maximum(ctr, b), np.maximum(ctr, c), c])
+        u, v, cnt = pair_unique_counts(ea, eb)  # in-bucket combiner
+        return pa.table({"u": _i64(u), "v": _i64(v), "cnt": _i64(cnt)})
+
+    partial = (
+        wedges.map_batches(tag_wedges, batch_format="pyarrow", batch_size=131072)
+        .union(canon.map_batches(tag_canon, batch_format="pyarrow", batch_size=131072))
+        .groupby("part")
+        .map_groups(close_per_edge, batch_format="pyarrow")
+    )
+
+    def merge_counts(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        c = t.column("cnt").to_numpy()
+        if len(u) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"u": e, "v": e, "sup": e})
+        new = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=c).astype(np.int64)
+        st = np.flatnonzero(new)
+        return pa.table({"u": _i64(u[st]), "v": _i64(v[st]), "sup": _i64(tot)})
+
+    return partial.sort(["u", "v"]).map_batches(
+        merge_counts, batch_format="pyarrow", batch_size=None
+    )
+
+
+def ktruss(
+    edges: Dataset,
+    k: int = 3,
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+) -> Dataset:
+    """k-truss subgraph: the maximal edge set where every edge sits in
+    >= k-2 triangles OF THE SUBGRAPH — iterative support peel to the
+    fixpoint (the edge analogue of k-core; k >= 3). Returns canonical
+    (u, v) rows.
+
+    Each peel round is one bucketed triangle enumeration over the
+    surviving edges (O(m^1.5) work bounded by the degree orientation,
+    never materialized on the driver); rounds end at the first
+    no-change pass. (Reference analogue: SURVEY.md §2.5 community /
+    dense-subgraph mining; SQL oracle = unrolled peel rounds, the
+    kcore_peel pattern.)"""
+    assert k >= 3, "2-truss is the whole graph; k-truss needs k >= 3"
+    B = num_partitions or 32
+    cur = _canonical_bucketed(edges, B).materialize()
+    n_cur = cur.count()
+
+    def keep_fn(t: pa.Table) -> pa.Table:
+        m = t.column("sup").to_numpy() >= (k - 2)
+        return pa.table(
+            {"u": t.column("u").filter(pa.array(m)), "v": t.column("v").filter(pa.array(m))}
+        )
+
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            break
+        nxt = (
+            _edge_supports(cur, B)
+            .map_batches(keep_fn, batch_format="pyarrow")
+            .materialize()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    return cur
