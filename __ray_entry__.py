@@ -658,6 +658,26 @@ def q_scc(sf_dir: str):
     return out.to_pandas()
 
 
+def q_bowtie(sf_dir: str):
+    """Broder bow-tie decomposition (CORE/IN/OUT/TENDRIL/DISC relative
+    to the largest SCC) over the thinned doc graph ((src+dst)%3 == 1 —
+    the full derived graph is one giant SCC, which would make every
+    class but CORE empty). SCC + two seeded reachability fixpoints +
+    weak-CC join, all state resident on the engine actors."""
+    import pyarrow as pa
+
+    from linkgraph.algos import bowtie
+
+    def thin(t):
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return t.filter(pa.array((s + d) % 3 == 1))
+
+    edges = _doc_edges_ds(sf_dir).map_batches(thin, batch_format="pyarrow")
+    out, _ = bowtie(edges, num_parts=NUM_PARTS)
+    return out.to_pandas()
+
+
 def q_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (tf * ln(N/df), ties by term)."""
     from linkgraph.ops import tfidf_top_terms
@@ -801,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_3": q_ktruss,
         "motif_census": q_motif_census,
         "scc_labels": q_scc,
+        "bowtie": q_bowtie,
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
@@ -1875,6 +1896,39 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             " SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src)\n"
             "SELECT r1.a AS v, max(r1.b) AS scc FROM reach r1 "
             "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a"
+        ),
+        # Bow-tie decomposition over the thinned doc graph: SCC by the
+        # mutual-closure trick (as scc_labels), core = largest SCC
+        # (tie: max label), IN/OUT from the directed closure, TENDRIL
+        # from an undirected closure seeded at the core.
+        "bowtie": (
+            f"WITH RECURSIVE {e},\n"
+            "eb AS (SELECT src, dst FROM e WHERE (src + dst) % 3 = 1),\n"
+            "bverts AS (SELECT DISTINCT v FROM "
+            "(SELECT src AS v FROM eb UNION ALL SELECT dst AS v FROM eb)),\n"
+            "reach(a, b) AS ("
+            " SELECT v, v FROM bverts"
+            " UNION"
+            " SELECT reach.a, eb.dst FROM reach JOIN eb ON reach.b = eb.src),\n"
+            "sccs AS (SELECT r1.a AS v, max(r1.b) AS s FROM reach r1 "
+            "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a),\n"
+            "core AS (SELECT s FROM (SELECT s, count(*) AS n FROM sccs GROUP BY s) "
+            "ORDER BY n DESC, s DESC LIMIT 1),\n"
+            "corem AS (SELECT v FROM sccs WHERE s = (SELECT s FROM core)),\n"
+            "inr AS (SELECT DISTINCT r.a AS v FROM reach r "
+            "WHERE r.b IN (SELECT v FROM corem)),\n"
+            "outr AS (SELECT DISTINCT r.b AS v FROM reach r "
+            "WHERE r.a IN (SELECT v FROM corem)),\n"
+            "uex AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM eb "
+            "UNION ALL SELECT dst AS a, src AS b FROM eb)),\n"
+            "wreach(v) AS (SELECT v FROM corem UNION "
+            "SELECT uex.b FROM wreach JOIN uex ON wreach.v = uex.a)\n"
+            "SELECT sccs.v AS v, CASE "
+            "WHEN sccs.s = (SELECT s FROM core) THEN 'CORE' "
+            "WHEN sccs.v IN (SELECT v FROM inr) THEN 'IN' "
+            "WHEN sccs.v IN (SELECT v FROM outr) THEN 'OUT' "
+            "WHEN sccs.v IN (SELECT v FROM wreach) THEN 'TENDRIL' "
+            "ELSE 'DISC' END AS cls FROM sccs"
         ),
         "tfidf_top3": (
             "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, "

@@ -15,6 +15,7 @@ from .gcn import gcn_features
 from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .hits import hits_dataset
+from .bowtie import bowtie
 from .scc import strongly_connected_components
 from .hyperanf import hyperanf
 from .betweenness import BrandesProgram, betweenness, top_degree_sources
@@ -40,6 +41,7 @@ __all__ = [
     "assemble_walks",
     "sssp_weighted",
     "hits_dataset",
+    "bowtie",
     "strongly_connected_components",
     "BrandesProgram",
     "betweenness",

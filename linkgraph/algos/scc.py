@@ -154,11 +154,16 @@ def strongly_connected_components(
     max_iters: int = 200,
     max_rounds: int = 64,
     min_edges_per_part: int = 100_000,
+    keep_engines: bool = False,
 ):
     """edges Dataset (src, dst; directed) -> (Dataset(v, scc), summary).
 
     scc = max member id of the vertex's strongly connected component.
-    Caller owns neither engine; both are shut down before returning.
+    Caller owns neither engine; both are shut down before returning —
+    unless ``keep_engines=True``, in which case the return is
+    ``(out, summary, eng_f, eng_b)`` with the final scc state resident
+    on ``eng_b``'s actors (the bow-tie decomposition seeds its
+    reachability sweeps from those refs without a reload).
 
     Partition sizing: SCC is LATENCY-bound — it runs ~2 full fixpoints
     per peel round with tiny frontiers after the first sweep, so the
@@ -208,6 +213,8 @@ def strongly_connected_components(
         "bwd_iterations": bwd_iters,
         "remaining": remaining,
     }
+    if keep_engines:
+        return out, summary, eng_f, eng_b
     eng_f.shutdown()
     eng_b.shutdown()
     return out, summary
