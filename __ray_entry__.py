@@ -678,6 +678,17 @@ def q_bowtie(sf_dir: str):
     return out.to_pandas()
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: per-doc share of distinct token
+    3-grams that occur in the benchmark set (doc_id % 97 == 0). One
+    gram-bucketed tagged-union shuffle; exact string matching via
+    Arrow dictionary codes inside each bucket."""
+    from linkgraph.ops import ngram_contamination
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_contamination(docs, n=3, bench_mod=97).to_pandas()
+
+
 def q_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (tf * ln(N/df), ties by term)."""
     from linkgraph.ops import tfidf_top_terms
@@ -822,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motif_census": q_motif_census,
         "scc_labels": q_scc,
         "bowtie": q_bowtie,
+        "contamination": q_contamination,
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
@@ -1929,6 +1941,25 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "WHEN sccs.v IN (SELECT v FROM outr) THEN 'OUT' "
             "WHEN sccs.v IN (SELECT v FROM wreach) THEN 'TENDRIL' "
             "ELSE 'DISC' END AS cls FROM sccs"
+        ),
+        # token 3-grams via list slicing over the shared [A-Za-z0-9]+
+        # tokenization; contam = IEEE double division on both sides
+        "contamination": (
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts "
+            "FROM documents), "
+            "g0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i "
+            "FROM tok WHERE len(ts) >= 3)), "
+            "g AS (SELECT DISTINCT doc_id, gram FROM g0), "
+            "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN gram IN (SELECT gram FROM b) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_matched FROM g GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, "
+            "coalesce(a.n_matched, 0) AS n_matched, "
+            "CASE WHEN coalesce(a.n_grams, 0) > 0 "
+            "THEN CAST(a.n_matched AS DOUBLE) / a.n_grams ELSE 0.0 END AS contam "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "tfidf_top3": (
             "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, "

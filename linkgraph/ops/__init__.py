@@ -6,6 +6,7 @@ from .text import (
     QualityScore,
     top_k_tokens,
     tfidf_top_terms,
+    ngram_contamination,
 )
 from .hll import HyperLogLog, approx_distinct_tokens
 from .graphstats import (
@@ -45,6 +46,7 @@ __all__ = [
     "simhash_dedup_pairs",
     "embedding_dup_pairs",
     "dup_span_pairs",
+    "ngram_contamination",
     "knn_cosine",
     "knn_cosine_ivf",
     "knn_cosine_lsh",

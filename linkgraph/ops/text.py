@@ -326,6 +326,137 @@ def tfidf_top_terms(docs, n_docs: int, k: int = 3, num_buckets: int = 32):
     )
 
 
+class GramRows:
+    """(doc_id, text) -> distinct per-doc token n-gram rows, pre-hashed
+    into B shuffle buckets. Benchmark docs (doc_id % bench_mod == 0)
+    additionally emit kind=0 rows — the contamination reference set
+    travels in the SAME single shuffle as the doc grams (tagged union,
+    the _attach_sig pattern of ops/dedup.py)."""
+
+    def __init__(self, n: int, bench_mod: int, num_buckets: int):
+        self.tok = re.compile(TOKEN_RE)
+        self.n = n
+        self.mod = bench_mod
+        self.B = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        doc_ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_gram, out_kind = [], [], []
+        for d, t in zip(doc_ids, texts):
+            ts = self.tok.findall(t)
+            if len(ts) < n:
+                continue
+            grams = {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+            g = list(grams)
+            out_doc.extend([int(d)] * len(g))
+            out_gram.extend(g)
+            out_kind.extend([1] * len(g))
+            if int(d) % self.mod == 0:
+                out_doc.extend([-1] * len(g))
+                out_gram.extend(g)
+                out_kind.extend([0] * len(g))
+        part = (
+            pd.util.hash_array(np.asarray(out_gram, object)) % self.B
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "doc_id": pa.array(np.asarray(out_doc, np.int64)),
+                "gram": pa.array(out_gram, pa.string()),
+                "kind": pa.array(np.asarray(out_kind, np.int8)),
+            }
+        )
+
+
+def ngram_contamination(
+    docs,
+    n: int = 3,
+    bench_mod: int = 97,
+    num_buckets: int = 64,
+):
+    """Benchmark-decontamination scan: for every document, the share of
+    its distinct token n-grams that also occur in the benchmark set
+    (docs with doc_id % bench_mod == 0 — a deterministic stand-in for
+    a held-out eval suite). Output (doc_id, n_grams, n_matched,
+    contam); docs with < n tokens report (0, 0, 0.0).
+
+    Scale shape: ONE gram-hash-bucketed shuffle carries doc grams and
+    the tagged benchmark set together; inside a bucket, exact string
+    matching is Arrow dictionary codes (no hash-collision assumption),
+    and per-doc partials leave the bucket combiner-reduced, so the
+    final groupby sums ~#docs x buckets-touched tiny rows. Production
+    corpora would pre-hash grams to 64-bit at the emit stage; strings
+    are kept here for bit-exact DuckDB replay.
+
+    (Reference analogue: SURVEY.md §2.7 set-ops family — membership of
+    a derived key set against a reference set, the same inverted
+    bucket pattern as shingle_jaccard_pairs above.)"""
+    from ray.data.aggregate import Sum
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        GramRows(n, bench_mod, num_buckets), batch_format="pyarrow", batch_size=8192
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tc = t.combine_chunks()
+        codes = pc.dictionary_encode(tc.column("gram").combine_chunks()).indices.to_numpy()
+        kind = tc.column("kind").to_numpy()
+        doc = tc.column("doc_id").to_numpy()
+        bench = np.unique(codes[kind == 0])
+        dmask = kind == 1
+        dcodes, ddoc = codes[dmask], doc[dmask]
+        if len(bench):
+            pos = np.searchsorted(bench, dcodes)
+            pos[pos >= len(bench)] = len(bench) - 1
+            matched = bench[pos] == dcodes
+        else:
+            matched = np.zeros(len(dcodes), bool)
+        uids, inv = np.unique(ddoc, return_inverse=True)
+        ng = np.bincount(inv, minlength=len(uids)).astype(np.int64)
+        nm = np.bincount(inv, weights=matched, minlength=len(uids)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids),
+                "n_grams": pa.array(ng),
+                "n_matched": pa.array(nm),
+            }
+        )
+
+    partials = rows.groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+    def base(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_grams": pa.array(z), "n_matched": pa.array(z)}
+        )
+
+    allrows = partials.union(
+        docs.select_columns(["doc_id"]).map_batches(base, batch_format="pyarrow")
+    )
+    agg = allrows.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="ng"), Sum("n_matched", alias_name="nm")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t.column("ng").to_numpy()
+        nm = t.column("nm").to_numpy()
+        contam = np.where(ng > 0, nm / np.maximum(ng, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(ng),
+                "n_matched": pa.array(nm),
+                "contam": pa.array(contam),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def top_k_tokens(docs, k: int = 100):
     """EXACT top-k most frequent tokens over the corpus: per-batch
     combiner -> groupby(token).sum -> global sort by (cnt desc, token

@@ -467,3 +467,57 @@ def test_decode_features_explicit_decoder(ray_session):
     assert len(out) == 12
     assert set(out.columns) == {"media_id", "kind", "features"}
     assert all(len(f) == mm.FakeDecoder.DIM for f in out["features"])
+
+
+def test_ngram_contamination_vs_python_oracle(docs_ds, docs_pdf):
+    from linkgraph.ops import ngram_contamination
+
+    got = (
+        ngram_contamination(docs_ds, n=3, bench_mod=97)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tok = re.compile(r"[A-Za-z0-9]+")
+
+    def grams(t, n=3):
+        ts = tok.findall(t)
+        return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)} if len(ts) >= n else set()
+
+    g = {r.doc_id: grams(r.text) for r in docs_pdf.itertuples()}
+    bench = set().union(*(g[d] for d in g if d % 97 == 0))
+    assert len(got) == len(docs_pdf)
+    for r in got.itertuples():
+        want_n = len(g[r.doc_id])
+        want_m = len(g[r.doc_id] & bench)
+        assert (r.n_grams, r.n_matched) == (want_n, want_m), r.doc_id
+        assert r.contam == (want_m / want_n if want_n else 0.0)
+    # benchmark docs are fully self-contaminated; signal is non-trivial
+    assert all(got[got.doc_id % 97 == 0]["contam"] == 1.0)
+    assert (got[got.doc_id % 97 != 0]["n_matched"] > 0).any()
+
+
+def test_ngram_contamination_short_docs(ray_session):
+    from linkgraph.ops import ngram_contamination
+
+    import pyarrow as pa
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["one two", "", "alpha beta gamma alpha beta gamma"]),
+            }
+        )
+    )
+    got = (
+        ngram_contamination(docs, n=3, bench_mod=97)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 0 (benchmark, <3 tokens) and doc 1 (empty) report zero grams;
+    # doc 2 has 4 positions but 3 DISTINCT grams, none in the bench set
+    assert got["n_grams"].tolist() == [0, 0, 3]
+    assert got["n_matched"].tolist() == [0, 0, 0]
+    assert got["contam"].tolist() == [0.0, 0.0, 0.0]
