@@ -678,6 +678,29 @@ def q_bowtie(sf_dir: str):
     return out.to_pandas()
 
 
+def q_redirects(sf_dir: str):
+    """Redirect-chain resolution by pointer doubling: docs with
+    doc_id % 5 < 2 redirect to (doc_id*13 + 5) % N; resolve every doc
+    to its chain terminal in 5 self-joins (g^32), -1 on cycles /
+    over-long chains."""
+    import numpy as np
+    import pyarrow as pa
+
+    from linkgraph.ops.redirects import resolve_pointers
+
+    n = _n_docs(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def ptr(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        p = np.where(d % 5 < 2, (d * 13 + 5) % n, d)
+        return pa.table({"v": pa.array(d), "p": pa.array(p.astype(np.int64))})
+
+    return resolve_pointers(
+        docs.map_batches(ptr, batch_format="pyarrow"), max_hops=32
+    ).to_pandas()
+
+
 def q_contamination(sf_dir: str):
     """Benchmark decontamination: per-doc share of distinct token
     3-grams that occur in the benchmark set (doc_id % 97 == 0). One
@@ -834,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_labels": q_scc,
         "bowtie": q_bowtie,
         "contamination": q_contamination,
+        "redirects": q_redirects,
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
@@ -1941,6 +1965,22 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "WHEN sccs.v IN (SELECT v FROM outr) THEN 'OUT' "
             "WHEN sccs.v IN (SELECT v FROM wreach) THEN 'TENDRIL' "
             "ELSE 'DISC' END AS cls FROM sccs"
+        ),
+        # exactly 32 sequential applications of the absorbing pointer
+        # function == the Ray side's 5 doubling joins (2^5 = 32); the
+        # final join tests terminality (g(p) == p)
+        "redirects": (
+            "WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents), "
+            "f AS (SELECT doc_id AS v, CASE WHEN doc_id % 5 < 2 "
+            "THEN (doc_id * 13 + 5) % (SELECT n FROM nd) ELSE doc_id END AS p "
+            "FROM documents), "
+            "r(v, cur, step) AS ("
+            " SELECT v, p, 1 FROM f"
+            " UNION ALL"
+            " SELECT r.v, f2.p, r.step + 1 FROM r JOIN f f2 ON f2.v = r.cur "
+            "WHERE r.step < 32) "
+            "SELECT l.v, CASE WHEN f3.p = l.cur THEN l.cur ELSE -1 END AS final "
+            "FROM (SELECT v, cur FROM r WHERE step = 32) l JOIN f f3 ON f3.v = l.cur"
         ),
         # token 3-grams via list slicing over the shared [A-Za-z0-9]+
         # tokenization; contam = IEEE double division on both sides

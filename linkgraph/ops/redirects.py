@@ -1,0 +1,105 @@
+"""Redirect-chain resolution by pointer doubling (path compression):
+given a functional pointer table (v, p) where terminals satisfy
+p == v (a page that is not a redirect points at itself), resolve every
+vertex to the terminal at the end of its chain in O(log max_hops)
+bucketed hash joins — never a sequential driver-side walk.
+
+After k doubling rounds each row holds p = g^(2^k)(v); because g is
+absorbing at terminals, a chain of length <= 2^k has stabilized. One
+final join against the base table tests terminality (g(p) == p);
+unresolved rows (cycles, or chains longer than max_hops) report -1.
+
+This is the classic web-crawl canonicalization step (redirect maps,
+URL aliases, DNS CNAME chains); the same operator compresses
+union-find style parent pointers. Each round is one hash-partitioned
+equi-join of the current table with itself — at 100 TB that is
+log2(max_hops) shuffles of an (int64, int64) table, no skew (keys are
+unique per side).
+
+(Reference analogue: SURVEY.md §2.4 map/cache structures — the
+reference resolves indirection through its AVL vertex map per lookup;
+here the whole map is compressed in bulk, Ray-Data-first.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _rename(ds: Dataset, mapping: dict) -> Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.schema.names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def resolve_pointers(
+    pointers: Dataset,
+    max_hops: int = 32,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """pointers (v:int64, p:int64; p==v marks a terminal) ->
+    (v, final:int64) with final = chain end, or -1 if still unresolved
+    after ``max_hops`` (cycle or over-long chain)."""
+    import ray
+
+    P = num_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8)) // 4
+    )
+    base = pointers.select_columns(["v", "p"]).materialize()
+
+    rounds = max(1, int(np.ceil(np.log2(max(2, max_hops)))))
+    cur = base
+    for _ in range(rounds):
+        # p_{2k}(v) = p_k(p_k(v)): join own pointer column with own key
+        nxt = cur.join(
+            _rename(cur, {"v": "v2", "p": "p2"}),
+            join_type="inner",
+            num_partitions=P,
+            on=("p",),
+            right_on=("v2",),
+        ).select_columns(["v", "p2"])
+        cur = _rename(nxt, {"p2": "p"}).materialize()
+
+    # terminality test: g(p) == p
+    fin = cur.join(
+        _rename(base, {"v": "v3", "p": "p3"}),
+        join_type="inner",
+        num_partitions=P,
+        on=("p",),
+        right_on=("v3",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy()
+        p3 = t.column("p3").to_numpy()
+        return pa.table(
+            {
+                "v": t.column("v"),
+                "final": pa.array(np.where(p3 == p, p, -1).astype(np.int64)),
+            }
+        )
+
+    return fin.map_batches(finish, batch_format="pyarrow")
+
+
+def resolve_pointers_np(v: np.ndarray, p: np.ndarray, max_hops: int = 32) -> np.ndarray:
+    """Sequential oracle: follow g up to 2^ceil(log2(max_hops)) >=
+    max_hops steps (matching the doubling round count), then -1 where
+    not terminal."""
+    order = np.argsort(v)
+    v_s, p_s = v[order], p[order]
+    cur = p_s.copy()  # cur = g^1(v)
+    rounds = max(1, int(np.ceil(np.log2(max(2, max_hops)))))
+    g = p_s
+    for _ in range(2 ** rounds - 1):
+        cur = g[np.searchsorted(v_s, cur)]
+    # one more application tests terminality
+    nxt = g[np.searchsorted(v_s, cur)]
+    out = np.where(nxt == cur, cur, -1)
+    res = np.empty_like(out)
+    res[order] = out
+    return res
