@@ -835,18 +835,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The driver evaluates the FIRST 50 entries only. Round-4 rotation
     # (VERDICT r3 item #1): the 10 entries that had never had a driver
     # CORRECTNESS row (edge_jaccard .. hyperanf_nf) move into the
-    # checked window; 10 long-stable trivial/duplicate greens (green in
-    # r1-r3: in_degree, degree_hist, pagerank_ds_5, cc_ds,
-    # tri_per_vertex, token_counts, char_classes, hopping_1h_15m,
-    # q1_lineitem, media_features) rotate to the tail — each family
-    # keeps one representative in the window (out_degree, pagerank_5,
-    # cc_labels, triangle_count, quality_score, tumbling_1h).
+    # checked window; long-stable trivial/duplicate greens (green in
+    # r1-r3: doc_edges, out_degree, labelprop_3, in_degree,
+    # degree_hist, pagerank_ds_5, cc_ds, tri_per_vertex, token_counts,
+    # char_classes, hopping_1h_15m, q1_lineitem, media_features)
+    # rotate to the tail — each family keeps one representative in the
+    # window (pagerank_5, cc_labels, lp_quotient/lp_modularity,
+    # triangle_count, quality_score, tumbling_1h). The three new
+    # round-4 session queries (bowtie, contamination, redirects) sit
+    # inside the window for first-run driver rows.
     return {
-        "doc_edges": q_doc_edges,
-        "out_degree": q_out_degree,
         "pagerank_5": q_pagerank,
         "cc_labels": q_cc,
-        "labelprop_3": q_labelprop,
         "triangle_count": q_triangles,
         "community_kclique": q_community,
         "radius_join_2d": q_radius_join,
@@ -909,6 +909,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_1h_15m": q_hopping,
         "q1_lineitem": q_q1,
         "media_features": q_media_features,
+        "doc_edges": q_doc_edges,
+        "out_degree": q_out_degree,
+        "labelprop_3": q_labelprop,
     }
 
 
