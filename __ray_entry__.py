@@ -701,6 +701,16 @@ def q_redirects(sf_dir: str):
     ).to_pandas()
 
 
+def q_mis(sf_dir: str):
+    """Maximal independent set (deterministic Luby: splitmix64
+    priorities, alternating advertise/retire supersteps) over the
+    symmetrized doc graph."""
+    from linkgraph.algos import maximal_independent_set
+
+    out, _ = maximal_independent_set(_doc_edges_ds(sf_dir), num_parts=NUM_PARTS)
+    return out.to_pandas()
+
+
 def q_contamination(sf_dir: str):
     """Benchmark decontamination: per-doc share of distinct token
     3-grams that occur in the benchmark set (doc_id % 97 == 0). One
@@ -858,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": q_bowtie,
         "contamination": q_contamination,
         "redirects": q_redirects,
+        "mis_luby": q_mis,
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
@@ -867,7 +878,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "dup_spans": q_dup_spans,
         "approx_distinct_tokens": q_approx_distinct,
-        "near_dup_shingle": q_near_dup_shingle,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
@@ -912,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_edges": q_doc_edges,
         "out_degree": q_out_degree,
         "labelprop_3": q_labelprop,
+        "near_dup_shingle": q_near_dup_shingle,
     }
 
 
@@ -967,6 +978,45 @@ def _kcore_sql() -> str:
         " AS BIGINT) AS in_lo, "
         f"CAST(CASE WHEN verts.v IN (SELECT v FROM core{hi}) THEN 1 ELSE 0 END"
         " AS BIGINT) AS in_hi FROM verts"
+    )
+
+
+def _mis_sql(rounds: int = 8) -> str:
+    """Unrolled deterministic-Luby MIS: per round, an active vertex
+    joins iff splitmix64(v) (bit-exact SQL replay) is below the min
+    over active undirected neighbors (no active neighbor => joins);
+    neighbors of joiners retire. ``rounds`` exceeds the fixpoint at
+    driver scale (4 rounds at 500 docs, 6 at 5000); extra rounds see
+    an empty active set and add nothing."""
+    ctes = [_edges_cte(), _VERTS, _UE]
+    sm, last = _sql_splitmix_ctes("missm", "verts", {"prio": "v"})
+    ctes += sm
+    ctes.append(f"prio AS MATERIALIZED (SELECT v, prio FROM {last})")
+    prev_a = "verts"
+    mis_terms = []
+    for r in range(rounds):
+        ctes.append(
+            f"mn{r} AS MATERIALIZED (SELECT ue.a AS v, min(p.prio) AS mp FROM ue "
+            f"JOIN {prev_a} x ON ue.a = x.v JOIN {prev_a} y ON ue.b = y.v "
+            f"JOIN prio p ON p.v = ue.b GROUP BY ue.a)"
+        )
+        ctes.append(
+            f"j{r} AS MATERIALIZED (SELECT x.v FROM {prev_a} x "
+            f"JOIN prio p ON p.v = x.v LEFT JOIN mn{r} m ON m.v = x.v "
+            f"WHERE m.v IS NULL OR p.prio < m.mp)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT x.v FROM {prev_a} x "
+            f"WHERE x.v NOT IN (SELECT v FROM j{r}) "
+            f"AND x.v NOT IN (SELECT ue.b FROM ue JOIN j{r} jj ON ue.a = jj.v))"
+        )
+        mis_terms.append(f"SELECT v FROM j{r}")
+        prev_a = f"a{r}"
+    union = " UNION ALL ".join(mis_terms)
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT verts.v AS v, "
+        f"CAST(CASE WHEN verts.v IN ({union}) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS in_mis FROM verts"
     )
 
 
@@ -1629,6 +1679,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "pagerank_5": _pagerank_sql(),
         "pagerank_ds_5": _pagerank_sql(),
         "kcore_peel": _kcore_sql(),
+        "mis_luby": _mis_sql(),
         "motif_census": _motif_sql(),
         "gcn_2layer": _gcn_sql(),
         "fingerprint": _fingerprint_sql(),
