@@ -711,6 +711,15 @@ def q_mis(sf_dir: str):
     return out.to_pandas()
 
 
+def q_coloring(sf_dir: str):
+    """Greedy distance-1 coloring (Jones-Plassmann round-number
+    variant, splitmix64 priorities) over the symmetrized doc graph."""
+    from linkgraph.algos import greedy_coloring
+
+    out, _ = greedy_coloring(_doc_edges_ds(sf_dir), num_parts=NUM_PARTS)
+    return out.to_pandas()
+
+
 def q_contamination(sf_dir: str):
     """Benchmark decontamination: per-doc share of distinct token
     3-grams that occur in the benchmark set (doc_id % 97 == 0). One
@@ -869,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "redirects": q_redirects,
         "mis_luby": q_mis,
+        "coloring_jp": q_coloring,
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
@@ -890,7 +900,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "random_walks_4": q_random_walks,
         "tumbling_1h": q_tumbling,
-        "sessionize": q_sessionize,
         "sssp_weighted": q_sssp,
         "hits_5": q_hits,
         "ppr_5": q_ppr,
@@ -923,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_degree": q_out_degree,
         "labelprop_3": q_labelprop,
         "near_dup_shingle": q_near_dup_shingle,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1017,6 +1027,41 @@ def _mis_sql(rounds: int = 8) -> str:
         "WITH " + ",\n".join(ctes) + "\nSELECT verts.v AS v, "
         f"CAST(CASE WHEN verts.v IN ({union}) THEN 1 ELSE 0 END AS BIGINT) "
         "AS in_mis FROM verts"
+    )
+
+
+def _coloring_sql(rounds: int = 40) -> str:
+    """Unrolled Jones-Plassmann round coloring: each round, uncolored
+    vertices below their uncolored-neighborhood priority minimum take
+    the round number. 40 rounds covers the fixpoint at driver scale
+    (28 at 500 docs); later rounds see an empty uncolored set."""
+    ctes = [_edges_cte(), _VERTS, _UE]
+    sm, last = _sql_splitmix_ctes("colsm", "verts", {"prio": "v"})
+    ctes += sm
+    ctes.append(f"cprio AS MATERIALIZED (SELECT v, prio FROM {last})")
+    prev_u = "verts"
+    color_terms = []
+    for r in range(rounds):
+        ctes.append(
+            f"cmn{r} AS MATERIALIZED (SELECT ue.a AS v, min(p.prio) AS mp FROM ue "
+            f"JOIN {prev_u} x ON ue.a = x.v JOIN {prev_u} y ON ue.b = y.v "
+            f"JOIN cprio p ON p.v = ue.b GROUP BY ue.a)"
+        )
+        ctes.append(
+            f"cw{r} AS MATERIALIZED (SELECT x.v FROM {prev_u} x "
+            f"JOIN cprio p ON p.v = x.v LEFT JOIN cmn{r} m ON m.v = x.v "
+            f"WHERE m.v IS NULL OR p.prio < m.mp)"
+        )
+        ctes.append(
+            f"cu{r} AS MATERIALIZED (SELECT x.v FROM {prev_u} x "
+            f"WHERE x.v NOT IN (SELECT v FROM cw{r}))"
+        )
+        color_terms.append(f"SELECT v, {r} AS color FROM cw{r}")
+        prev_u = f"cu{r}"
+    union = " UNION ALL ".join(color_terms)
+    return (
+        "WITH " + ",\n".join(ctes) + f",\ncol AS ({union})\n"
+        "SELECT col.v AS v, CAST(col.color AS BIGINT) AS color FROM col"
     )
 
 
@@ -1680,6 +1725,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "pagerank_ds_5": _pagerank_sql(),
         "kcore_peel": _kcore_sql(),
         "mis_luby": _mis_sql(),
+        "coloring_jp": _coloring_sql(),
         "motif_census": _motif_sql(),
         "gcn_2layer": _gcn_sql(),
         "fingerprint": _fingerprint_sql(),

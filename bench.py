@@ -244,6 +244,89 @@ def run_bench() -> dict:
         extra["infection_sim_n_infected"] = int(df_sim["infected"].sum())
     except Exception as ex:
         extra.setdefault("errors", []).append(f"infection_sim: {ex}")
+
+    # 7c. round-4-session ops, timed as EXTRAS — reported in
+    # extra_queries, NOT summed into the headline value (which stays
+    # stage-comparable across the round): benchmark decontamination,
+    # Luby MIS on the page graph, pointer-doubling redirect resolution
+    # at 1M rows, bow-tie decomposition of the page graph.
+    eq: dict = {}
+    ste = _StageTimer(eq, extra)
+    try:
+        import numpy as np
+        import pyarrow as pa
+
+        from linkgraph.ops.text import ngram_contamination
+
+        n_docs_sf = docs.count()
+        ste.run("contamination", lambda: ngram_contamination(docs, n=3).count())
+        extra["contamination_docs_per_sec"] = round(n_docs_sf / eq["contamination"], 1)
+
+        from linkgraph.algos import maximal_independent_set
+
+        out_mis, s_mis = ste.run(
+            "mis_luby", lambda: maximal_independent_set(edges, num_parts=NUM_PARTS)
+        )
+        extra["mis_rounds"] = s_mis["rounds"]
+        extra["mis_size"] = int(out_mis.sum("in_mis"))
+
+        from linkgraph.ops.redirects import resolve_pointers
+
+        def _redirect_1m():
+            import pyarrow as pa
+
+            n = 1_000_000
+
+            def ptr(b):
+                v = b["id"].to_numpy() if hasattr(b["id"], "to_numpy") else b["id"]
+                v = np.asarray(v, np.int64)
+                p = np.where(v % 5 < 2, (v * 13 + 5) % n, v)
+                return pa.table({"v": pa.array(v), "p": pa.array(p.astype(np.int64))})
+
+            ptrs = ray.data.range(n).map_batches(ptr, batch_format="pyarrow")
+            return resolve_pointers(ptrs, max_hops=32, num_partitions=NUM_PARTS).count()
+
+        ste.run("redirects_1m", _redirect_1m)
+        extra["redirects_rows_per_sec"] = round(1_000_000 / eq["redirects_1m"], 1)
+
+        from linkgraph.algos import bowtie as _bowtie
+
+        out_bt, s_bt = ste.run(
+            "bowtie", lambda: _bowtie(edges, num_parts=NUM_PARTS)
+        )
+        extra["bowtie_core"] = int(
+            out_bt.map_batches(
+                lambda t: t.filter(pa.compute.equal(t.column("cls"), "CORE")),
+                batch_format="pyarrow",
+            ).count()
+        )
+
+        # streaming PageRank: cold converge on 2M RMAT edges, insert
+        # 1M more, warm restart — iterations-to-reconvergence is the
+        # north metric's incremental face (tests/test_streaming.py
+        # proves fixpoint equality; this measures the saving)
+        b0 = rmat_dataset(2_000_000, scale=21, seed=41).materialize()
+        b1 = rmat_dataset(1_000_000, scale=21, seed=42).materialize()
+
+        def _stream_pr():
+            eng = SuperstepEngine(num_parts=NUM_PARTS).provision()
+            eng.load_edges(b0, streaming=True)
+            s_cold = eng.run(PageRankProgram(tol=1e-8), max_iters=100)
+            eng.extend_edges(b1)
+            t1 = time.perf_counter()
+            s_warm = eng.run(PageRankProgram(tol=1e-8), max_iters=100, warm_start=True)
+            warm_sec = time.perf_counter() - t1
+            eng.shutdown()
+            return s_cold["iterations"], s_warm["iterations"], warm_sec
+
+        cold_it, warm_it, warm_sec = ste.run("streaming_pagerank", _stream_pr)
+        extra["streaming_pr_cold_iters"] = cold_it
+        extra["streaming_pr_warm_iters"] = warm_it
+        extra["streaming_pr_warm_reconverge_sec"] = round(warm_sec, 3)
+    except Exception as ex:
+        extra.setdefault("errors", []).append(f"r4-extras: {ex}")
+    extra["extra_queries"] = {k: round(v, 3) for k, v in eq.items()}
+
     total = time.perf_counter() - t_all
     # host CPU-steal share over the run (32-vCPU KVM guest on a shared
     # host): steal_jiffies / (wall * 100 jiffies/s * ncpu). >0.05 means

@@ -16,6 +16,7 @@ from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .hits import hits_dataset
 from .bowtie import bowtie
+from .coloring import greedy_coloring
 from .mis import maximal_independent_set
 from .scc import strongly_connected_components
 from .hyperanf import hyperanf
@@ -43,6 +44,7 @@ __all__ = [
     "sssp_weighted",
     "hits_dataset",
     "bowtie",
+    "greedy_coloring",
     "maximal_independent_set",
     "strongly_connected_components",
     "BrandesProgram",
