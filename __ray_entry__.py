@@ -720,6 +720,15 @@ def q_coloring(sf_dir: str):
     return out.to_pandas()
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style intra-doc repetition signals over token 2-grams
+    (dup ratio, top-gram coverage) — pure per-doc map, no shuffle."""
+    from linkgraph.ops.text import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(docs, n=2).to_pandas()
+
+
 def q_contamination(sf_dir: str):
     """Benchmark decontamination: per-doc share of distinct token
     3-grams that occur in the benchmark set (doc_id % 97 == 0). One
@@ -879,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirects": q_redirects,
         "mis_luby": q_mis,
         "coloring_jp": q_coloring,
+        "repetition": q_repetition,
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
@@ -908,7 +918,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": q_reciprocity,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
-        "edge_jaccard": q_edge_jaccard,
         "lp_quotient": q_lp_quotient,
         "lp_modularity": q_lp_modularity,
         "powerlaw_alpha": q_powerlaw,
@@ -933,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_3": q_labelprop,
         "near_dup_shingle": q_near_dup_shingle,
         "sessionize": q_sessionize,
+        "edge_jaccard": q_edge_jaccard,
     }
 
 
@@ -2081,6 +2091,30 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "WHERE r.step < 32) "
             "SELECT l.v, CASE WHEN f3.p = l.cur THEN l.cur ELSE -1 END AS final "
             "FROM (SELECT v, cur FROM r WHERE step = 32) l JOIN f f3 ON f3.v = l.cur"
+        ),
+        # intra-doc 2-gram repetition; the top-gram tie rule (count
+        # desc, gram asc) matches numpy's sorted-unique argmax exactly
+        "repetition": (
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts "
+            "FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram "
+            "FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i "
+            "FROM tok WHERE len(ts) >= 2)), "
+            "cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_positions, "
+            "CAST(count(*) AS BIGINT) AS n_distinct FROM cnt GROUP BY doc_id), "
+            "r AS (SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, gram ASC) AS rk FROM cnt), "
+            "top AS (SELECT doc_id, CAST(c AS BIGINT) AS topc FROM r WHERE rk = 1) "
+            "SELECT d.doc_id, coalesce(a.n_positions, 0) AS n_positions, "
+            "coalesce(a.n_distinct, 0) AS n_distinct, "
+            "CASE WHEN coalesce(a.n_positions, 0) > 0 "
+            "THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_positions ELSE 0.0 END "
+            "AS dup_ratio, "
+            "CASE WHEN coalesce(a.n_positions, 0) > 0 "
+            "THEN CAST(t.topc AS DOUBLE) / a.n_positions ELSE 0.0 END AS top_gram_frac "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) "
+            "LEFT JOIN top t USING (doc_id)"
         ),
         # token 3-grams via list slicing over the shared [A-Za-z0-9]+
         # tokenization; contam = IEEE double division on both sides

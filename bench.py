@@ -301,27 +301,34 @@ def run_bench() -> dict:
             ).count()
         )
 
-        # streaming PageRank: cold converge on 2M RMAT edges, insert
-        # 1M more, warm restart — iterations-to-reconvergence is the
-        # north metric's incremental face (tests/test_streaming.py
-        # proves fixpoint equality; this measures the saving)
-        b0 = rmat_dataset(2_000_000, scale=21, seed=41).materialize()
-        b1 = rmat_dataset(1_000_000, scale=21, seed=42).materialize()
+        # streaming PageRank: cold converge on 8M RMAT edges, insert a
+        # 100k delta, warm restart (fixpoint equality proven in
+        # tests/test_streaming.py). Finding recorded in BASELINE.md:
+        # the warm start shrinks the initial L1 error ~70x but the
+        # residual decays at the full damping rate, while the
+        # uniform-start error lies in fast-mixing directions on RMAT —
+        # so warm ITERATION counts are not lower; the streaming win is
+        # the O(delta) index rebuild. Both iter counts + initial
+        # deltas are reported so the tradeoff stays visible.
+        b0 = rmat_dataset(8_000_000, scale=21, seed=41).materialize()
+        b1 = rmat_dataset(100_000, scale=21, seed=42).materialize()
 
         def _stream_pr():
             eng = SuperstepEngine(num_parts=NUM_PARTS).provision()
             eng.load_edges(b0, streaming=True)
-            s_cold = eng.run(PageRankProgram(tol=1e-8), max_iters=100)
+            s_cold = eng.run(PageRankProgram(tol=1e-8), max_iters=200)
             eng.extend_edges(b1)
             t1 = time.perf_counter()
-            s_warm = eng.run(PageRankProgram(tol=1e-8), max_iters=100, warm_start=True)
+            s_warm = eng.run(PageRankProgram(tol=1e-8), max_iters=200, warm_start=True)
             warm_sec = time.perf_counter() - t1
             eng.shutdown()
-            return s_cold["iterations"], s_warm["iterations"], warm_sec
+            return s_cold, s_warm, warm_sec
 
-        cold_it, warm_it, warm_sec = ste.run("streaming_pagerank", _stream_pr)
-        extra["streaming_pr_cold_iters"] = cold_it
-        extra["streaming_pr_warm_iters"] = warm_it
+        s_cold, s_warm, warm_sec = ste.run("streaming_pagerank", _stream_pr)
+        extra["streaming_pr_cold_iters"] = s_cold["iterations"]
+        extra["streaming_pr_warm_iters"] = s_warm["iterations"]
+        extra["streaming_pr_delta0_cold"] = float(f"{s_cold['history'][0]['delta']:.3e}")
+        extra["streaming_pr_delta0_warm"] = float(f"{s_warm['history'][0]['delta']:.3e}")
         extra["streaming_pr_warm_reconverge_sec"] = round(warm_sec, 3)
     except Exception as ex:
         extra.setdefault("errors", []).append(f"r4-extras: {ex}")

@@ -457,6 +457,56 @@ def ngram_contamination(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+class RepetitionStats:
+    """(doc_id, text) -> Gopher-style intra-document repetition
+    signals over token n-grams: total positions, distinct grams,
+    dup_ratio = 1 - distinct/total, and the fraction of positions
+    covered by the single most frequent gram (ties: lexicographically
+    smallest, so the DuckDB replay is exact). Pure per-doc compute —
+    no shuffle at any scale."""
+
+    def __init__(self, n: int):
+        self.tok = re.compile(TOKEN_RE)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        texts = batch.column("text").to_pylist()
+        rows = len(texts)
+        total = np.zeros(rows, np.int64)
+        distinct = np.zeros(rows, np.int64)
+        topc = np.zeros(rows, np.int64)
+        for i, t in enumerate(texts):
+            ts = self.tok.findall(t)
+            if len(ts) < n:
+                continue
+            grams = [" ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)]
+            total[i] = len(grams)
+            u, c = np.unique(np.asarray(grams, object), return_counts=True)
+            distinct[i] = len(u)
+            # np.unique sorts ascending -> argmax takes the smallest
+            # gram among count ties, matching the SQL order-by rule
+            topc[i] = c[np.argmax(c)]
+        safe = np.maximum(total, 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_positions": pa.array(total),
+                "n_distinct": pa.array(distinct),
+                "dup_ratio": pa.array(np.where(total > 0, 1.0 - distinct / safe, 0.0)),
+                "top_gram_frac": pa.array(np.where(total > 0, topc / safe, 0.0)),
+            }
+        )
+
+
+def repetition_stats(docs, n: int = 2):
+    """Per-document repeated-n-gram quality signals (the Gopher
+    repetition filters): see RepetitionStats."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        RepetitionStats(n), batch_format="pyarrow", batch_size=8192
+    )
+
+
 def top_k_tokens(docs, k: int = 100):
     """EXACT top-k most frequent tokens over the corpus: per-batch
     combiner -> groupby(token).sum -> global sort by (cnt desc, token

@@ -521,3 +521,52 @@ def test_ngram_contamination_short_docs(ray_session):
     assert got["n_grams"].tolist() == [0, 0, 3]
     assert got["n_matched"].tolist() == [0, 0, 0]
     assert got["contam"].tolist() == [0.0, 0.0, 0.0]
+
+
+def test_repetition_stats_vs_python_oracle(docs_ds, docs_pdf):
+    from collections import Counter
+
+    from linkgraph.ops.text import repetition_stats
+
+    got = (
+        repetition_stats(docs_ds, n=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tok = re.compile(r"[A-Za-z0-9]+")
+    assert len(got) == len(docs_pdf)
+    for r, (_, doc) in zip(got.itertuples(), docs_pdf.sort_values("doc_id").iterrows()):
+        ts = tok.findall(doc["text"])
+        grams = [" ".join(ts[j : j + 2]) for j in range(len(ts) - 1)] if len(ts) >= 2 else []
+        c = Counter(grams)
+        assert r.n_positions == len(grams)
+        assert r.n_distinct == len(c)
+        if grams:
+            assert r.dup_ratio == 1.0 - len(c) / len(grams)
+            # tie rule: max count, smallest gram
+            mx = max(c.values())
+            top = min(g for g, v in c.items() if v == mx)
+            assert r.top_gram_frac == c[top] / len(grams)
+        else:
+            assert (r.dup_ratio, r.top_gram_frac) == (0.0, 0.0)
+
+
+def test_repetition_stats_degenerate(ray_session):
+    import pyarrow as pa
+
+    from linkgraph.ops.text import repetition_stats
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["word", "go go go go"]),
+            }
+        )
+    )
+    got = repetition_stats(docs, n=2).to_pandas().sort_values("doc_id")
+    # doc 0: <2 tokens; doc 1: 3 positions of the single gram "go go"
+    assert got["n_positions"].tolist() == [0, 3]
+    assert got["n_distinct"].tolist() == [0, 1]
+    assert got["top_gram_frac"].tolist() == [0.0, 1.0]
