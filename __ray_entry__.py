@@ -720,6 +720,16 @@ def q_coloring(sf_dir: str):
     return out.to_pandas()
 
 
+def q_dedup_clusters(sf_dir: str):
+    """The dedup pass end-to-end: exact shingle-Jaccard pairs -> CC
+    over the pair graph -> min-member keeper + cluster size for every
+    document (singletons keep themselves)."""
+    from linkgraph.ops import dedup_clusters
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_clusters(docs, k=3, threshold=JACCARD_T).to_pandas()
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style intra-doc repetition signals over token 2-grams
     (dup ratio, top-gram coverage) — pure per-doc map, no shuffle."""
@@ -876,7 +886,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_5": q_pagerank,
         "cc_labels": q_cc,
         "triangle_count": q_triangles,
-        "community_kclique": q_community,
         "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
         "kcore_peel": q_kcore,
@@ -889,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_luby": q_mis,
         "coloring_jp": q_coloring,
         "repetition": q_repetition,
+        "dedup_clusters": q_dedup_clusters,
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
@@ -943,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_shingle": q_near_dup_shingle,
         "sessionize": q_sessionize,
         "edge_jaccard": q_edge_jaccard,
+        "community_kclique": q_community,
     }
 
 
@@ -1587,6 +1598,21 @@ def oracle_sql() -> dict[str, str]:
     q["betweenness_4"] = _betweenness_sql()
     q["eff_diameter"] = _effdiam_sql()
     q["ktruss_3"] = _ktruss_sql()
+    # the dedup pass end-to-end: near-dup pairs (reused verbatim from
+    # near_dup_shingle) -> undirected closure -> min-member keeper ->
+    # cluster sizes; singletons keep themselves
+    q["dedup_clusters"] = (
+        "WITH RECURSIVE p0 AS (" + q["near_dup_shingle"] + "), "
+        "up AS (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0), "
+        "cl(s, t) AS (SELECT a, a FROM (SELECT DISTINCT a FROM up) "
+        "UNION SELECT cl.s, up.b FROM cl JOIN up ON cl.t = up.a), "
+        "lab AS (SELECT s AS doc_id, min(t) AS keeper FROM cl GROUP BY s), "
+        "kp AS (SELECT d.doc_id, coalesce(l.keeper, d.doc_id) AS keeper "
+        "FROM documents d LEFT JOIN lab l USING (doc_id)), "
+        "sz AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size "
+        "FROM kp GROUP BY keeper) "
+        "SELECT kp.doc_id, kp.keeper, sz.cluster_size FROM kp JOIN sz USING (keeper)"
+    )
     return q
 
 

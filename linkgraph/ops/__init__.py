@@ -28,6 +28,7 @@ from .dedup import (
     simhash_dedup_pairs,
     embedding_dup_pairs,
     dup_span_pairs,
+    dedup_clusters,
 )
 from .knn import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
 from .windows import tumbling_window, hopping_window, sessionize
@@ -46,6 +47,7 @@ __all__ = [
     "simhash_dedup_pairs",
     "embedding_dup_pairs",
     "dup_span_pairs",
+    "dedup_clusters",
     "ngram_contamination",
     "knn_cosine",
     "knn_cosine_ivf",

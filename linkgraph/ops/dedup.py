@@ -906,3 +906,72 @@ def dup_span_pairs(
     return partial.sort(["a", "b"]).map_batches(
         merge_counts, batch_format="pyarrow", batch_size=None
     )
+
+
+def dedup_clusters(
+    docs: Dataset,
+    k: int = 3,
+    threshold: float = 0.7,
+    num_parts: int = 4,
+) -> Dataset:
+    """The production dedup pass end-to-end: exact shingle-Jaccard
+    near-dup pairs -> connected components over the pair graph ->
+    canonical keeper (min doc_id of the cluster; CC's min-label IS the
+    keeper) -> (doc_id, keeper, cluster_size) for EVERY document
+    (singletons keep themselves, size 1). Filter keeper == doc_id to
+    materialize the surviving corpus.
+
+    Scale shape: the pair graph is tiny next to the corpus (it holds
+    only near-duplicates), so the engine runs on few partitions; the
+    corpus-wide steps are one combiner-backed groupby-min (attach
+    keeper) and one count groupby + hash join (sizes). No driver-side
+    graph, no outer join.
+
+    (Reference analogue: SURVEY.md §2.7 dedup family composed with the
+    §2.5 connected-components app — the keeper rule matches
+    exact_dedup's min-doc_id convention above.)"""
+    from ..algos.cc import connected_components
+
+    pairs = shingle_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), k=k, threshold=threshold
+    )
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("a"), "dst": t.column("b")})
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow")
+    cc_out, _, eng = connected_components(edges, num_parts=num_parts)
+    cc_out = cc_out.materialize()
+    eng.shutdown()
+
+    def clustered(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("v"), "keeper": t.column("label")})
+
+    def own(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"), "keeper": t.column("doc_id")})
+
+    both = cc_out.map_batches(clustered, batch_format="pyarrow").union(
+        docs.select_columns(["doc_id"]).map_batches(own, batch_format="pyarrow")
+    )
+    # clustered docs carry label <= doc_id, own-rows carry doc_id:
+    # min() == the CC label where one exists, doc_id otherwise
+    keepers = both.groupby("doc_id").aggregate(Min("keeper", alias_name="keeper"))
+
+    sizes = keepers.groupby("keeper").aggregate(Count(alias_name="cluster_size"))
+    out = keepers.join(
+        sizes, join_type="inner", num_partitions=max(2, num_parts),
+        on=("keeper",), right_on=("keeper",),
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "keeper": t.column("keeper"),
+                "cluster_size": pa.array(
+                    t.column("cluster_size").to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")

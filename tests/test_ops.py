@@ -570,3 +570,41 @@ def test_repetition_stats_degenerate(ray_session):
     assert got["n_positions"].tolist() == [0, 3]
     assert got["n_distinct"].tolist() == [0, 1]
     assert got["top_gram_frac"].tolist() == [0.0, 1.0]
+
+
+def test_dedup_clusters_vs_python_oracle(docs_ds, docs_pdf):
+    from linkgraph.ops import dedup_clusters
+
+    got = (
+        dedup_clusters(docs_ds, k=3, threshold=0.7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # python oracle: exact pairs -> union-find -> min keeper
+    pairs = list(_true_jaccard_pairs(docs_pdf, 3, 0.7))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    keeper = {d: find(d) if d in parent else d for d in docs_pdf["doc_id"]}
+    from collections import Counter
+
+    sizes = Counter(keeper.values())
+    assert len(got) == len(docs_pdf)
+    for r in got.itertuples():
+        assert r.keeper == keeper[r.doc_id], r.doc_id
+        assert r.cluster_size == sizes[keeper[r.doc_id]]
+    # the synthetic corpus actually contains non-trivial clusters
+    assert (got["cluster_size"] > 1).any()
+    # survivors == one per cluster
+    assert (got["keeper"] == got["doc_id"]).sum() == len(sizes)
