@@ -730,6 +730,16 @@ def q_dedup_clusters(sf_dir: str):
     return dedup_clusters(docs, k=3, threshold=JACCARD_T).to_pandas()
 
 
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles of events.value (p50/p90/p99) by
+    iterative histogram refinement — no global sort; nearest-rank
+    (lower) convention shared with the SQL window replay."""
+    from linkgraph.ops.quantiles import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    return exact_quantiles(ev, "value", qs=(0.5, 0.9, 0.99))
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style intra-doc repetition signals over token 2-grams
     (dup ratio, top-gram coverage) — pure per-doc map, no shuffle."""
@@ -898,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_luby": q_mis,
         "coloring_jp": q_coloring,
         "repetition": q_repetition,
+        "value_quantiles": q_quantiles,
         "dedup_clusters": q_dedup_clusters,
         "betweenness_4": q_betweenness,
         "harmonic_cent": q_harmonic,
@@ -925,7 +936,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_5": q_ppr,
         "weighted_pagerank_5": q_weighted_pagerank,
         "host_graph": q_host_graph,
-        "reciprocity": q_reciprocity,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
         "lp_quotient": q_lp_quotient,
@@ -954,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "edge_jaccard": q_edge_jaccard,
         "community_kclique": q_community,
+        "reciprocity": q_reciprocity,
     }
 
 
@@ -2117,6 +2128,15 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "WHERE r.step < 32) "
             "SELECT l.v, CASE WHEN f3.p = l.cur THEN l.cur ELSE -1 END AS final "
             "FROM (SELECT v, cur FROM r WHERE step = 32) l JOIN f f3 ON f3.v = l.cur"
+        ),
+        # nearest-rank-lower quantiles: rank = 1 + floor(q*(n-1)) on
+        # both sides; the VALUE at a rank is tie-order-independent
+        "value_quantiles": (
+            "WITH s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn "
+            "FROM events), n AS (SELECT count(*) AS c FROM events) "
+            "SELECT t.q, s.rn AS rank, s.value FROM (VALUES (0.5), (0.9), (0.99)) "
+            "t(q) JOIN s ON s.rn = 1 + CAST(floor(t.q * ((SELECT c FROM n) - 1)) "
+            "AS BIGINT)"
         ),
         # intra-doc 2-gram repetition; the top-gram tie rule (count
         # desc, gram asc) matches numpy's sorted-unique argmax exactly
