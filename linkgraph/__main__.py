@@ -9,6 +9,10 @@
     python -m linkgraph scc         --edges edges_dir --out scc_dir
     python -m linkgraph sssp        --edges edges_dir --source 0 --out d_dir
     python -m linkgraph hits        --edges edges_dir --iters 5 --out h_dir
+    python -m linkgraph mis         --edges edges_dir --out mis_dir
+    python -m linkgraph coloring    --edges edges_dir --out col_dir
+    python -m linkgraph bowtie      --edges edges_dir --out bt_dir
+    python -m linkgraph redirects   --pointers ptr_dir --out final_dir
     python -m linkgraph synth-pages --n 100000 --out pages_dir
 
 Owns its Ray session (guarded init), writes partitioned parquet +
@@ -72,6 +76,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k-sources", type=int, default=4)
     p.add_argument("--normalize", action="store_true")
 
+    p = sub.add_parser("mis")
+    common(p)
+
+    p = sub.add_parser("coloring")
+    common(p)
+
+    p = sub.add_parser("bowtie")
+    common(p)
+
+    p = sub.add_parser("redirects")
+    p.add_argument("--pointers", required=True, help="parquet dir of (v, p) rows")
+    p.add_argument("--out", default=None)
+    p.add_argument("--max-hops", type=int, default=32)
+    p.add_argument("--parts", type=int, default=None)
+    p.add_argument("--num-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -92,6 +112,23 @@ def main(argv: list[str] | None = None) -> int:
     from .sources import read_edges, read_pages, write_partitioned
 
     try:
+        if args.cmd == "redirects":
+            import ray.data
+
+            from .ops.redirects import resolve_pointers
+
+            ptrs = ray.data.read_parquet(args.pointers, columns=["v", "p"])
+            res = resolve_pointers(
+                ptrs, max_hops=args.max_hops, num_partitions=args.parts
+            )
+            if args.out:
+                out = write_partitioned(res, args.out, tag="redirects")
+            else:
+                out = None
+                res = res.materialize()
+            print(json.dumps({"out": out, "max_hops": args.max_hops}))
+            return 0
+
         if args.cmd == "synth-pages":
             from .synth import pages_dataset
 
@@ -192,6 +229,31 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps({"out": args.out, "iterations": summary["iterations"]})
             )
+        elif args.cmd == "mis":
+            from .algos import maximal_independent_set
+
+            res, summary = maximal_independent_set(
+                edges, num_parts=args.parts, max_iters=args.max_iters
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="mis")
+            print(json.dumps({"out": args.out, "rounds": summary["rounds"]}))
+        elif args.cmd == "coloring":
+            from .algos import greedy_coloring
+
+            res, summary = greedy_coloring(
+                edges, num_parts=args.parts, max_iters=max(args.max_iters, 400)
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="coloring")
+            print(json.dumps({"out": args.out, "colors": summary["colors"]}))
+        elif args.cmd == "bowtie":
+            from .algos import bowtie
+
+            res, summary = bowtie(edges, num_parts=args.parts, max_iters=args.max_iters)
+            if args.out:
+                write_partitioned(res, args.out, tag="bowtie")
+            print(json.dumps({"out": args.out, "core": summary["core"]}))
         elif args.cmd == "hits":
             from .algos import hits_dataset
 
