@@ -136,32 +136,51 @@ def exact_quantiles(
         if not progressed:  # massive tie pile-up: collect handles it
             break
 
-    out_q, out_rank, out_val = [], [], []
+    # ONE tagged collect pass serves every still-unresolved quantile
+    resolved: dict[float, float] = {}
+    pending = []
     for q in sorted(state):
         chain, lo, hi, r, pop = state[q]
         if hi <= lo:  # zero-width level: every remaining value == lo
-            out_q.append(q)
-            out_rank.append(int(np.floor(q * (n - 1))) + 1)
-            out_val.append(float(lo))
-            continue
+            resolved[q] = float(lo)
+        else:
+            pending.append((len(pending), q, tuple(chain)))
+    if pending:
+        gspecs = [(qi, chain) for qi, _, chain in pending]
 
-        def grab(t: pa.Table, chain=tuple(chain), col=col, glo=glo, ghi=ghi) -> pa.Table:
+        def grab(t: pa.Table, gspecs=gspecs, col=col, glo=glo, ghi=ghi) -> pa.Table:
             v = t.column(col).to_numpy()
-            return pa.table({col: pa.array(v[_chain_mask(v, glo, ghi, chain)])})
+            out_i, out_v = [], []
+            for qi, chain in gspecs:
+                sel = v[_chain_mask(v, glo, ghi, chain)]
+                out_i.append(np.full(len(sel), qi, np.int64))
+                out_v.append(sel)
+            return pa.table(
+                {
+                    "qi": pa.array(np.concatenate(out_i) if out_i else np.zeros(0, np.int64)),
+                    "val": pa.array(np.concatenate(out_v) if out_v else np.zeros(0)),
+                }
+            )
 
-        vals = np.concatenate(
-            [
-                b.column(col).to_numpy()
-                for b in base.map_batches(
-                    grab, batch_format="pyarrow", batch_size=1 << 20
-                ).iter_batches(batch_format="pyarrow", batch_size=None)
-            ]
-            or [np.zeros(0)]
-        )
-        assert len(vals) == pop and r < pop, (q, len(vals), pop, r)
+        parts_i, parts_v = [], []
+        for b in base.map_batches(
+            grab, batch_format="pyarrow", batch_size=1 << 20
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            parts_i.append(b.column("qi").to_numpy())
+            parts_v.append(b.column("val").to_numpy())
+        all_i = np.concatenate(parts_i) if parts_i else np.zeros(0, np.int64)
+        all_v = np.concatenate(parts_v) if parts_v else np.zeros(0)
+        for qi, q, _ in pending:
+            vals = all_v[all_i == qi]
+            r, pop = state[q][3], state[q][4]
+            assert len(vals) == pop and r < pop, (q, len(vals), pop, r)
+            resolved[q] = float(np.partition(vals, r)[r])
+
+    out_q, out_rank, out_val = [], [], []
+    for q in sorted(state):
         out_q.append(q)
         out_rank.append(int(np.floor(q * (n - 1))) + 1)  # 1-based, matches SQL rn
-        out_val.append(float(np.partition(vals, r)[r]))
+        out_val.append(resolved[q])
     return pa.table(
         {
             "q": pa.array(np.asarray(out_q, np.float64)),
