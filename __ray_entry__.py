@@ -658,6 +658,24 @@ def q_scc(sf_dir: str):
     return out.to_pandas()
 
 
+def q_dag_levels(sf_dir: str):
+    """DAG longest-path levels (dependency depth / critical path) over
+    the doc graph oriented src < dst — acyclic by construction. Max-plus
+    dual of BFS (reference update_distances, src/hoover.cpp:2024-2056).
+    Hard oracle: recursive CTE enumerating deduped (v, lvl) pairs, max
+    per vertex."""
+    import pyarrow.compute as pc
+
+    from linkgraph.algos import dag_levels
+
+    edges = _doc_edges_ds(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("src"), t.column("dst"))),
+        batch_format="pyarrow",
+    )
+    out, _ = dag_levels(edges, num_parts=NUM_PARTS)
+    return out.to_pandas()
+
+
 def q_bowtie(sf_dir: str):
     """Broder bow-tie decomposition (CORE/IN/OUT/TENDRIL/DISC relative
     to the largest SCC) over the thinned doc graph ((src+dst)%3 == 1 —
@@ -889,9 +907,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # char_classes, hopping_1h_15m, q1_lineitem, media_features)
     # rotate to the tail — each family keeps one representative in the
     # window (pagerank_5, cc_labels, lp_quotient/lp_modularity,
-    # triangle_count, quality_score, tumbling_1h). The three new
-    # round-4 session queries (bowtie, contamination, redirects) sit
-    # inside the window for first-run driver rows.
+    # triangle_count, quality_score, tumbling_1h). The new round-4
+    # queries (bowtie, contamination, redirects, dag_levels) sit inside
+    # the window for first-run driver rows; exact_dedup (green r1-r3,
+    # dedup family keeps dedup_clusters/dup_spans/minhash/simhash in
+    # the window) rotated out to make room for dag_levels.
     return {
         "pagerank_5": q_pagerank,
         "cc_labels": q_cc,
@@ -902,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_3": q_ktruss,
         "motif_census": q_motif_census,
         "scc_labels": q_scc,
+        "dag_levels": q_dag_levels,
         "bowtie": q_bowtie,
         "contamination": q_contamination,
         "redirects": q_redirects,
@@ -916,7 +937,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eff_diameter": q_eff_diameter,
         "gcn_2layer": q_gcn,
         "edge_anomaly": q_edge_anomaly,
-        "exact_dedup": q_exact_dedup,
         "dup_spans": q_dup_spans,
         "approx_distinct_tokens": q_approx_distinct,
         "langid": q_langid,
@@ -944,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
         # ---- past the driver's 50-query window (stable greens) ----
+        "exact_dedup": q_exact_dedup,
         "clustering_coeff": q_clustering,
         "top_tokens_100": q_top_tokens,
         "quality_score": q_quality_score,
@@ -1786,6 +1807,17 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT v, min(label) AS label FROM reach GROUP BY v"
         ),
         "labelprop_3": _labelprop_sql(),
+        "dag_levels": (
+            f"WITH RECURSIVE {e},\n"
+            "dag AS (SELECT DISTINCT src, dst FROM e WHERE src < dst),\n"
+            "dverts AS (SELECT DISTINCT v FROM "
+            "(SELECT src AS v FROM dag UNION ALL SELECT dst AS v FROM dag)),\n"
+            "steps(v, lvl) AS ("
+            " SELECT v, CAST(0 AS BIGINT) FROM dverts"
+            " UNION"
+            " SELECT dag.dst, steps.lvl + 1 FROM steps JOIN dag ON dag.src = steps.v)\n"
+            "SELECT v, max(lvl) AS lvl FROM steps GROUP BY v"
+        ),
         "bfs_hops": (
             f"WITH RECURSIVE {e},\n{_VERTS},\n"
             "reach(v, d) AS ("

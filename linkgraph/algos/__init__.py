@@ -17,6 +17,7 @@ from .sssp import sssp_weighted
 from .hits import hits_dataset
 from .bowtie import bowtie
 from .coloring import greedy_coloring
+from .dag import dag_levels
 from .mis import maximal_independent_set
 from .scc import strongly_connected_components
 from .hyperanf import hyperanf
@@ -44,6 +45,7 @@ __all__ = [
     "sssp_weighted",
     "hits_dataset",
     "bowtie",
+    "dag_levels",
     "greedy_coloring",
     "maximal_independent_set",
     "strongly_connected_components",
