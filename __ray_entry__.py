@@ -38,6 +38,9 @@ SSSP_BOUND = 100  # > max weighted eccentricity of v0 at driver scales
 KCORE_KS = (11, 12)  # lo: mixed core at driver scale; hi: full cascade
 KCORE_ROUNDS = (6, 12)  # unrolled peel rounds per k (fixpoint + margin)
 PPR_SOURCES = [0, 1, 2, 3]
+KATZ_ITERS = 4
+KATZ_ALPHA = 0.05
+ANCHOR_TERMS = 4
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None):
@@ -523,6 +526,27 @@ def q_hits(sf_dir: str):
     return hits_dataset(_doc_edges_ds(sf_dir), iters=HITS_ITERS).to_pandas()
 
 
+def q_katz(sf_dir: str):
+    """Katz centrality, 4 unrolled iterations (x = beta + alpha*A^T x),
+    iteration-exact vs the unrolled SQL recurrence, 8 dp."""
+    from linkgraph.algos import katz_dataset
+
+    return katz_dataset(
+        _doc_edges_ds(sf_dir), iters=KATZ_ITERS, alpha=KATZ_ALPHA
+    ).to_pandas()
+
+
+def q_anchor_top3(sf_dir: str):
+    """Anchor-text index: top-3 terms per link target by inbound
+    contribution count (anchor proxy: the source doc's first 4 tokens);
+    ties term asc."""
+    from linkgraph.ops import DocAnchorTerms, anchor_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    dt = docs.map_batches(DocAnchorTerms(ANCHOR_TERMS), batch_format="pyarrow")
+    return anchor_top_terms(_doc_edges_ds(sf_dir), dt, k=3).to_pandas()
+
+
 def q_host_graph(sf_dir: str):
     """Collapse the page graph to the host graph (documents.source is
     the host key): (src_host, dst_host, n_links) via two hash joins +
@@ -952,11 +976,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_4": q_random_walks,
         "tumbling_1h": q_tumbling,
         "sssp_weighted": q_sssp,
-        "hits_5": q_hits,
+        "katz_4": q_katz,
+        "anchor_top3": q_anchor_top3,
         "ppr_5": q_ppr,
         "weighted_pagerank_5": q_weighted_pagerank,
         "host_graph": q_host_graph,
-        "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
         "lp_quotient": q_lp_quotient,
         "lp_modularity": q_lp_modularity,
@@ -964,6 +988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
         # ---- past the driver's 50-query window (stable greens) ----
+        "hits_5": q_hits,
+        "adamic_adar": q_adamic_adar,
         "exact_dedup": q_exact_dedup,
         "clustering_coeff": q_clustering,
         "top_tokens_100": q_top_tokens,
@@ -1230,6 +1256,42 @@ def _ppr_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v, round(r, 8) AS ppr_rank FROM r{PR_ITERS}"
+    )
+
+
+def _katz_sql() -> str:
+    a = KATZ_ALPHA
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        "x0 AS (SELECT v, 1.0 AS x FROM verts)",
+    ]
+    for i in range(1, KATZ_ITERS + 1):
+        ctes.append(
+            f"kmsg{i} AS (SELECT e.dst AS v, sum(p.x) AS s FROM e "
+            f"JOIN x{i-1} p ON e.src = p.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"x{i} AS (SELECT verts.v, 1.0 + {a} * coalesce(m.s, 0.0) AS x "
+            f"FROM verts LEFT JOIN kmsg{i} m ON verts.v = m.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, round(x, 8) AS katz FROM x{KATZ_ITERS}"
+    )
+
+
+def _anchor_sql() -> str:
+    return (
+        f"WITH {_edges_cte()}, "
+        f"dt AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, "
+        f"{ANCHOR_TERMS})) AS term FROM documents), "
+        "c AS (SELECT e.dst AS dst, dt.term AS term, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM e JOIN dt ON e.src = dt.doc_id GROUP BY 1, 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY dst "
+        "ORDER BY n DESC, term ASC) AS term_rank FROM c) "
+        "SELECT dst, term, n, term_rank FROM r WHERE term_rank <= 3"
     )
 
 
@@ -2017,6 +2079,8 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         ),
         "hits_5": _hits_sql(),
         "ppr_5": _ppr_sql(),
+        "katz_4": _katz_sql(),
+        "anchor_top3": _anchor_sql(),
         "weighted_pagerank_5": _weighted_pagerank_sql(),
         "host_graph": (
             f"WITH {e} "

@@ -15,6 +15,7 @@ from .gcn import gcn_features
 from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .hits import hits_dataset
+from .katz import katz_dataset, katz_numpy
 from .bowtie import bowtie
 from .coloring import greedy_coloring
 from .dag import dag_levels
@@ -44,6 +45,8 @@ __all__ = [
     "assemble_walks",
     "sssp_weighted",
     "hits_dataset",
+    "katz_dataset",
+    "katz_numpy",
     "bowtie",
     "dag_levels",
     "greedy_coloring",

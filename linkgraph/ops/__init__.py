@@ -34,6 +34,12 @@ from .knn import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
 from .windows import tumbling_window, hopping_window, sessionize
 from .cms import CountMinSketch, sketch_edge_counts, edge_anomaly_scores
 from .spatial import radius_join
+from .anchors import (
+    DocAnchorTerms,
+    anchor_top_terms,
+    anchor_index_pages,
+    page_anchor_pairs,
+)
 
 __all__ = [
     "TokenCount",
@@ -59,4 +65,8 @@ __all__ = [
     "sketch_edge_counts",
     "edge_anomaly_scores",
     "radius_join",
+    "DocAnchorTerms",
+    "anchor_top_terms",
+    "anchor_index_pages",
+    "page_anchor_pairs",
 ]
