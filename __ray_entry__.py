@@ -41,6 +41,7 @@ PPR_SOURCES = [0, 1, 2, 3]
 KATZ_ITERS = 4
 KATZ_ALPHA = 0.05
 ANCHOR_TERMS = 4
+PARA_CHUNK = 16
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None):
@@ -547,6 +548,25 @@ def q_anchor_top3(sf_dir: str):
     return anchor_top_terms(_doc_edges_ds(sf_dir), dt, k=3).to_pandas()
 
 
+def q_para_dedup(sf_dir: str):
+    """Paragraph(16-token-chunk)-level dedup: per-doc duplicated-chunk
+    count and ratio (chunk duplicated iff its string occurs >1 time
+    corpus-wide)."""
+    from linkgraph.ops import para_dedup_stats
+
+    return para_dedup_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=PARA_CHUNK
+    ).to_pandas()
+
+
+def q_lm_score(sf_dir: str):
+    """Corpus bigram-LM quality score: per-doc mean ln p(w2|w1) under
+    add-one smoothing with exact distinct-token V."""
+    from linkgraph.ops import lm_score
+
+    return lm_score(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+
+
 def q_host_graph(sf_dir: str):
     """Collapse the page graph to the host graph (documents.source is
     the host key): (src_host, dst_host, n_links) via two hash joins +
@@ -932,15 +952,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rotate to the tail — each family keeps one representative in the
     # window (pagerank_5, cc_labels, lp_quotient/lp_modularity,
     # triangle_count, quality_score, tumbling_1h). The new round-4
-    # queries (bowtie, contamination, redirects, dag_levels) sit inside
-    # the window for first-run driver rows; exact_dedup (green r1-r3,
-    # dedup family keeps dedup_clusters/dup_spans/minhash/simhash in
-    # the window) rotated out to make room for dag_levels.
+    # queries (bowtie, contamination, redirects, dag_levels, katz_4,
+    # anchor_top3, para_dedup, lm_score) sit inside the window for
+    # first-run driver rows; rotated out to make room: exact_dedup,
+    # hits_5, adamic_adar, weighted_pagerank_5, radius_join_2d (all
+    # green r1-r3/r3; pagerank family keeps pagerank_5 + ppr_5 + katz_4
+    # in the window, dedup keeps dedup_clusters/dup_spans/minhash/
+    # simhash/para_dedup).
     return {
         "pagerank_5": q_pagerank,
         "cc_labels": q_cc,
         "triangle_count": q_triangles,
-        "radius_join_2d": q_radius_join,
         "bfs_hops": q_bfs,
         "kcore_peel": q_kcore,
         "ktruss_3": q_ktruss,
@@ -978,8 +1000,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_weighted": q_sssp,
         "katz_4": q_katz,
         "anchor_top3": q_anchor_top3,
+        "para_dedup": q_para_dedup,
+        "lm_score": q_lm_score,
         "ppr_5": q_ppr,
-        "weighted_pagerank_5": q_weighted_pagerank,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
         "lp_quotient": q_lp_quotient,
@@ -990,6 +1013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- past the driver's 50-query window (stable greens) ----
         "hits_5": q_hits,
         "adamic_adar": q_adamic_adar,
+        "weighted_pagerank_5": q_weighted_pagerank,
+        "radius_join_2d": q_radius_join,
         "exact_dedup": q_exact_dedup,
         "clustering_coeff": q_clustering,
         "top_tokens_100": q_top_tokens,
@@ -2081,6 +2106,40 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "ppr_5": _ppr_sql(),
         "katz_4": _katz_sql(),
         "anchor_top3": _anchor_sql(),
+        "para_dedup": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts "
+            "FROM documents), "
+            "mx AS (SELECT max(len(ts)) AS m FROM toks), "
+            f"ch AS (SELECT doc_id, array_to_string(list_slice(ts, c*{PARA_CHUNK}+1, "
+            f"c*{PARA_CHUNK}+{PARA_CHUNK}), ' ') AS chunk FROM toks, "
+            f"(SELECT unnest(range(0, (SELECT (m + {PARA_CHUNK} - 1) // {PARA_CHUNK} "
+            f"FROM mx))) AS c) WHERE c*{PARA_CHUNK} < len(ts)), "
+            "cnt AS (SELECT chunk, count(*) AS n FROM ch GROUP BY chunk), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+            "FROM ch JOIN cnt USING (chunk) GROUP BY doc_id) "
+            "SELECT doc_id, n_chunks, n_dup, "
+            "CAST(n_dup AS DOUBLE) / n_chunks AS dup_ratio FROM agg"
+        ),
+        "lm_score": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts "
+            "FROM documents), "
+            "mx AS (SELECT max(len(ts)) AS m FROM toks), "
+            "bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM toks, "
+            "(SELECT unnest(range(1, (SELECT m FROM mx))) AS i) WHERE i < len(ts)), "
+            "v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS nv FROM "
+            "(SELECT unnest(ts) AS t FROM toks)), "
+            "c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM bg "
+            "GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY 1), "
+            "s AS (SELECT bg.doc_id, ln((c2.c + 1) / (c1.c + (SELECT nv FROM v))) "
+            "AS lp FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "round(avg(lp), 8) AS lm_score FROM s GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, "
+            "coalesce(a.lm_score, 0.0) AS lm_score "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
         "weighted_pagerank_5": _weighted_pagerank_sql(),
         "host_graph": (
             f"WITH {e} "

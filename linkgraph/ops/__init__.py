@@ -40,6 +40,8 @@ from .anchors import (
     anchor_index_pages,
     page_anchor_pairs,
 )
+from .paradedup import ChunkHashRows, para_dedup_stats
+from .lm import BigramRows, lm_score
 
 __all__ = [
     "TokenCount",
@@ -69,4 +71,8 @@ __all__ = [
     "anchor_top_terms",
     "anchor_index_pages",
     "page_anchor_pairs",
+    "ChunkHashRows",
+    "para_dedup_stats",
+    "BigramRows",
+    "lm_score",
 ]
