@@ -42,6 +42,7 @@ KATZ_ITERS = 4
 KATZ_ALPHA = 0.05
 ANCHOR_TERMS = 4
 PARA_CHUNK = 16
+TRUST_HOSTS = ("src0", "src1", "src2", "src3")
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None):
@@ -567,6 +568,26 @@ def q_lm_score(sf_dir: str):
     return lm_score(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
 
 
+def q_spam_mass(sf_dir: str):
+    """TrustRank (PPR seeded at the trusted-host whitelist) + spam mass
+    = share of PageRank not flowing from trusted seeds; both 5-iter
+    unrolled, 8 dp, spam mass computed from the rounded vectors."""
+    from linkgraph.algos import spam_mass
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(t.column("source"), value_set=pa.array(list(TRUST_HOSTS)))
+        return pa.table({"v": t.column("doc_id").filter(m)})
+
+    seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
+    return spam_mass(
+        _doc_edges_ds(sf_dir), seeds, iters=PR_ITERS, damping=DAMPING
+    ).to_pandas()
+
+
 def q_host_graph(sf_dir: str):
     """Collapse the page graph to the host graph (documents.source is
     the host key): (src_host, dst_host, n_links) via two hash joins +
@@ -996,12 +1017,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_graph": q_knn_graph,
         "random_walks_4": q_random_walks,
-        "tumbling_1h": q_tumbling,
         "sssp_weighted": q_sssp,
         "katz_4": q_katz,
         "anchor_top3": q_anchor_top3,
         "para_dedup": q_para_dedup,
         "lm_score": q_lm_score,
+        "spam_mass": q_spam_mass,
         "ppr_5": q_ppr,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
@@ -1015,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": q_adamic_adar,
         "weighted_pagerank_5": q_weighted_pagerank,
         "radius_join_2d": q_radius_join,
+        "tumbling_1h": q_tumbling,
         "exact_dedup": q_exact_dedup,
         "clustering_coeff": q_clustering,
         "top_tokens_100": q_top_tokens,
@@ -1317,6 +1339,62 @@ def _anchor_sql() -> str:
         "r AS (SELECT *, row_number() OVER (PARTITION BY dst "
         "ORDER BY n DESC, term ASC) AS term_rank FROM c) "
         "SELECT dst, term, n, term_rank FROM r WHERE term_rank <= 3"
+    )
+
+
+def _spam_mass_sql() -> str:
+    d = DAMPING
+    hosts = ", ".join(f"'{h}'" for h in TRUST_HOSTS)
+    tele = (
+        "(CASE WHEN verts.v IN (SELECT v FROM seeds) "
+        "THEN 1.0/(SELECT c FROM ns) ELSE 0.0 END)"
+    )
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        f"seeds AS (SELECT doc_id AS v FROM documents WHERE source IN ({hosts}))",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "outd AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        f"t0 AS (SELECT verts.v, {tele} AS r FROM verts)",
+        "p0 AS (SELECT v, 1.0/(SELECT n FROM nv) AS r FROM verts)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        # trust chain (PPR over the seed teleport)
+        ctes.append(
+            f"tdang{i} AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM t{i-1} p "
+            f"LEFT JOIN outd o ON p.v = o.v WHERE o.v IS NULL)"
+        )
+        ctes.append(
+            f"tmsg{i} AS (SELECT e.dst AS v, sum(p.r / o.deg) AS s FROM e "
+            f"JOIN t{i-1} p ON e.src = p.v JOIN outd o ON e.src = o.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT verts.v, (1 - {d}) * {tele} + {d} * "
+            f"(coalesce(m.s, 0.0) + (SELECT dm FROM tdang{i}) * {tele}) AS r "
+            f"FROM verts LEFT JOIN tmsg{i} m ON verts.v = m.v)"
+        )
+        # pagerank chain (uniform teleport)
+        ctes.append(
+            f"pdang{i} AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM p{i-1} p "
+            f"LEFT JOIN outd o ON p.v = o.v WHERE o.v IS NULL)"
+        )
+        ctes.append(
+            f"pmsg{i} AS (SELECT e.dst AS v, sum(p.r / o.deg) AS s FROM e "
+            f"JOIN p{i-1} p ON e.src = p.v JOIN outd o ON e.src = o.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT verts.v, (1 - {d})/(SELECT n FROM nv) + {d} * "
+            f"(coalesce(m.s, 0.0) + (SELECT dm FROM pdang{i})/(SELECT n FROM nv)) AS r "
+            f"FROM verts LEFT JOIN pmsg{i} m ON verts.v = m.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT t.v, round(t.r, 8) AS trust_rank, "
+        f"CASE WHEN round(p.r, 8) > 0 THEN "
+        f"round((round(p.r, 8) - round(t.r, 8)) / round(p.r, 8), 8) "
+        f"ELSE 0.0 END AS spam_mass "
+        f"FROM t{PR_ITERS} t JOIN p{PR_ITERS} p ON t.v = p.v"
     )
 
 
@@ -2106,6 +2184,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "ppr_5": _ppr_sql(),
         "katz_4": _katz_sql(),
         "anchor_top3": _anchor_sql(),
+        "spam_mass": _spam_mass_sql(),
         "para_dedup": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts "
             "FROM documents), "

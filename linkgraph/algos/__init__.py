@@ -16,6 +16,7 @@ from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .hits import hits_dataset
 from .katz import katz_dataset, katz_numpy
+from .trustrank import trustrank_dataset, spam_mass
 from .bowtie import bowtie
 from .coloring import greedy_coloring
 from .dag import dag_levels
@@ -47,6 +48,8 @@ __all__ = [
     "hits_dataset",
     "katz_dataset",
     "katz_numpy",
+    "trustrank_dataset",
+    "spam_mass",
     "bowtie",
     "dag_levels",
     "greedy_coloring",
