@@ -301,6 +301,60 @@ def run_bench() -> dict:
             ).count()
         )
 
+        # round-4 continuation ops: anchor-text index over the real
+        # page markup, chunk-dedup + bigram-LM quality scoring over the
+        # page text, TrustRank spam mass over the extracted edge graph
+        # seeded at the first 4 sites' pages.
+        from linkgraph.algos import spam_mass_engine as _spam_mass_engine
+        from linkgraph.hashing import hash64_str_signed
+        from linkgraph.ops import anchor_index_pages, lm_score, para_dedup_stats
+        from linkgraph.synth import page_url
+
+        pages2 = synth.pages_dataset(N_PAGES, N_SITES, parallelism=NUM_CPUS * 4)
+        n_anchor = ste.run(
+            "anchor_index", lambda: anchor_index_pages(pages2, k=3).count()
+        )
+        extra["anchor_index_rows"] = int(n_anchor)
+        extra["anchor_pages_per_sec"] = round(N_PAGES / eq["anchor_index"], 1)
+
+        def _doc_text(t):
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        hash64_str_signed(t.column("url").to_pylist())
+                    ),
+                    "text": t.column("text"),
+                }
+            )
+
+        ptext = pages2.map_batches(_doc_text, batch_format="pyarrow")
+        ste.run(
+            "para_dedup_pages",
+            lambda: para_dedup_stats(ptext, chunk_tokens=8).count(),
+        )
+        extra["para_dedup_pages_per_sec"] = round(
+            N_PAGES / eq["para_dedup_pages"], 1
+        )
+        ste.run("lm_score_pages", lambda: lm_score(ptext).count())
+        extra["lm_pages_per_sec"] = round(N_PAGES / eq["lm_score_pages"], 1)
+
+        # seed array: every page of the first 4 sites (engine path — the
+        # whitelist fits a driver array; the Dataset-seeded spam_mass is
+        # the scale path and is driver-oracled at sf0.01)
+        from linkgraph.hashing import hash64_str
+
+        seed_ids = hash64_str(
+            [page_url(k, N_SITES) for k in range(N_PAGES) if k % N_SITES < 4]
+        )
+
+        def _spam():
+            out, eng = _spam_mass_engine(edges, seed_ids, iters=5, num_parts=NUM_PARTS)
+            n = out.count()
+            eng.shutdown()
+            return n
+
+        ste.run("spam_mass", _spam)
+
         # streaming PageRank: cold converge on 8M RMAT edges, insert a
         # 100k delta, warm restart (fixpoint equality proven in
         # tests/test_streaming.py). Finding recorded in BASELINE.md:

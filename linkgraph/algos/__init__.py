@@ -16,7 +16,7 @@ from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .hits import hits_dataset
 from .katz import katz_dataset, katz_numpy
-from .trustrank import trustrank_dataset, spam_mass
+from .trustrank import trustrank_dataset, spam_mass, spam_mass_engine
 from .bowtie import bowtie
 from .coloring import greedy_coloring
 from .dag import dag_levels
@@ -50,6 +50,7 @@ __all__ = [
     "katz_numpy",
     "trustrank_dataset",
     "spam_mass",
+    "spam_mass_engine",
     "bowtie",
     "dag_levels",
     "greedy_coloring",

@@ -63,37 +63,58 @@ def _fused_ranks(
         on=("v",), right_on=("v",),
     )
 
+    deg = out_degrees(edges, out="deg").materialize()
+
+    # dangling flag materialized ONCE: per iteration the dangling mass
+    # is then a single filtered aggregate over ranks — no join, no
+    # second full-aggregate pass (the held/total formulation costs a
+    # join + 2 aggregates per superstep).
+    vtd = vt.join(
+        deg, join_type="left_outer", num_partitions=num_partitions,
+        on=("v",), right_on=("src",),
+    )
+
     def init(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         s = pc.fill_null(t.column("_seed"), 0).to_numpy(zero_copy_only=False)
         tele = s.astype(np.float64) / n_seeds
+        dng = (
+            pc.is_null(t.column("deg")).to_numpy(zero_copy_only=False).astype(np.int8)
+        )
         return pa.table(
             {
                 "v": t.column("v"),
                 "tele": pa.array(tele),
+                "dng": pa.array(dng),
                 "t": pa.array(tele),
                 "p": pa.array(np.full(len(t), 1.0 / n)),
             }
         )
 
-    ranks = vt.map_batches(init, batch_format="pyarrow").materialize()
+    ranks = vtd.map_batches(init, batch_format="pyarrow").materialize()
 
-    deg = out_degrees(edges, out="deg").materialize()
     ewd = edges.join(
         deg, join_type="inner", num_partitions=num_partitions,
         on=("src",), right_on=("src",), right_suffix="_r",
     ).materialize()
 
     for _ in range(iters):
-        sender = ranks.join(
-            deg, join_type="inner", num_partitions=num_partitions,
-            on=("v",), right_on=("src",),
-        )
-        held = sender.aggregate(Sum("t", alias_name="st"), Sum("p", alias_name="sp"))
-        total = ranks.aggregate(Sum("t", alias_name="st"), Sum("p", alias_name="sp"))
-        dang_t = (total["st"] or 0.0) - (held["st"] or 0.0)
-        dang_p = (total["sp"] or 0.0) - (held["sp"] or 0.0)
+
+        def dang_partial(t: pa.Table) -> pa.Table:
+            m = t.column("dng").to_numpy(zero_copy_only=False) == 1
+            return pa.table(
+                {
+                    "st": pa.array([float(t.column("t").to_numpy()[m].sum())]),
+                    "sp": pa.array([float(t.column("p").to_numpy()[m].sum())]),
+                }
+            )
+
+        dsum = ranks.map_batches(
+            dang_partial, batch_format="pyarrow", batch_size=1 << 20
+        ).aggregate(Sum("st", alias_name="st"), Sum("sp", alias_name="sp"))
+        dang_t = dsum["st"] or 0.0
+        dang_p = dsum["sp"] or 0.0
 
         msgs = ewd.join(
             ranks, join_type="inner", num_partitions=num_partitions,
@@ -117,7 +138,7 @@ def _fused_ranks(
             .groupby("dst")
             .aggregate(Sum("ct", alias_name="mt"), Sum("cp", alias_name="mp"))
         )
-        joined = ranks.select_columns(["v", "tele"]).join(
+        joined = ranks.select_columns(["v", "tele", "dng"]).join(
             incoming, join_type="left_outer", num_partitions=num_partitions,
             on=("v",), right_on=("dst",),
         )
@@ -134,6 +155,7 @@ def _fused_ranks(
                 {
                     "v": tbl.column("v"),
                     "tele": tbl.column("tele"),
+                    "dng": tbl.column("dng"),
                     "t": pa.array(t_new),
                     "p": pa.array(p_new),
                 }
@@ -163,6 +185,63 @@ def trustrank_dataset(
         lambda t: pa.table({"v": t.column("v"), "trust": t.column("t")}),
         batch_format="pyarrow",
     )
+
+
+def spam_mass_engine(
+    edges: Dataset,
+    sources,
+    iters: int = 5,
+    damping: float = 0.85,
+    num_parts: int = 8,
+):
+    """Engine-path spam mass for an explicit seed-id array: PageRank
+    then seeded PPR as two vertex programs over ONE loaded engine (the
+    graph hashes into partition actors once; each fixed-iteration run
+    costs only combiner-reduced exchanges — the bench path). The
+    Dataset-seeded ``spam_mass`` stays the scale path for whitelist
+    sets too large for a driver-side array.
+
+    -> (Dataset(v, trust_rank, spam_mass), engine) — caller shuts the
+    engine down after consuming the Dataset."""
+    import pyarrow.compute as pc
+
+    from ..engine import SuperstepEngine
+    from .pagerank import PageRankProgram, PersonalizedPageRankProgram
+
+    eng = SuperstepEngine(num_parts=num_parts).load_edges(edges)
+    eng.run(PageRankProgram(damping=damping, tol=0.0), max_iters=iters)
+    pr = eng.state_dataset(id_col="v", columns=["rank"]).materialize()
+    eng.run(
+        PersonalizedPageRankProgram(sources, damping=damping, tol=0.0),
+        max_iters=iters,
+    )
+    tr = (
+        eng.state_dataset(id_col="v", columns=["rank"])
+        .map_batches(
+            lambda t: pa.table({"v": t.column("v"), "trust": t.column("rank")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    out = tr.join(
+        pr, join_type="inner", num_partitions=num_parts,
+        on=("v",), right_on=("v",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        trv = np.round(t.column("trust").to_numpy(), 8)
+        p = np.round(t.column("rank").to_numpy(), 8)
+        sm = np.where(p > 0, np.round((p - trv) / np.where(p > 0, p, 1.0), 8), 0.0)
+        return pa.table(
+            {
+                "v": t.column("v"),
+                "trust_rank": pa.array(trv),
+                "spam_mass": pa.array(sm),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow"), eng
 
 
 def spam_mass(

@@ -13,14 +13,18 @@ Model (deterministic, ANSI-SQL-replayable — oracled in __ray_entry__):
   * lm_score(doc) = round(mean over the doc's bigrams of ln p, 8);
     docs with < 2 tokens score 0.0 with n_bigrams = 0
 
-Distributed shape: bigram rows carry (doc_id, w1, w2); counts come
-from per-batch np.unique combiners feeding two groupbys (C2 keyed on
-the pair, C1 on the left token); scoring is one hash join doc-bigrams x
-C2 x C1 (the model is corpus-sized vocabulary — joined, never
-broadcast), then a per-doc sum/count combiner. V is a distinct
-aggregate (tiny scalar on the driver). Float note: per-doc mean is
-summed in shuffle order; round-8 absorbs the ~1e-15 reorder jitter
-(the tfidf_top3 precedent).
+Distributed shape — NO string ever shuffles: bigram rows carry
+(doc_id, h1, h12) where h1/h12 are 64-bit hashes of the left token and
+of the pair (tokens hash inside the extracting batch; equal strings
+hash equal — the 2^-64 collision risk every dedup family accepts, and
+int64 groupby keys shuffle ~20x faster than string pairs). C2 groups on
+h12 (carrying h1 via a constant-per-group Min), C1 = sum_w2 C2 derived
+from the pair-vocabulary-sized C2 table (never a second corpus pass),
+the model stats join back to the corpus-sized bigram rows ONCE on h12,
+and the per-doc mean is a sum/count combiner + groupby. V is an exact
+distinct over per-batch-unique token hashes. Float note: per-doc mean
+sums in shuffle order; round-8 absorbs the ~1e-15 reorder jitter (the
+tfidf_top3 precedent).
 
 (Reference analogue: SURVEY.md §2.7 grouped aggregates + joins; the
 two-pass train/score split mirrors the coupled-metric pattern of
@@ -33,89 +37,94 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Min, Sum
+
+from ..hashing import hash64_str_signed
 
 
-class BigramRows:
-    """documents(doc_id, text) -> (doc_id, w1, w2) consecutive-pair
-    rows. Vectorized: one Arrow split per batch, pair arrays built from
-    the flattened values with a last-token-of-doc mask."""
+def _bigram_rows(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text) -> (doc_id, h1, h12) hashed bigram rows.
+    Vectorized: one Arrow split per batch; pair arrays from the
+    flattened values with a last-token-of-doc mask; one hash call per
+    column."""
+    import pyarrow.compute as pc
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    toks = pc.split_pattern(batch.column("text"), " ")
+    nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    n = len(flat)
+    doc = np.repeat(batch.column("doc_id").to_numpy(), nt)
+    ends = np.cumsum(nt) - 1  # last flat index of each doc
+    keep = np.ones(n, bool)
+    if n:
+        keep[ends] = False
+    idx = np.flatnonzero(keep)
+    w1 = pc.take(flat, pa.array(idx))
+    w2 = pc.take(flat, pa.array(idx + 1))
+    # separator " " is unambiguous (tokens are split ON spaces, so no
+    # token contains one) and — unlike "\x00" — survives the C-string
+    # hash: pandas hash_array stops at an embedded NUL byte, which
+    # would merge every pair sharing a left token
+    pair = pc.binary_join_element_wise(w1, w2, " ")
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[idx]),
+            "h1": pa.array(hash64_str_signed(w1.to_numpy(zero_copy_only=False))),
+            "h12": pa.array(hash64_str_signed(pair.to_numpy(zero_copy_only=False))),
+        }
+    )
 
-        toks = pc.split_pattern(batch.column("text"), " ")
-        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        n = len(flat)
-        doc = np.repeat(batch.column("doc_id").to_numpy(), nt)
-        # position i starts a bigram unless it is a doc's last token
-        ends = np.cumsum(nt) - 1  # last flat index of each doc
-        keep = np.ones(n, bool)
-        if n:
-            keep[ends] = False
-        idx = np.flatnonzero(keep)
-        sel = pa.array(idx)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc[idx]),
-                "w1": pc.take(flat, sel),
-                "w2": pc.take(flat, pa.array(idx + 1)),
-            }
-        )
 
+def _token_hash_rows(batch: pa.Table) -> pa.Table:
+    """documents(text) -> per-batch-distinct token hashes (V combiner)."""
+    import pyarrow.compute as pc
 
-class TokenRows:
-    """documents(text) -> (token,) rows for the exact-V distinct count."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
-        # in-batch distinct combiner: V only needs each token once per batch
-        return pa.table({"token": pc.unique(flat)})
+    flat = pc.unique(pc.list_flatten(pc.split_pattern(batch.column("text"), " ")))
+    return pa.table(
+        {"th": pa.array(hash64_str_signed(flat.to_numpy(zero_copy_only=False)))}
+    )
 
 
 def _pair_count_partial(t: pa.Table) -> pa.Table:
-    g = (
-        pa.table({"w1": t.column("w1"), "w2": t.column("w2")})
-        .group_by(["w1", "w2"])
-        .aggregate([([], "count_all")])
+    h12 = t.column("h12").to_numpy()
+    h1 = t.column("h1").to_numpy()
+    u, first, cnt = np.unique(h12, return_index=True, return_counts=True)
+    return pa.table(
+        {
+            "h12": pa.array(u),
+            "h1": pa.array(h1[first]),
+            "_c": pa.array(cnt.astype(np.int64)),
+        }
     )
-    return g.rename_columns(["w1", "w2", "_c"])
-
-
-def _left_count_partial(t: pa.Table) -> pa.Table:
-    g = pa.table({"w1": t.column("w1")}).group_by("w1").aggregate([([], "count_all")])
-    return g.rename_columns(["w1", "_c"])
 
 
 def lm_score(docs: Dataset, num_partitions: int = 8) -> Dataset:
     """documents(doc_id, text) -> (doc_id, n_bigrams, lm_score)."""
-    bg = docs.map_batches(
-        BigramRows, batch_format="pyarrow", concurrency=(1, 8)
-    ).materialize()
+    bg = docs.map_batches(_bigram_rows, batch_format="pyarrow").materialize()
 
-    vocab = docs.map_batches(TokenRows, batch_format="pyarrow", concurrency=(1, 8))
-    v = float(vocab.groupby("token").count().count())
+    vocab = docs.map_batches(_token_hash_rows, batch_format="pyarrow")
+    v = float(vocab.groupby("th").count().count())
 
     c2 = (
         bg.map_batches(_pair_count_partial, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("_c", alias_name="c2"))
-    )
-    c1 = (
-        bg.map_batches(_left_count_partial, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("w1")
-        .aggregate(Sum("_c", alias_name="c1"))
-    )
+        .groupby("h12")
+        # h1 is constant within an h12 group (same pair string) — Min
+        # carries it through the aggregate
+        .aggregate(Sum("_c", alias_name="c2"), Min("h1", alias_name="h1"))
+    ).materialize()
+    # C1 = sum_w2 C2 — derived from the (pair-vocabulary-sized) C2
+    # table, NOT by a second pass over the corpus-sized bigram rows
+    c1 = c2.groupby("h1").aggregate(Sum("c2", alias_name="c1"))
 
-    joined = bg.join(
-        c2, join_type="inner", num_partitions=num_partitions,
-        on=("w1", "w2"), right_on=("w1", "w2"),
-    ).join(
+    # model table (h12, c2, c1): pair-vocabulary sized — the
+    # corpus-sized bg table joins ONCE against the merged stats
+    stats = c2.join(
         c1, join_type="inner", num_partitions=num_partitions,
-        on=("w1",), right_on=("w1",),
+        on=("h1",), right_on=("h1",), right_suffix="_r",
+    ).select_columns(["h12", "c2", "c1"])
+    joined = bg.select_columns(["doc_id", "h12"]).join(
+        stats, join_type="inner", num_partitions=num_partitions,
+        on=("h12",), right_on=("h12",),
     )
 
     def score_partial(t: pa.Table) -> pa.Table:
@@ -166,3 +175,18 @@ def lm_score(docs: Dataset, num_partitions: int = 8) -> Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+class BigramRows:
+    """Back-compat callable-class wrapper over ``_bigram_rows`` (emits
+    hashed (doc_id, h1, h12) rows)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _bigram_rows(batch)
+
+
+class TokenRows:
+    """Back-compat callable-class wrapper over ``_token_hash_rows``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _token_hash_rows(batch)

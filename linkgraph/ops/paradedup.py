@@ -84,11 +84,12 @@ def para_dedup_stats(
     num_partitions: int = 8,
 ) -> Dataset:
     """documents(doc_id, text) -> (doc_id, n_chunks, n_dup, dup_ratio)."""
+    chunker = ChunkHashRows(chunk_tokens)
     rows = docs.map_batches(
-        ChunkHashRows,
-        fn_constructor_kwargs={"chunk_tokens": chunk_tokens},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        # stateless task pool (not a capped actor pool): the chunker is
+        # a tiny picklable config object, and task parallelism follows
+        # the input block count
+        chunker, batch_format="pyarrow"
     ).materialize()
 
     def count_partial(t: pa.Table) -> pa.Table:

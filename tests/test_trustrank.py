@@ -79,6 +79,30 @@ def test_spam_mass_seeded_low_unreachable_high():
     assert sm[1] < 0.5 and sm[2] < 0.5
 
 
+def test_spam_mass_engine_matches_dataset_impl():
+    """Engine path (two vertex programs, one loaded graph) and Dataset
+    path agree to the 8-dp export on the same graph + seeds."""
+    from linkgraph.algos import spam_mass_engine
+
+    edges = random_edges(120, 500, seed=21)
+    present = sorted({v for e in edges for v in e})
+    seeds = present[:7]
+    ds_out = spam_mass(
+        ray.data.from_arrow(edges_ds(edges)),
+        ray.data.from_arrow(pa.table({"v": pa.array(seeds, pa.int64())})),
+        iters=5,
+    ).to_pandas().set_index("v").sort_index()
+    eng_out, eng = spam_mass_engine(
+        ray.data.from_arrow(edges_ds(edges)), np.asarray(seeds, np.uint64), iters=5,
+        num_parts=3,
+    )
+    eng_df = eng_out.to_pandas().set_index("v").sort_index()
+    eng.shutdown()
+    assert list(ds_out.index) == list(eng_df.index)
+    assert np.allclose(ds_out["trust_rank"], eng_df["trust_rank"], atol=2e-8)
+    assert np.allclose(ds_out["spam_mass"], eng_df["spam_mass"], atol=2e-7)
+
+
 def test_spam_mass_matches_numpy_rounded():
     edges = FIXTURE_GRAPHS["two_triangles_bridge"] if "two_triangles_bridge" in FIXTURE_GRAPHS else random_edges(60, 240, seed=3)
     n = max(max(e) for e in edges) + 1
