@@ -17,13 +17,17 @@ Distributed shape — NO string ever shuffles: bigram rows carry
 (doc_id, h1, h12) where h1/h12 are 64-bit hashes of the left token and
 of the pair (tokens hash inside the extracting batch; equal strings
 hash equal — the 2^-64 collision risk every dedup family accepts, and
-int64 groupby keys shuffle ~20x faster than string pairs). C2 groups on
-h12 (carrying h1 via a constant-per-group Min), C1 = sum_w2 C2 derived
-from the pair-vocabulary-sized C2 table (never a second corpus pass),
-the model stats join back to the corpus-sized bigram rows ONCE on h12,
-and the per-doc mean is a sum/count combiner + groupby. V is an exact
-distinct over per-batch-unique token hashes. Float note: per-doc mean
-sums in shuffle order; round-8 absorbs the ~1e-15 reorder jitter (the
+int64 keys shuffle ~20x faster than string pairs). Every aggregate and
+join keys on corpus-cardinality hashes, so the hot path uses the
+sortagg kernels (range sort + per-block run kernels — hash
+groupby/join measured 90 s vs ~5 s at 1M groups): C2 counts per h12
+(h1 carried as a run constant), C1 = sum_w2 C2 derived from the
+pair-vocabulary-sized C2 table (never a second corpus pass) and
+broadcast back via a tagged-union sort, the model stats broadcast onto
+the corpus-sized bigram rows the same way, and the per-doc mean is one
+more sorted run-sum. V is an exact distinct over per-batch-unique
+token hashes. Float note: per-doc mean sums in block order after a
+doc_id range sort; round-8 absorbs any residual jitter (the
 tfidf_top3 precedent).
 
 (Reference analogue: SURVEY.md §2.7 grouped aggregates + joins; the
@@ -37,7 +41,6 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Min, Sum
 
 from ..hashing import hash64_str_signed
 
@@ -105,51 +108,72 @@ def lm_score(docs: Dataset, num_partitions: int = 8) -> Dataset:
     vocab = docs.map_batches(_token_hash_rows, batch_format="pyarrow")
     v = float(vocab.groupby("th").count().count())
 
-    c2 = (
-        bg.map_batches(_pair_count_partial, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("h12")
-        # h1 is constant within an h12 group (same pair string) — Min
-        # carries it through the aggregate
-        .aggregate(Sum("_c", alias_name="c2"), Min("h1", alias_name="h1"))
+    # every aggregate/join below keys on ~corpus-cardinality int64
+    # hashes — the sortagg kernels (range sort + per-block run kernels)
+    # replace hash groupby/join, which measured 90 s vs ~5 s for the C2
+    # count at 2.9M bigrams / 1M pairs
+    from .sortagg import attach_by_key, sorted_sum_by
+
+    c2 = sorted_sum_by(
+        bg.map_batches(
+            _pair_count_partial, batch_format="pyarrow", batch_size=1 << 20
+        ),
+        key="h12",
+        sum_cols={"_c": "c2"},
+        # h1 is constant within an h12 group (same pair string)
+        carry_cols=["h1"],
     ).materialize()
     # C1 = sum_w2 C2 — derived from the (pair-vocabulary-sized) C2
-    # table, NOT by a second pass over the corpus-sized bigram rows
-    c1 = c2.groupby("h1").aggregate(Sum("c2", alias_name="c1"))
-
-    # model table (h12, c2, c1): pair-vocabulary sized — the
-    # corpus-sized bg table joins ONCE against the merged stats
-    stats = c2.join(
-        c1, join_type="inner", num_partitions=num_partitions,
-        on=("h1",), right_on=("h1",), right_suffix="_r",
-    ).select_columns(["h12", "c2", "c1"])
-    joined = bg.select_columns(["doc_id", "h12"]).join(
-        stats, join_type="inner", num_partitions=num_partitions,
-        on=("h12",), right_on=("h12",),
+    # table, NOT by a second pass over the corpus-sized bigram rows;
+    # attach_by_key broadcasts the per-h1 sum back onto the C2 rows
+    c1 = sorted_sum_by(c2, key="h1", sum_cols={"c2": "c1"})
+    stats = attach_by_key(
+        c2.map_batches(
+            lambda t: t.select(["h1", "h12", "c2"]), batch_format="pyarrow"
+        ),
+        c1,
+        key="h1",
+        stat_cols=["c1"],
+        row_cols=["h12", "c2"],
     )
 
-    def score_partial(t: pa.Table) -> pa.Table:
-        doc = t.column("doc_id").to_numpy()
-        lp = np.log(
-            (t.column("c2").to_numpy().astype(np.float64) + 1.0)
-            / (t.column("c1").to_numpy().astype(np.float64) + v)
-        )
-        order = np.argsort(doc, kind="stable")
-        ds = doc[order]
-        starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
-        n = np.diff(np.r_[starts, len(ds)])
-        s = np.add.reduceat(lp[order], starts) if len(ds) else np.array([], np.float64)
+    # model stats broadcast onto the corpus-sized bigram rows: one
+    # tagged-union sort on h12 (stats c2 rides along as float64)
+    def stats_rows(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pa.array(ds[starts]),
-                "_n": pa.array(n.astype(np.int64)),
-                "_s": pa.array(s),
+                "h12": t.column("h12"),
+                "c2": pa.array(
+                    t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+                "c1": t.column("c1"),
             }
         )
 
-    agg = (
-        joined.map_batches(score_partial, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("doc_id")
-        .aggregate(Sum("_n", alias_name="n_bigrams"), Sum("_s", alias_name="_s"))
+    scored_rows = attach_by_key(
+        bg.select_columns(["doc_id", "h12"]),
+        stats.map_batches(stats_rows, batch_format="pyarrow"),
+        key="h12",
+        stat_cols=["c2", "c1"],
+        row_cols=["doc_id"],
+    )
+
+    def lp_rows(t: pa.Table) -> pa.Table:
+        lp = np.log(
+            (t.column("c2").to_numpy() + 1.0) / (t.column("c1").to_numpy() + v)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "_lp": pa.array(lp),
+            }
+        )
+
+    agg = sorted_sum_by(
+        scored_rows.map_batches(lp_rows, batch_format="pyarrow", batch_size=None),
+        key="doc_id",
+        sum_cols={"_lp": "_s"},
+        count_col="n_bigrams",
     )
 
     all_docs = docs.select_columns(["doc_id"])

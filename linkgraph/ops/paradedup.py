@@ -32,8 +32,6 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
-
 from ..hashing import hash64_str_signed
 
 
@@ -92,43 +90,42 @@ def para_dedup_stats(
         chunker, batch_format="pyarrow"
     ).materialize()
 
+    # chunk-hash cardinality ~ row count: hash groupby/join machinery
+    # is the bottleneck at this shape — use the sortagg kernels (range
+    # sort + per-block run kernels; see ops/sortagg.py)
+    from .sortagg import attach_by_key, sorted_sum_by
+
     def count_partial(t: pa.Table) -> pa.Table:
         h, c = np.unique(t.column("chash").to_numpy(), return_counts=True)
         return pa.table(
             {"chash": pa.array(h), "_c": pa.array(c.astype(np.int64))}
         )
 
-    counts = (
-        rows.map_batches(count_partial, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("chash")
-        .aggregate(Sum("_c", alias_name="cnt"))
+    counts = sorted_sum_by(
+        rows.map_batches(count_partial, batch_format="pyarrow", batch_size=1 << 20),
+        key="chash",
+        sum_cols={"_c": "cnt"},
     )
 
-    joined = rows.join(
-        counts, join_type="inner", num_partitions=num_partitions,
-        on=("chash",), right_on=("chash",),
+    joined = attach_by_key(
+        rows, counts, key="chash", stat_cols=["cnt"], row_cols=["doc_id"]
     )
 
-    def doc_partial(t: pa.Table) -> pa.Table:
-        doc = t.column("doc_id").to_numpy()
-        dup = (t.column("cnt").to_numpy() > 1).astype(np.int64)
-        order = np.argsort(doc, kind="stable")
-        ds = doc[order]
-        starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
-        n = np.diff(np.r_[starts, len(ds)])
-        ndup = np.add.reduceat(dup[order], starts) if len(ds) else np.array([], np.int64)
+    def dup_rows(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pa.array(ds[starts]),
-                "_n": pa.array(n.astype(np.int64)),
-                "_d": pa.array(ndup.astype(np.int64)),
+                "doc_id": t.column("doc_id"),
+                "_d": pa.array(
+                    (t.column("cnt").to_numpy() > 1).astype(np.int64)
+                ),
             }
         )
 
-    agg = (
-        joined.map_batches(doc_partial, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("doc_id")
-        .aggregate(Sum("_n", alias_name="n_chunks"), Sum("_d", alias_name="n_dup"))
+    agg = sorted_sum_by(
+        joined.map_batches(dup_rows, batch_format="pyarrow", batch_size=None),
+        key="doc_id",
+        sum_cols={"_d": "n_dup"},
+        count_col="n_chunks",
     )
 
     def finish(t: pa.Table) -> pa.Table:
