@@ -13,6 +13,11 @@
     python -m linkgraph coloring    --edges edges_dir --out col_dir
     python -m linkgraph bowtie      --edges edges_dir --out bt_dir
     python -m linkgraph redirects   --pointers ptr_dir --out final_dir
+    python -m linkgraph katz        --edges edges_dir --out k_dir
+    python -m linkgraph spam-mass   --edges edges_dir --seeds seeds_dir --out sm_dir
+    python -m linkgraph anchors     --pages pages_dir --out idx_dir
+    python -m linkgraph lm-score    --docs docs_dir --out lm_dir
+    python -m linkgraph para-dedup  --docs docs_dir --out pd_dir
     python -m linkgraph synth-pages --n 100000 --out pages_dir
 
 Owns its Ray session (guarded init), writes partitioned parquet +
@@ -92,6 +97,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--parts", type=int, default=None)
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("katz")
+    common(p)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--alpha", type=float, default=0.05)
+
+    p = sub.add_parser("spam-mass")
+    common(p)
+    p.add_argument("--seeds", required=True, help="parquet dir of (v) trusted ids")
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--damping", type=float, default=0.85)
+
+    p = sub.add_parser("anchors")
+    p.add_argument("--pages", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    for name in ("lm-score", "para-dedup"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--docs", required=True, help="parquet dir of (doc_id, text)")
+        sp.add_argument("--out", default=None)
+        sp.add_argument("--num-cpus", type=int, default=None)
+        if name == "para-dedup":
+            sp.add_argument("--chunk-tokens", type=int, default=16)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -127,6 +157,44 @@ def main(argv: list[str] | None = None) -> int:
                 out = None
                 res = res.materialize()
             print(json.dumps({"out": out, "max_hops": args.max_hops}))
+            return 0
+
+        if args.cmd == "anchors":
+            import ray.data
+
+            from .ops.anchors import anchor_index_pages
+
+            res = anchor_index_pages(
+                read_pages(args.pages, columns=["url", "html"]), k=args.k
+            )
+            if args.out:
+                out = write_partitioned(res, args.out, tag="anchors")
+            else:
+                out = None
+                res = res.materialize()
+            print(json.dumps({"out": out, "k": args.k}))
+            return 0
+
+        if args.cmd in ("lm-score", "para-dedup"):
+            import ray.data
+
+            docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+            if args.cmd == "lm-score":
+                from .ops.lm import lm_score
+
+                res = lm_score(docs)
+                tag = "lm_score"
+            else:
+                from .ops.paradedup import para_dedup_stats
+
+                res = para_dedup_stats(docs, chunk_tokens=args.chunk_tokens)
+                tag = "para_dedup"
+            if args.out:
+                out = write_partitioned(res, args.out, tag=tag)
+            else:
+                out = None
+                res = res.materialize()
+            print(json.dumps({"out": out}))
             return 0
 
         if args.cmd == "synth-pages":
@@ -260,6 +328,30 @@ def main(argv: list[str] | None = None) -> int:
             res = hits_dataset(edges, iters=args.iters)
             if args.out:
                 write_partitioned(res, args.out, tag="hits")
+            else:
+                res = res.materialize()
+            print(json.dumps({"out": args.out, "iters": args.iters}))
+        elif args.cmd == "katz":
+            from .algos import katz_dataset
+
+            res = katz_dataset(edges, iters=args.iters, alpha=args.alpha)
+            if args.out:
+                write_partitioned(res, args.out, tag="katz")
+            else:
+                res = res.materialize()
+            print(json.dumps({"out": args.out, "iters": args.iters, "alpha": args.alpha}))
+        elif args.cmd == "spam-mass":
+            import ray.data
+
+            from .algos import spam_mass
+
+            seeds = ray.data.read_parquet(args.seeds, columns=["v"])
+            res = spam_mass(
+                edges, seeds, iters=args.iters, damping=args.damping,
+                num_partitions=args.parts,
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="spam_mass")
             else:
                 res = res.materialize()
             print(json.dumps({"out": args.out, "iters": args.iters}))

@@ -62,3 +62,84 @@ def test_cli_end_to_end(tmp_path):
         "--parts", "4", "--num-cpus", "4",
     )
     assert os.path.getmtime(os.path.join(ranks, "MANIFEST.json")) == before
+
+
+@pytest.mark.slow
+def test_cli_round4_continuation_ops(tmp_path):
+    """katz / anchors / lm-score / para-dedup / spam-mass subcommands
+    over a tiny synthetic corpus."""
+    pages = str(tmp_path / "pages")
+    edges = str(tmp_path / "edges")
+
+    run_cli("synth-pages", "--n", "400", "--out", pages, "--num-cpus", "4")
+    run_cli("build-edges", "--pages", os.path.join(pages, "data"), "--out", edges, "--num-cpus", "4")
+
+    kdir = str(tmp_path / "katz")
+    out = run_cli(
+        "katz", "--edges", os.path.join(edges, "data"), "--out", kdir,
+        "--parts", "4", "--num-cpus", "4",
+    )
+    assert out["iters"] == 4
+    t = pq.read_table(os.path.join(kdir, "data"))
+    assert t.num_rows > 0 and min(t.column("katz").to_pylist()) >= 1.0
+
+    adir = str(tmp_path / "anchors")
+    run_cli(
+        "anchors", "--pages", os.path.join(pages, "data"), "--out", adir,
+        "--num-cpus", "4",
+    )
+    t = pq.read_table(os.path.join(adir, "data"))
+    assert t.num_rows > 0 and max(t.column("term_rank").to_pylist()) <= 3
+
+    # docs table for the text ops: (doc_id, text) derived from pages
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    pt = pq.read_table(os.path.join(pages, "data"))
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pqw.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(pt.num_rows), pa.int64()),
+                "text": pt.column("text"),
+            }
+        ),
+        str(docs_dir / "docs.parquet"),
+    )
+
+    lmdir = str(tmp_path / "lm")
+    run_cli("lm-score", "--docs", str(docs_dir), "--out", lmdir, "--num-cpus", "4")
+    t = pq.read_table(os.path.join(lmdir, "data"))
+    assert t.num_rows == pt.num_rows
+
+    pdir = str(tmp_path / "pd")
+    run_cli(
+        "para-dedup", "--docs", str(docs_dir), "--out", pdir,
+        "--chunk-tokens", "8", "--num-cpus", "4",
+    )
+    t = pq.read_table(os.path.join(pdir, "data"))
+    assert t.num_rows == pt.num_rows
+
+    # seeds = first 20 vertices of the edge table
+    et = pq.read_table(os.path.join(edges, "data"))
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    pqw.write_table(
+        pa.table({"v": pa.array(sorted(set(et.column("src").to_pylist()))[:20], pa.int64())}),
+        str(seeds_dir / "seeds.parquet"),
+    )
+    smdir = str(tmp_path / "sm")
+    run_cli(
+        "spam-mass", "--edges", os.path.join(edges, "data"), "--seeds", str(seeds_dir),
+        "--out", smdir, "--parts", "4", "--num-cpus", "4",
+    )
+    t = pq.read_table(os.path.join(smdir, "data"))
+    assert t.num_rows > 0
+    sm = t.column("spam_mass").to_pylist()
+    # spam mass <= 1 always; NEGATIVE is legitimate for trusted pages
+    # (trust rank can exceed plain PageRank near the seeds)
+    import math
+
+    assert all(math.isfinite(x) and x <= 1.0 + 1e-9 for x in sm)
+    assert any(x > 0.5 for x in sm)  # far-from-seed pages carry spam mass
