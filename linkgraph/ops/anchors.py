@@ -38,8 +38,6 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
-
 from ..extract import absolutize
 from ..hashing import hash64_str_signed
 
@@ -84,56 +82,65 @@ def anchor_top_terms(
         g = tt.group_by(["dst", "term"]).aggregate([([], "count_all")])  # combiner
         return g.rename_columns(["dst", "term", "_c"])
 
-    counts = (
-        joined.map_batches(count_partial, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby(["dst", "term"])
-        .aggregate(Sum("_c", alias_name="n"))
+    partials = joined.map_batches(
+        count_partial, batch_format="pyarrow", batch_size=1 << 20
     )
+    return _topk_per_dst(partials, k)
 
-    return _topk_per_dst(counts, k, num_buckets)
 
+def _topk_per_dst(partials: Dataset, k: int, num_buckets: int | None = None) -> Dataset:
+    """(dst, term, _c) per-batch partial counts -> top-k per dst by
+    (total count desc, term asc), via ONE range sort on (dst, term):
+    equal keys land in one sorted block (the sortagg guarantee), so the
+    global count is a per-block run-sum AND each dst's whole term set
+    is contiguous — count aggregation and top-k selection fuse into a
+    single post-sort kernel (replaces a high-cardinality (int, string)
+    hash groupby + a bucket shuffle; ``num_buckets`` kept for signature
+    compatibility). Within a dst run, terms arrive sorted asc, so the
+    tie order is the row order itself."""
 
-def _topk_per_dst(counts: Dataset, k: int, num_buckets: int) -> Dataset:
-    """(dst, term, n) -> top-k per dst by (n desc, term asc): the tfidf
-    topk shape — dst-hash buckets, lexsort + run offsets inside each,
-    term ties ranked by Arrow sort index so the string column never
-    boxes to Python."""
-    B = num_buckets
-
-    def bucketed(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pa.array(t.column("dst").to_numpy() % B)
-        )
-
-    def topk(t: pa.Table) -> pa.Table:
+    def block(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         tc = t.combine_chunks()
         dst = tc.column("dst").to_numpy()
-        n = tc.column("n").to_numpy()
-        term_order = pc.sort_indices(tc.column("term")).to_numpy()
-        term_pos = np.empty(len(dst), np.int64)
-        term_pos[term_order] = np.arange(len(dst))
-        order = np.lexsort((term_pos, -n, dst))
-        ds = dst[order]
-        starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
-        run_start = np.repeat(starts, np.diff(np.r_[starts, len(ds)]))
+        if len(dst) == 0:
+            return pa.table(
+                {
+                    "dst": tc.column("dst"),
+                    "term": tc.column("term"),
+                    "n": pa.array([], pa.int64()),
+                    "term_rank": pa.array([], pa.int64()),
+                }
+            )
+        term = tc.column("term")
+        c = tc.column("_c").to_numpy()
+        # run starts where dst OR term changes (Arrow compare — the
+        # strings never box to Python)
+        tchange = pc.not_equal(term.slice(1), term.slice(0, len(term) - 1))
+        tchange = tchange.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, (dst[1:] != dst[:-1]) | tchange])
+        n = np.add.reduceat(c, starts).astype(np.int64)
+        dst_g = dst[starts]
+        # rank per dst by (n desc, in-block position asc = term asc)
+        order = np.lexsort((np.arange(len(n)), -n, dst_g))
+        ds = dst_g[order]
+        o_starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+        run_start = np.repeat(o_starts, np.diff(np.r_[o_starts, len(ds)]))
         rank = np.arange(len(ds)) - run_start
         top = rank < k
         sel = order[top]
         return pa.table(
             {
-                "dst": pa.array(dst[sel]),
-                "term": pc.take(tc.column("term"), pa.array(sel)),
+                "dst": pa.array(dst_g[sel]),
+                "term": pc.take(term, pa.array(starts[sel])),
                 "n": pa.array(n[sel]),
                 "term_rank": pa.array(rank[top] + 1),
             }
         )
 
-    return (
-        counts.map_batches(bucketed, batch_format="pyarrow", batch_size=1 << 20)
-        .groupby("bucket")
-        .map_groups(topk, batch_format="pyarrow")
+    return partials.sort(["dst", "term"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -213,11 +220,7 @@ class PageAnchorRows:
 def anchor_index_pages(pages: Dataset, k: int = 3, num_buckets: int = 32) -> Dataset:
     """pages(url, html) -> (dst, term, n, term_rank): top-k anchor
     terms per hashed link target from the real markup."""
-    counts = (
-        pages.map_batches(
-            PageAnchorRows, batch_format="pyarrow", concurrency=(1, 8)
-        )
-        .groupby(["dst", "term"])
-        .aggregate(Sum("_c", alias_name="n"))
+    partials = pages.map_batches(
+        PageAnchorRows, batch_format="pyarrow", concurrency=(1, 8)
     )
-    return _topk_per_dst(counts, k, num_buckets)
+    return _topk_per_dst(partials, k)
