@@ -528,6 +528,15 @@ def q_hits(sf_dir: str):
     return hits_dataset(_doc_edges_ds(sf_dir), iters=HITS_ITERS).to_pandas()
 
 
+def q_salsa(sf_dir: str):
+    """SALSA hubs & authorities (degree-normalized HITS), 5 unrolled
+    simultaneous-update iterations, 8 dp — iteration-exact vs the
+    unrolled SQL recurrence."""
+    from linkgraph.algos import salsa_dataset
+
+    return salsa_dataset(_doc_edges_ds(sf_dir), iters=HITS_ITERS).to_pandas()
+
+
 def q_katz(sf_dir: str):
     """Katz centrality, 4 unrolled iterations (x = beta + alpha*A^T x),
     iteration-exact vs the unrolled SQL recurrence, 8 dp."""
@@ -1017,7 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_graph": q_knn_graph,
         "random_walks_4": q_random_walks,
-        "sssp_weighted": q_sssp,
+        "salsa_5": q_salsa,
         "katz_4": q_katz,
         "anchor_top3": q_anchor_top3,
         "para_dedup": q_para_dedup,
@@ -1037,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank_5": q_weighted_pagerank,
         "radius_join_2d": q_radius_join,
         "tumbling_1h": q_tumbling,
+        "sssp_weighted": q_sssp,
         "exact_dedup": q_exact_dedup,
         "clustering_coeff": q_clustering,
         "top_tokens_100": q_top_tokens,
@@ -1303,6 +1313,37 @@ def _ppr_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v, round(r, 8) AS ppr_rank FROM r{PR_ITERS}"
+    )
+
+
+def _salsa_sql() -> str:
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        "sout AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "sin AS (SELECT dst AS v, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY dst)",
+        "s0 AS (SELECT v, 1.0 AS h, 1.0 AS a FROM verts)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        p = f"s{i-1}"
+        ctes.append(
+            f"ssa{i} AS (SELECT e.dst AS v, sum(p.h / o.deg) AS a FROM e "
+            f"JOIN {p} p ON e.src = p.v JOIN sout o ON e.src = o.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"ssh{i} AS (SELECT e.src AS v, sum(p.a / n.deg) AS h FROM e "
+            f"JOIN {p} p ON e.dst = p.v JOIN sin n ON e.dst = n.v GROUP BY e.src)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT verts.v, coalesce(sh.h, 0.0) AS h, "
+            f"coalesce(sa.a, 0.0) AS a FROM verts "
+            f"LEFT JOIN ssa{i} sa ON verts.v = sa.v "
+            f"LEFT JOIN ssh{i} sh ON verts.v = sh.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, round(h, 8) AS hub, round(a, 8) AS auth "
+        f"FROM s{HITS_ITERS}"
     )
 
 
@@ -2183,6 +2224,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "hits_5": _hits_sql(),
         "ppr_5": _ppr_sql(),
         "katz_4": _katz_sql(),
+        "salsa_5": _salsa_sql(),
         "anchor_top3": _anchor_sql(),
         "spam_mass": _spam_mass_sql(),
         "para_dedup": (

@@ -16,6 +16,7 @@ from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .hits import hits_dataset
 from .katz import katz_dataset, katz_numpy
+from .salsa import salsa_dataset, salsa_numpy
 from .trustrank import trustrank_dataset, spam_mass, spam_mass_engine
 from .bowtie import bowtie
 from .coloring import greedy_coloring
@@ -48,6 +49,8 @@ __all__ = [
     "hits_dataset",
     "katz_dataset",
     "katz_numpy",
+    "salsa_dataset",
+    "salsa_numpy",
     "trustrank_dataset",
     "spam_mass",
     "spam_mass_engine",

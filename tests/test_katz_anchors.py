@@ -133,3 +133,32 @@ def test_page_anchor_pairs_matches_generator():
         for target, anchor in page_anchor_pairs(html, url):
             t = int(anchor.split()[1])
             assert target == page_url(t, 5)
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURE_GRAPHS))
+def test_salsa_fixtures(name):
+    from linkgraph.algos import salsa_dataset, salsa_numpy
+
+    edges = FIXTURE_GRAPHS[name]
+    out = salsa_dataset(edges_ds(edges), iters=5).to_pandas()
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    n = int(max(src.max(), dst.max())) + 1
+    wh, wa = salsa_numpy(src, dst, n, iters=5)
+    for v, h, a in zip(out["v"], out["hub"], out["auth"]):
+        assert abs(h - wh[v]) < 1e-7
+        assert abs(a - wa[v]) < 1e-7
+
+
+def test_salsa_random_matches_numpy():
+    from linkgraph.algos import salsa_dataset, salsa_numpy
+
+    edges = random_edges(250, 1200, seed=17)
+    out = salsa_dataset(edges_ds(edges), iters=6).to_pandas()
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    n = int(max(src.max(), dst.max())) + 1
+    wh, wa = salsa_numpy(src, dst, n, iters=6)
+    for v, h, a in zip(out["v"], out["hub"], out["auth"]):
+        assert abs(h - wh[v]) < 1e-7
+        assert abs(a - wa[v]) < 1e-7
