@@ -528,6 +528,22 @@ def q_hits(sf_dir: str):
     return hits_dataset(_doc_edges_ds(sf_dir), iters=HITS_ITERS).to_pandas()
 
 
+def q_token_zipf(sf_dir: str):
+    """Zipf exponent MLE of the corpus token-frequency tail (count >=
+    2) — the vocabulary-skew twin of powerlaw_alpha."""
+    from linkgraph.ops.text import token_zipf_alpha
+
+    return token_zipf_alpha(_read(sf_dir, "documents", ["doc_id", "text"]), cmin=2)
+
+
+def q_source_mix(sf_dir: str):
+    """Per-source training-mixture table: doc/byte counts and the
+    bytes-proportional sampling weight."""
+    from linkgraph.ops.text import source_mix
+
+    return source_mix(_read(sf_dir, "documents", ["source", "n_chars"]))
+
+
 def q_salsa(sf_dir: str):
     """SALSA hubs & authorities (degree-normalized HITS), 5 unrolled
     simultaneous-update iterations, 8 dp — iteration-exact vs the
@@ -993,7 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_5": q_pagerank,
         "cc_labels": q_cc,
         "triangle_count": q_triangles,
-        "bfs_hops": q_bfs,
+        "token_zipf": q_token_zipf,
         "kcore_peel": q_kcore,
         "ktruss_3": q_ktruss,
         "motif_census": q_motif_census,
@@ -1032,7 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "para_dedup": q_para_dedup,
         "lm_score": q_lm_score,
         "spam_mass": q_spam_mass,
-        "ppr_5": q_ppr,
+        "source_mix": q_source_mix,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
         "lp_quotient": q_lp_quotient,
@@ -1047,6 +1063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join_2d": q_radius_join,
         "tumbling_1h": q_tumbling,
         "sssp_weighted": q_sssp,
+        "bfs_hops": q_bfs,
+        "ppr_5": q_ppr,
         "exact_dedup": q_exact_dedup,
         "clustering_coeff": q_clustering,
         "top_tokens_100": q_top_tokens,
@@ -2225,6 +2243,23 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "ppr_5": _ppr_sql(),
         "katz_4": _katz_sql(),
         "salsa_5": _salsa_sql(),
+        "token_zipf": (
+            "WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM "
+            "(SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token "
+            "FROM documents) GROUP BY token), "
+            "t AS (SELECT cnt FROM c WHERE cnt >= 2) "
+            "SELECT 2 AS cmin, CAST(count(*) AS BIGINT) AS n_tail, "
+            "round(1 + count(*) / (SUM(ln(cnt)) - count(*) * ln(1.5)), 8) "
+            "AS alpha FROM t"
+        ),
+        "source_mix": (
+            "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS n_bytes FROM documents "
+            "GROUP BY source), "
+            "tot AS (SELECT CAST(sum(n_bytes) AS DOUBLE) AS b FROM s) "
+            "SELECT source, n_docs, n_bytes, "
+            "round(n_bytes / (SELECT b FROM tot), 8) AS weight FROM s"
+        ),
         "anchor_top3": _anchor_sql(),
         "spam_mass": _spam_mass_sql(),
         "para_dedup": (

@@ -527,3 +527,81 @@ def top_k_tokens(docs, k: int = 100):
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def token_zipf_alpha(docs, cmin: int = 2):
+    """Clauset-Shalizi-Newman continuous MLE of the Zipf exponent of
+    the corpus TOKEN-frequency distribution tail (count >= cmin) —
+    the text-side twin of graphstats.powerlaw_alpha (vocabulary skew
+    drives combiner effectiveness exactly as hub skew does):
+
+        alpha = 1 + n / sum_i ln( c_i / (cmin - 0.5) )
+
+    One row (cmin, n_tail, alpha). Token counting reuses the
+    TokenPartialCounts combiner + one vocabulary-sized groupby; the MLE
+    reduce ships two scalars per block."""
+    import pandas as pd
+
+    parts = docs.map_batches(
+        TokenPartialCounts, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    agg = parts.groupby("token").sum("cnt")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("sum(cnt)").to_numpy().astype(np.float64)
+        c = c[c >= cmin]
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "slog": pa.array([float(np.log(c).sum()) if len(c) else 0.0]),
+            }
+        )
+
+    tot = agg.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20).sum(
+        ["n", "slog"]
+    )
+    n = int(tot["sum(n)"])
+    denom = tot["sum(slog)"] - n * np.log(cmin - 0.5)
+    alpha = 1.0 + n / denom if n and denom > 0 else float("nan")
+    return pd.DataFrame(
+        {
+            "cmin": [int(cmin)],
+            "n_tail": [n],
+            "alpha": [round(float(alpha), 8)],
+        }
+    )
+
+
+def source_mix(docs):
+    """Per-source training-mixture weights: (source, n_docs, n_bytes,
+    weight) with weight = the source's byte share of the corpus — the
+    bytes-proportional sampling table a pre-training mix starts from.
+    One combiner + one tiny (n_sources) groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"source": t.column("source"), "b": t.column("n_chars")})
+        g = tt.group_by("source").aggregate([("b", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "_b", "_n"])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby("source")
+        .aggregate(Sum("_n", alias_name="n_docs"), Sum("_b", alias_name="n_bytes"))
+    )
+
+    def finish(df):
+        import pandas as pd
+
+        total = float(df["n_bytes"].sum())
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": df["n_docs"].astype("int64"),
+                "n_bytes": df["n_bytes"].astype("int64"),
+                "weight": np.round(df["n_bytes"].astype(float) / total, 8),
+            }
+        )
+
+    # n_sources rows — a driver-side finish is the right size
+    return finish(agg.to_pandas())

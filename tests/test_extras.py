@@ -122,3 +122,54 @@ def test_radius_join_vs_bruteforce():
             if i < j:
                 want.add((i, int(j)))
     assert got == want and len(want) > 0
+
+
+def test_token_zipf_alpha_matches_numpy():
+    """CSN MLE over token counts vs a direct numpy replay."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from linkgraph.ops.text import token_zipf_alpha
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    # Zipf-ish draw so the tail is non-trivial
+    p = 1.0 / np.arange(1, 41)
+    p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=30, p=p)) for _ in range(50)]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(50), pa.int64()), "text": pa.array(texts)})
+    )
+    got = token_zipf_alpha(docs, cmin=2)
+    c = Counter()
+    for t in texts:
+        c.update(re.findall(r"[A-Za-z0-9]+", t))
+    tail = np.array([x for x in c.values() if x >= 2], float)
+    alpha = 1.0 + len(tail) / (np.log(tail).sum() - len(tail) * np.log(1.5))
+    assert int(got["n_tail"][0]) == len(tail)
+    assert abs(float(got["alpha"][0]) - round(alpha, 8)) < 1e-6
+
+
+def test_source_mix_weights():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from linkgraph.ops.text import source_mix
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a", "a", "b", "c"]),
+                "n_chars": pa.array([100, 300, 400, 200], pa.int64()),
+            }
+        )
+    )
+    df = source_mix(docs).set_index("source")
+    assert df.loc["a", "n_docs"] == 2 and df.loc["a", "n_bytes"] == 400
+    assert abs(df["weight"].sum() - 1.0) < 1e-9
+    assert df.loc["b", "weight"] == 0.4
