@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("build-edges")
     p.add_argument("--pages", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument(
+        "--format", choices=("parquet", "warc"), default="parquet",
+        help="'warc' ingests Common-Crawl-style WARC file(s)/dir",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("synth-pages")
@@ -209,7 +213,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "build-edges":
             from .edges import build_edges
 
-            edges = build_edges(read_pages(args.pages, columns=["url", "html"]))
+            if args.format == "warc":
+                from .sources import read_warc
+
+                pages = read_warc(args.pages)
+            else:
+                pages = read_pages(args.pages, columns=["url", "html"])
+            edges = build_edges(pages)
             out = write_partitioned(edges, args.out, tag="edges")
             print(json.dumps({"out": out}))
             return 0

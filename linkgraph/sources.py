@@ -133,3 +133,129 @@ def write_partitioned(ds: Dataset, out_dir: str, tag: str = "result", **kwargs) 
         )
     os.replace(tmp, manifest_path)
     return out_dir
+
+
+# --------------------------------------------------------------------------
+# WARC — the Common-Crawl container format (ISO 28500)
+# --------------------------------------------------------------------------
+
+_WARC_MAGIC = b"WARC/1.0\r\n"
+
+
+def parse_warc_records(raw: bytes) -> list[tuple[str, int, bytes]]:
+    """Scalar WARC parser: concatenated WARC/1.0 records ->
+    [(target_uri, timestamp_us, payload_bytes)] for response records.
+
+    Minimal by design (no external deps in this environment): headers
+    are latin-1 lines up to the blank line, the payload is exactly
+    Content-Length bytes, records are separated by \\r\\n\\r\\n. Records
+    without a WARC-Target-URI (warcinfo, request, metadata) are
+    skipped. WARC-Date parses as ISO-8601 Zulu to microseconds since
+    the epoch."""
+    from datetime import datetime, timezone
+
+    out: list[tuple[str, int, bytes]] = []
+    i = 0
+    n = len(raw)
+    while True:
+        i = raw.find(_WARC_MAGIC, i)
+        if i < 0 or i >= n:
+            break
+        hdr_end = raw.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in raw[i + len(_WARC_MAGIC): hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+        length = int(headers.get("content-length", "0"))
+        body_start = hdr_end + 4
+        body = raw[body_start: body_start + length]
+        uri = headers.get("warc-target-uri")
+        if uri and headers.get("warc-type", "response") == "response":
+            ts = 0
+            if "warc-date" in headers:
+                dt = datetime.fromisoformat(
+                    headers["warc-date"].replace("Z", "+00:00")
+                ).astimezone(timezone.utc)
+                ts = int(dt.timestamp() * 1_000_000)
+            out.append((uri, ts, body))
+        i = body_start + length
+    return out
+
+
+def read_warc(paths, parallelism: int = -1) -> Dataset:
+    """WARC file(s) -> pages Dataset (url, warc_ts, html) — the
+    Common-Crawl ingest path (BASELINE.json input_hint schema; the
+    ``text``/``lang`` columns are downstream extraction products, see
+    linkgraph.extract).
+
+    Distributed by FILE via ``read_binary_files`` (Common Crawl ships
+    ~1 GB segment files, so the file is the natural parallel unit;
+    ``.gz`` members are decompressed with stdlib gzip inside the task).
+    One task parses each file with the scalar record scanner — payload
+    bytes are sliced, never copied per header line."""
+    import gzip
+
+    import pyarrow as pa
+    import ray.data
+
+    files = ray.data.read_binary_files(
+        paths,
+        override_num_blocks=None if parallelism == -1 else parallelism,
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int] = []
+        htmls: list[bytes] = []
+        for raw in batch.column("bytes").to_pylist():
+            # read_binary_files already auto-decompresses by file
+            # extension; the magic-byte check covers raw gzip members
+            # arriving through paths that don't
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            for uri, ts, body in parse_warc_records(raw):
+                urls.append(uri)
+                tss.append(ts)
+                htmls.append(body)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def write_warc(table, path: str) -> None:
+    """Test/fixture sink: pages rows (url, warc_ts, html) -> one WARC
+    file of response records (gzipped when ``path`` ends with .gz)."""
+    import gzip
+
+    from datetime import datetime, timezone
+
+    chunks: list[bytes] = []
+    urls = table.column("url").to_pylist()
+    tss = table.column("warc_ts").to_pylist()
+    htmls = table.column("html").to_pylist()
+    for url, ts, html in zip(urls, tss, htmls):
+        if hasattr(ts, "timestamp"):
+            dt = ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+        else:
+            dt = datetime.fromtimestamp(ts / 1e6, tz=timezone.utc)
+        date = dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+        hdr = (
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Length: {len(html)}\r\n"
+        ).encode("latin-1")
+        chunks.append(_WARC_MAGIC + hdr + b"\r\n" + html + b"\r\n\r\n")
+    raw = b"".join(chunks)
+    if path.endswith(".gz"):
+        raw = gzip.compress(raw)
+    with open(path, "wb") as f:
+        f.write(raw)
