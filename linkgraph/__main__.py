@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
         "--format", choices=("parquet", "warc"), default="parquet",
         help="'warc' ingests Common-Crawl-style WARC file(s)/dir",
     )
+    p.add_argument(
+        "--canonicalize", action="store_true",
+        help="RFC 3986 url canonicalization before hashing",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("synth-pages")
@@ -219,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
                 pages = read_warc(args.pages)
             else:
                 pages = read_pages(args.pages, columns=["url", "html"])
-            edges = build_edges(pages)
+            edges = build_edges(pages, canonicalize=args.canonicalize)
             out = write_partitioned(edges, args.out, tag="edges")
             print(json.dumps({"out": out}))
             return 0

@@ -17,13 +17,22 @@ from ray.data.aggregate import Sum
 from .extract import ExtractEdges
 
 
-def build_edges(pages: Dataset, dedup: bool = True) -> Dataset:
+def build_edges(pages: Dataset, dedup: bool = True, canonicalize: bool = False) -> Dataset:
     """pages(url, html) -> deduplicated hashed edge table (src, dst) uint64.
+
+    ``canonicalize=True`` rewrites page urls to RFC 3986 canonical form
+    before extraction/hashing (linkgraph.urlnorm), collapsing spelling
+    variants of one page to one vertex; off by default to preserve the
+    byte-identical golden invariant on already-canonical corpora.
 
     Reference parity: explicit-edge creation + idempotent upsert
     (reference src/hoover.cpp:2289-2355, 450-600 `update_edge_info`
     early-return on existing edge) expressed as extract + distinct.
     """
+    if canonicalize:
+        from .urlnorm import canonicalize_pages
+
+        pages = canonicalize_pages(pages)
     edges = pages.map_batches(ExtractEdges(), batch_format="pyarrow", batch_size=4096)
     if dedup:
         edges = distinct_edges(edges)
