@@ -327,7 +327,9 @@ def run_bench() -> dict:
                 }
             )
 
-        ptext = pages2.map_batches(_doc_text, batch_format="pyarrow")
+        # materialized once: para_dedup and lm_score otherwise each
+        # re-run page synthesis + url hashing through the lazy lineage
+        ptext = pages2.map_batches(_doc_text, batch_format="pyarrow").materialize()
         ste.run(
             "para_dedup_pages",
             lambda: para_dedup_stats(ptext, chunk_tokens=8).count(),
@@ -354,6 +356,32 @@ def run_bench() -> dict:
             return n
 
         ste.run("spam_mass", _spam)
+
+        # WARC ingest throughput: the Common-Crawl container path
+        # (write once to /tmp as 32 gzipped members, then timed
+        # read_warc -> build_edges). Fixture write is NOT in the timing.
+        import tempfile
+
+        from linkgraph.sources import read_warc, write_warc
+        from linkgraph.synth import pages_table
+
+        n_warc = min(N_PAGES, 40_000)
+        wdir = tempfile.mkdtemp(prefix="lgwarc_")
+        shard = n_warc // 32 or 1
+        for i in range(0, n_warc, shard):
+            write_warc(
+                pages_table(np.arange(i, min(i + shard, n_warc)), N_PAGES, N_SITES),
+                os.path.join(wdir, f"part-{i:07d}.warc.gz"),
+            )
+        ste.run(
+            "warc_ingest",
+            lambda: build_edges(read_warc(wdir)).count(),
+        )
+        extra["warc_pages_per_sec"] = round(n_warc / eq["warc_ingest"], 1)
+        extra["warc_n_pages"] = n_warc
+        import shutil
+
+        shutil.rmtree(wdir, ignore_errors=True)
 
         # streaming PageRank: cold converge on 8M RMAT edges, insert a
         # 100k delta, warm restart (fixpoint equality proven in
