@@ -32,6 +32,8 @@ JACCARD_T = 0.7
 COS_T = 0.4
 KNN_K = 10
 KNN_QUERIES = [0, 1, 2, 3, 4]
+KMEANS_K = 8
+KMEANS_ITERS = 4
 NUM_PARTS = 8
 HITS_ITERS = 5
 SSSP_BOUND = 100  # > max weighted eccentricity of v0 at driver scales
@@ -352,6 +354,38 @@ def q_embedding_dup(sf_dir: str):
     if "a" not in df.columns:  # empty result may lose schema
         df = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
     return df
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means assignment (deterministic splitmix64
+    seeds, combiner-reduced centroid updates, 6-dp cross-engine
+    rounding). Integer-only output (vec_id, cluster)."""
+    from linkgraph.ops import kmeans_assign
+
+    df = kmeans_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+    ).to_pandas()
+    df["cluster"] = df["cluster"].astype("int64")
+    return df
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): cosine near-dup pairs restricted to
+    the same k-means cluster — the cluster shuffle bounds pair work to
+    sum |c|^2 instead of O(n^2)."""
+    from linkgraph.ops import semdedup_pairs
+
+    df = semdedup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=COS_T,
+    ).to_pandas()
+    if "a" not in df.columns:
+        df = pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    return df[["a", "b"]]
 
 
 def q_knn(sf_dir: str):
@@ -1039,8 +1073,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "knn_cosine": q_knn,
         "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "knn_graph": q_knn_graph,
+        "kmeans_4": q_kmeans,
+        "semdedup": q_semdedup,
         "random_walks_4": q_random_walks,
         "salsa_5": q_salsa,
         "katz_4": q_katz,
@@ -1056,7 +1090,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha": q_powerlaw,
         "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
-        # ---- past the driver's 50-query window (stable greens) ----
+        # ---- past the driver's 50-query window (stable greens; knn_ivf
+        # and knn_graph have r3 rows-only records and yield their window
+        # slots to the new hard-oracled kmeans_4 / semdedup) ----
+        "knn_ivf": q_knn_ivf,
+        "knn_graph": q_knn_graph,
         "hits_5": q_hits,
         "adamic_adar": q_adamic_adar,
         "weighted_pagerank_5": q_weighted_pagerank,
@@ -1917,6 +1955,67 @@ def _sql_splitmix_ctes(tag: str, src: str, inputs: dict[str, str]) -> tuple[list
     return ctes, f"{tag}{len(steps)}"
 
 
+def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> tuple[list[str], str]:
+    """CTE chain replaying the distributed k-means bit-exactly: seeds =
+    k smallest splitmix64(vec_id) ordered by id, per-iteration rounded
+    cosine argmax (ties -> smallest cluster) + 6-dp rounded mean
+    centroids (empty clusters keep the previous centroid), then a final
+    assignment against the post-iteration centroids. Returns (ctes,
+    final_assignment_cte) where the final CTE has (vec_id, cl)."""
+    sm, last = _sql_splitmix_ctes("kmsm", "kverts", {"hv": "v"})
+    assign = (
+        "{name} AS (SELECT vec_id, cl FROM ("
+        "SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id "
+        "ORDER BY round(list_cosine_similarity(e.embedding, c.emb), 6) DESC, c.cl ASC) AS rn "
+        "FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1)"
+    )
+    ctes = [
+        "kverts AS (SELECT vec_id AS v FROM embeddings)",
+        *sm,
+        f"kseed AS (SELECT v FROM {last} ORDER BY hv, v LIMIT {k})",
+        "kc0 AS (SELECT row_number() OVER (ORDER BY s.v) - 1 AS cl, "
+        "list_transform(e.embedding, x -> round(CAST(x AS DOUBLE), 6)) AS emb "
+        "FROM kseed s JOIN embeddings e ON e.vec_id = s.v)",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(assign.format(name=f"ka{it}", cents=f"kc{it - 1}"))
+        ctes.append(
+            f"km{it} AS (SELECT a.cl, i.i AS i, "
+            "round(avg(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)), 6) AS x "
+            f"FROM ka{it} a JOIN embeddings e USING (vec_id), "
+            "LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) i "
+            "GROUP BY a.cl, i.i)"
+        )
+        ctes.append(
+            f"kl{it} AS (SELECT cl, list(x ORDER BY i) AS emb FROM km{it} GROUP BY cl)"
+        )
+        ctes.append(
+            f"kc{it} AS (SELECT p.cl, coalesce(n.emb, p.emb) AS emb "
+            f"FROM kc{it - 1} p LEFT JOIN kl{it} n USING (cl))"
+        )
+    ctes.append(assign.format(name="kafin", cents=f"kc{iters}"))
+    return ctes, "kafin"
+
+
+def _kmeans_sql() -> str:
+    ctes, fin = _kmeans_sql_ctes()
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM {fin}"
+    )
+
+
+def _semdedup_sql() -> str:
+    ctes, fin = _kmeans_sql_ctes()
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT x.vec_id AS a, y.vec_id AS b FROM {fin} x "
+        f"JOIN {fin} y ON x.cl = y.cl AND x.vec_id < y.vec_id "
+        "JOIN embeddings ea ON ea.vec_id = x.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = y.vec_id "
+        f"WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 6) >= {COS_T}"
+    )
+
+
 def _gcn_sql() -> str:
     """Unrolled 2-layer GCN (reference analogue test/gcn.cpp:63-71):
     h0 = uniform01(splitmix64(v XOR (5*1000003+j))); per layer
@@ -2242,6 +2341,8 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "hits_5": _hits_sql(),
         "ppr_5": _ppr_sql(),
         "katz_4": _katz_sql(),
+        "kmeans_4": _kmeans_sql(),
+        "semdedup": _semdedup_sql(),
         "salsa_5": _salsa_sql(),
         "token_zipf": (
             "WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM "

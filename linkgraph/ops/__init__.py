@@ -31,6 +31,7 @@ from .dedup import (
     dedup_clusters,
 )
 from .knn import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
+from .clustering import kmeans_fit, kmeans_assign, semdedup_pairs
 from .windows import tumbling_window, hopping_window, sessionize
 from .cms import CountMinSketch, sketch_edge_counts, edge_anomaly_scores
 from .spatial import radius_join

@@ -37,6 +37,8 @@ CHECKED = [
     "edge_jaccard",
     "tfidf_top3",
     "scc_labels",
+    "kmeans_4",
+    "semdedup",
 ]
 
 
