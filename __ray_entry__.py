@@ -263,6 +263,17 @@ def q_quality_score(sf_dir: str):
     ).to_pandas()
 
 
+def q_quality_filter(sf_dir: str):
+    """Composed corpus keep/drop verdict (C4 quality heuristics +
+    Gopher repetition filters fused into one per-doc pass, zero
+    shuffle); reasons = bitmask of failed rules. Integer-only output;
+    the SQL oracle replays every ratio as the same IEEE division."""
+    from linkgraph.ops import quality_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return quality_filter(docs).to_pandas()
+
+
 def q_token_counts(sf_dir: str):
     from linkgraph.ops import TokenCount
 
@@ -1070,7 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dup": q_embedding_dup,
-        "embedding_dup_lsh": q_embedding_dup_lsh,
+        "quality_filter": q_quality_filter,
         "knn_cosine": q_knn,
         "knn_lsh": q_knn_lsh,
         "kmeans_4": q_kmeans,
@@ -1090,11 +1101,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha": q_powerlaw,
         "sample_per_key": q_sample_per_key,
         "tfidf_top3": q_tfidf,
-        # ---- past the driver's 50-query window (stable greens; knn_ivf
-        # and knn_graph have r3 rows-only records and yield their window
-        # slots to the new hard-oracled kmeans_4 / semdedup) ----
+        # ---- past the driver's 50-query window (stable greens; knn_ivf,
+        # knn_graph and embedding_dup_lsh have r3 rows-only records and
+        # yield their window slots to the new hard-oracled kmeans_4 /
+        # semdedup / quality_filter) ----
         "knn_ivf": q_knn_ivf,
         "knn_graph": q_knn_graph,
+        "embedding_dup_lsh": q_embedding_dup_lsh,
         "hits_5": q_hits,
         "adamic_adar": q_adamic_adar,
         "weighted_pagerank_5": q_weighted_pagerank,
@@ -1955,6 +1968,56 @@ def _sql_splitmix_ctes(tag: str, src: str, inputs: dict[str, str]) -> tuple[list
     return ctes, f"{tag}{len(steps)}"
 
 
+def _quality_filter_sql() -> str:
+    """Replays QualityFilter (linkgraph/ops/text.py): the quality_score
+    and repetition CTEs fused, thresholds imported from the shared
+    constants, every ratio the same IEEE double division."""
+    from linkgraph.ops.text import (
+        QF_DUP_MAX,
+        QF_MIN_TOKENS,
+        QF_PUNCT_MAX,
+        QF_STOP_MIN,
+        QF_TOKLEN_HI,
+        QF_TOKLEN_LO,
+        QF_TOP_MAX,
+        QUALITY_STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return (
+        "WITH t AS (SELECT doc_id, text, "
+        "regexp_extract_all(text, '[A-Za-z0-9]+') AS toks FROM documents), "
+        "c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        f"CAST(len(list_filter(toks, x -> lower(x) IN ({stops}))) AS BIGINT) AS n_stop, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum, "
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space, "
+        "CAST(length(text) AS BIGINT) AS n_chars FROM t), "
+        "g AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram FROM "
+        "(SELECT doc_id, toks AS ts, unnest(range(1, len(toks))) AS i "
+        "FROM t WHERE len(toks) >= 2)), "
+        "cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS np, "
+        "CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS topc "
+        "FROM cnt GROUP BY doc_id), "
+        "f AS (SELECT c.doc_id, c.n_tokens, "
+        "CASE WHEN c.n_tokens > 0 THEN CAST(c.n_alnum AS DOUBLE) / c.n_tokens ELSE 0.0 END AS mean_len, "
+        "CASE WHEN c.n_tokens > 0 THEN CAST(c.n_stop AS DOUBLE) / c.n_tokens ELSE 0.0 END AS stop_ratio, "
+        "CASE WHEN c.n_chars > 0 THEN CAST(c.n_chars - c.n_alnum - c.n_space AS DOUBLE) / c.n_chars ELSE 0.0 END AS punct, "
+        "CASE WHEN coalesce(a.np, 0) > 0 THEN 1.0 - CAST(a.nd AS DOUBLE) / a.np ELSE 0.0 END AS dup_ratio, "
+        "CASE WHEN coalesce(a.np, 0) > 0 THEN CAST(a.topc AS DOUBLE) / a.np ELSE 0.0 END AS top_frac "
+        "FROM c LEFT JOIN agg a USING (doc_id)), "
+        "r AS (SELECT doc_id, ("
+        f"CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 1 ELSE 0 END "
+        f"+ CASE WHEN mean_len < {QF_TOKLEN_LO} OR mean_len > {QF_TOKLEN_HI} THEN 2 ELSE 0 END "
+        f"+ CASE WHEN stop_ratio < {QF_STOP_MIN} THEN 4 ELSE 0 END "
+        f"+ CASE WHEN punct > {QF_PUNCT_MAX} THEN 8 ELSE 0 END "
+        f"+ CASE WHEN dup_ratio > {QF_DUP_MAX} THEN 16 ELSE 0 END "
+        f"+ CASE WHEN top_frac > {QF_TOP_MAX} THEN 32 ELSE 0 END) AS reasons FROM f) "
+        "SELECT doc_id, CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep, "
+        "CAST(reasons AS BIGINT) AS reasons FROM r"
+    )
+
+
 def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> tuple[list[str], str]:
     """CTE chain replaying the distributed k-means bit-exactly: seeds =
     k smallest splitmix64(vec_id) ordered by id, per-iteration rounded
@@ -2343,6 +2406,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "katz_4": _katz_sql(),
         "kmeans_4": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
+        "quality_filter": _quality_filter_sql(),
         "salsa_5": _salsa_sql(),
         "token_zipf": (
             "WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM "

@@ -4,6 +4,8 @@ from .text import (
     LangId,
     Fingerprint,
     QualityScore,
+    QualityFilter,
+    quality_filter,
     top_k_tokens,
     tfidf_top_terms,
     ngram_contamination,

@@ -507,6 +507,89 @@ def repetition_stats(docs, n: int = 2):
     )
 
 
+# quality_filter rule thresholds (shared with the SQL oracle; every
+# ratio is an IEEE double division of integer counts, so threshold
+# comparisons are bit-identical across engines)
+QF_MIN_TOKENS = 30
+QF_TOKLEN_LO, QF_TOKLEN_HI = 3.0, 10.0
+QF_STOP_MIN = 0.03
+QF_PUNCT_MAX = 0.25
+QF_DUP_MAX = 0.10
+QF_TOP_MAX = 0.20
+
+
+class QualityFilter:
+    """(doc_id, text) -> (doc_id, keep, reasons): the composed corpus
+    keep/drop verdict of an LLM-data pipeline, fusing the C4-style
+    quality heuristics (QualityScore) and the Gopher repetition
+    filters (RepetitionStats, 2-grams) into ONE per-doc pass with zero
+    shuffle. ``reasons`` is a bitmask of failed rules:
+
+      1  too few tokens           (n_tokens < QF_MIN_TOKENS)
+      2  mean token length out of [QF_TOKLEN_LO, QF_TOKLEN_HI]
+      4  stopword ratio too low   (< QF_STOP_MIN)
+      8  punctuation ratio high   (> QF_PUNCT_MAX)
+      16 duplicate-2-gram ratio   (> QF_DUP_MAX)
+      32 top-gram coverage        (> QF_TOP_MAX)
+
+    keep = 1 iff reasons == 0. Integer-only output."""
+
+    def __init__(self):
+        self.tok = re.compile(TOKEN_RE)
+        self.stop = set(QUALITY_STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        rows = len(texts)
+        reasons = np.zeros(rows, np.int64)
+        for i, t in enumerate(texts):
+            ts = self.tok.findall(t)
+            n_tokens = len(ts)
+            n_alnum = sum(len(w) for w in ts)
+            n_stop = sum(w.lower() in self.stop for w in ts)
+            n_space = t.count(" ")
+            n_chars = len(t)
+            mean_len = n_alnum / n_tokens if n_tokens else 0.0
+            stop_ratio = n_stop / n_tokens if n_tokens else 0.0
+            punct = (n_chars - n_alnum - n_space) / n_chars if n_chars else 0.0
+            dup_ratio = 0.0
+            top_frac = 0.0
+            if n_tokens >= 2:
+                grams = [ts[j] + " " + ts[j + 1] for j in range(n_tokens - 1)]
+                _, c = np.unique(np.asarray(grams, object), return_counts=True)
+                dup_ratio = 1.0 - len(c) / len(grams)
+                top_frac = c.max() / len(grams)
+            r = 0
+            if n_tokens < QF_MIN_TOKENS:
+                r |= 1
+            if mean_len < QF_TOKLEN_LO or mean_len > QF_TOKLEN_HI:
+                r |= 2
+            if stop_ratio < QF_STOP_MIN:
+                r |= 4
+            if punct > QF_PUNCT_MAX:
+                r |= 8
+            if dup_ratio > QF_DUP_MAX:
+                r |= 16
+            if top_frac > QF_TOP_MAX:
+                r |= 32
+            reasons[i] = r
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "keep": pa.array((reasons == 0).astype(np.int64)),
+                "reasons": pa.array(reasons),
+            }
+        )
+
+
+def quality_filter(docs):
+    """Composed C4+Gopher keep/drop verdict per document: see
+    QualityFilter. One map_batches pass, no shuffle at any scale."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        QualityFilter, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    )
+
+
 def top_k_tokens(docs, k: int = 100):
     """EXACT top-k most frequent tokens over the corpus: per-batch
     combiner -> groupby(token).sum -> global sort by (cnt desc, token

@@ -39,6 +39,7 @@ CHECKED = [
     "scc_labels",
     "kmeans_4",
     "semdedup",
+    "quality_filter",
 ]
 
 
