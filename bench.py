@@ -340,6 +340,63 @@ def run_bench() -> dict:
         ste.run("lm_score_pages", lambda: lm_score(ptext).count())
         extra["lm_pages_per_sec"] = round(N_PAGES / eq["lm_score_pages"], 1)
 
+        # composed C4+Gopher keep/drop verdict over the page text (one
+        # fused per-doc pass, zero shuffle)
+        from linkgraph.ops import quality_filter as _quality_filter
+
+        kept = ste.run(
+            "quality_filter_pages",
+            lambda: _quality_filter(ptext).sum("keep"),
+        )
+        extra["quality_filter_pages_per_sec"] = round(
+            N_PAGES / eq["quality_filter_pages"], 1
+        )
+        extra["quality_filter_kept"] = int(kept)
+
+        # distributed k-means + SemDeDup over 200k synthetic 64-dim
+        # vectors (splitmix64-derived, deterministic): the combiner-
+        # reduced Lloyd's path and the within-cluster pair search.
+        from linkgraph.hashing import splitmix64 as _sm64
+        from linkgraph.ops import kmeans_assign as _kmeans_assign
+        from linkgraph.ops import semdedup_pairs as _semdedup
+
+        KM_N, KM_DIM, KM_K = 200_000, 64, 64
+
+        def _vec_batch(b):
+            ids = np.asarray(
+                b["id"].to_numpy() if hasattr(b["id"], "to_numpy") else b["id"],
+                np.int64,
+            )
+            keys = ids[:, None] * KM_DIM + np.arange(KM_DIM)[None, :]
+            M = (
+                _sm64(keys.astype(np.uint64).reshape(-1)).astype(np.float64)
+                / 2**64
+            ).astype(np.float32)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(M), KM_DIM
+                    ),
+                }
+            )
+
+        vecs = (
+            ray.data.range(KM_N)
+            .map_batches(_vec_batch, batch_format="pyarrow")
+            .materialize()
+        )
+        ste.run(
+            "kmeans_200k",
+            lambda: _kmeans_assign(vecs, k=KM_K, iters=4).count(),
+        )
+        extra["kmeans_vecs_per_sec"] = round(KM_N / eq["kmeans_200k"], 1)
+        n_sem = ste.run(
+            "semdedup_200k",
+            lambda: _semdedup(vecs, k=KM_K, iters=4, threshold=0.9).count(),
+        )
+        extra["semdedup_pairs"] = int(n_sem)
+
         # seed array: every page of the first 4 sites (engine path — the
         # whitelist fits a driver array; the Dataset-seeded spam_mass is
         # the scale path and is driver-oracled at sf0.01)

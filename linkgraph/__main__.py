@@ -18,6 +18,9 @@
     python -m linkgraph anchors     --pages pages_dir --out idx_dir
     python -m linkgraph lm-score    --docs docs_dir --out lm_dir
     python -m linkgraph para-dedup  --docs docs_dir --out pd_dir
+    python -m linkgraph quality-filter --docs docs_dir --out qf_dir
+    python -m linkgraph kmeans      --embeddings emb_dir --k 64 --out km_dir
+    python -m linkgraph semdedup    --embeddings emb_dir --k 64 --threshold 0.9 --out sd_dir
     python -m linkgraph synth-pages --n 100000 --out pages_dir
 
 Owns its Ray session (guarded init), writes partitioned parquet +
@@ -122,13 +125,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--num-cpus", type=int, default=None)
 
-    for name in ("lm-score", "para-dedup"):
+    for name in ("lm-score", "para-dedup", "quality-filter"):
         sp = sub.add_parser(name)
         sp.add_argument("--docs", required=True, help="parquet dir of (doc_id, text)")
         sp.add_argument("--out", default=None)
         sp.add_argument("--num-cpus", type=int, default=None)
         if name == "para-dedup":
             sp.add_argument("--chunk-tokens", type=int, default=16)
+
+    for name in ("kmeans", "semdedup"):
+        sp = sub.add_parser(name)
+        sp.add_argument(
+            "--embeddings", required=True, help="parquet dir of (vec_id, embedding)"
+        )
+        sp.add_argument("--out", default=None)
+        sp.add_argument("--k", type=int, default=64)
+        sp.add_argument("--iters", type=int, default=4)
+        sp.add_argument("--num-cpus", type=int, default=None)
+        if name == "semdedup":
+            sp.add_argument("--threshold", type=float, default=0.9)
 
     args = ap.parse_args(argv)
 
@@ -183,7 +198,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": out, "k": args.k}))
             return 0
 
-        if args.cmd in ("lm-score", "para-dedup"):
+        if args.cmd in ("lm-score", "para-dedup", "quality-filter"):
             import ray.data
 
             docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
@@ -192,17 +207,48 @@ def main(argv: list[str] | None = None) -> int:
 
                 res = lm_score(docs)
                 tag = "lm_score"
-            else:
+            elif args.cmd == "para-dedup":
                 from .ops.paradedup import para_dedup_stats
 
                 res = para_dedup_stats(docs, chunk_tokens=args.chunk_tokens)
                 tag = "para_dedup"
+            else:
+                from .ops.text import quality_filter
+
+                res = quality_filter(docs)
+                tag = "quality_filter"
             if args.out:
                 out = write_partitioned(res, args.out, tag=tag)
             else:
                 out = None
                 res = res.materialize()
             print(json.dumps({"out": out}))
+            return 0
+
+        if args.cmd in ("kmeans", "semdedup"):
+            import ray.data
+
+            emb = ray.data.read_parquet(
+                args.embeddings, columns=["vec_id", "embedding"]
+            )
+            if args.cmd == "kmeans":
+                from .ops.clustering import kmeans_assign
+
+                res = kmeans_assign(emb, k=args.k, iters=args.iters)
+                tag = "kmeans"
+            else:
+                from .ops.clustering import semdedup_pairs
+
+                res = semdedup_pairs(
+                    emb, k=args.k, iters=args.iters, threshold=args.threshold
+                )
+                tag = "semdedup"
+            if args.out:
+                out = write_partitioned(res, args.out, tag=tag)
+            else:
+                out = None
+                res = res.materialize()
+            print(json.dumps({"out": out, "k": args.k, "iters": args.iters}))
             return 0
 
         if args.cmd == "synth-pages":

@@ -143,3 +143,67 @@ def test_cli_round4_continuation_ops(tmp_path):
 
     assert all(math.isfinite(x) and x <= 1.0 + 1e-9 for x in sm)
     assert any(x > 0.5 for x in sm)  # far-from-seed pages carry spam mass
+
+
+@pytest.mark.slow
+def test_cli_clustering_and_quality_ops(tmp_path):
+    """quality-filter / kmeans / semdedup subcommands over tiny inputs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    good = (
+        "The quick brown fox jumps over the lazy dog and it runs far away "
+        "to the green hills where a small river flows by an old stone mill "
+        "and this is that place for everyone to visit on a warm day in June"
+    )
+    pqw.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([good, "tiny doc"]),
+            }
+        ),
+        str(docs_dir / "docs.parquet"),
+    )
+    qdir = str(tmp_path / "qf")
+    run_cli("quality-filter", "--docs", str(docs_dir), "--out", qdir, "--num-cpus", "4")
+    t = pq.read_table(os.path.join(qdir, "data"))
+    by_id = dict(zip(t.column("doc_id").to_pylist(), t.column("keep").to_pylist()))
+    assert by_id == {0: 1, 1: 0}
+
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    rng = np.random.default_rng(5)
+    M = rng.normal(size=(60, 8)).astype(np.float32)
+    M[1] = M[0] + 1e-4  # planted near-dup
+    pqw.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(M.reshape(-1)), 8
+                ),
+            }
+        ),
+        str(emb_dir / "emb.parquet"),
+    )
+    kdir = str(tmp_path / "km")
+    out = run_cli(
+        "kmeans", "--embeddings", str(emb_dir), "--out", kdir,
+        "--k", "4", "--iters", "2", "--num-cpus", "4",
+    )
+    assert out["k"] == 4
+    t = pq.read_table(os.path.join(kdir, "data"))
+    assert t.num_rows == 60 and set(t.column("cluster").to_pylist()) <= set(range(4))
+
+    sdir = str(tmp_path / "sd")
+    run_cli(
+        "semdedup", "--embeddings", str(emb_dir), "--out", sdir,
+        "--k", "4", "--iters", "2", "--threshold", "0.99", "--num-cpus", "4",
+    )
+    t = pq.read_table(os.path.join(sdir, "data"))
+    pairs = set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+    assert (0, 1) in pairs
