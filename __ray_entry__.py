@@ -274,6 +274,16 @@ def q_quality_filter(sf_dir: str):
     return quality_filter(docs).to_pandas()
 
 
+def q_quality_by_source(sf_dir: str):
+    """Per-source corpus quality report: the quality_filter verdict
+    aggregated by `source` (keep rate + per-rule failure counts);
+    combiner-first, one tiny count row per (source, block) shuffled."""
+    from linkgraph.ops.text import quality_by_source
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return quality_by_source(docs).to_pandas()
+
+
 def q_token_counts(sf_dir: str):
     from linkgraph.ops import TokenCount
 
@@ -1080,7 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
-        "embedding_dup": q_embedding_dup,
+        "quality_by_source": q_quality_by_source,
         "quality_filter": q_quality_filter,
         "knn_cosine": q_knn,
         "knn_lsh": q_knn_lsh,
@@ -1108,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_graph": q_knn_graph,
         "embedding_dup_lsh": q_embedding_dup_lsh,
+        "embedding_dup": q_embedding_dup,
         "hits_5": q_hits,
         "adamic_adar": q_adamic_adar,
         "weighted_pagerank_5": q_weighted_pagerank,
@@ -2018,6 +2029,22 @@ def _quality_filter_sql() -> str:
     )
 
 
+def _quality_by_source_sql() -> str:
+    bits = zip((1, 2, 4, 8, 16, 32), ("n_short", "n_toklen", "n_stop", "n_punct", "n_dup", "n_top"))
+    bit_cols = ", ".join(
+        f"CAST(sum(CASE WHEN (qf.reasons & {b}) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS {c}"
+        for b, c in bits
+    )
+    return (
+        f"WITH qf AS ({_quality_filter_sql()}) "
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(qf.keep) AS BIGINT) AS n_keep, "
+        f"{bit_cols}, "
+        "CAST(sum(qf.keep) AS DOUBLE) / count(*) AS keep_rate "
+        "FROM qf JOIN documents d USING (doc_id) GROUP BY d.source"
+    )
+
+
 def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> tuple[list[str], str]:
     """CTE chain replaying the distributed k-means bit-exactly: seeds =
     k smallest splitmix64(vec_id) ordered by id, per-iteration rounded
@@ -2407,6 +2434,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "kmeans_4": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
         "quality_filter": _quality_filter_sql(),
+        "quality_by_source": _quality_by_source_sql(),
         "salsa_5": _salsa_sql(),
         "token_zipf": (
             "WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM "

@@ -538,10 +538,8 @@ class QualityFilter:
         self.tok = re.compile(TOKEN_RE)
         self.stop = set(QUALITY_STOPWORDS)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        rows = len(texts)
-        reasons = np.zeros(rows, np.int64)
+    def _reasons(self, texts: list[str]) -> np.ndarray:
+        reasons = np.zeros(len(texts), np.int64)
         for i, t in enumerate(texts):
             ts = self.tok.findall(t)
             n_tokens = len(ts)
@@ -573,6 +571,10 @@ class QualityFilter:
             if top_frac > QF_TOP_MAX:
                 r |= 32
             reasons[i] = r
+        return reasons
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        reasons = self._reasons(batch.column("text").to_pylist())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -588,6 +590,63 @@ def quality_filter(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
         QualityFilter, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
     )
+
+
+_QF_BITS = (1, 2, 4, 8, 16, 32)
+_QF_BIT_COLS = ("n_short", "n_toklen", "n_stop", "n_punct", "n_dup", "n_top")
+
+
+class _QualityBySourcePartials(QualityFilter):
+    """Per-batch combiner for quality_by_source: run the fused verdict,
+    then reduce to one row per source IN THE BATCH — the groupby only
+    ever shuffles (sources x blocks) tiny count rows, never documents."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        reasons = self._reasons(batch.column("text").to_pylist())
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        cols = {
+            "source": pa.array(uniq),
+            "n_docs": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+            "n_keep": pa.array(
+                np.bincount(inv, weights=(reasons == 0), minlength=len(uniq)).astype(
+                    np.int64
+                )
+            ),
+        }
+        for bit, name in zip(_QF_BITS, _QF_BIT_COLS):
+            cols[name] = pa.array(
+                np.bincount(
+                    inv, weights=(reasons & bit) != 0, minlength=len(uniq)
+                ).astype(np.int64)
+            )
+        return pa.table(cols)
+
+
+def quality_by_source(docs):
+    """Per-source corpus quality report: (source, n_docs, n_keep,
+    keep_rate, n_short, n_toklen, n_stop, n_punct, n_dup, n_top) —
+    the quality_filter verdict aggregated by the documents table's
+    ``source`` column. Combiner-first: the only shuffle carries one
+    count row per (source, block)."""
+    parts = docs.select_columns(["doc_id", "text", "source"]).map_batches(
+        _QualityBySourcePartials,
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+    agg = parts.groupby("source").sum(["n_docs", "n_keep", *_QF_BIT_COLS])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"source": t.column("source")}
+        for name in ("n_docs", "n_keep", *_QF_BIT_COLS):
+            cols[name] = t.column(f"sum({name})")
+        nd = cols["n_docs"].to_numpy().astype(np.float64)
+        nk = cols["n_keep"].to_numpy().astype(np.float64)
+        cols["keep_rate"] = pa.array(nk / nd)  # n_docs >= 1 per group
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def top_k_tokens(docs, k: int = 100):

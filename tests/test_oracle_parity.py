@@ -40,6 +40,7 @@ CHECKED = [
     "kmeans_4",
     "semdedup",
     "quality_filter",
+    "quality_by_source",
 ]
 
 
