@@ -377,6 +377,25 @@ def q_embedding_dup(sf_dir: str):
     return df
 
 
+def q_node2vec(sf_dir: str):
+    """node2vec p/q-biased walk corpus over the SYMMETRIZED doc graph
+    (rows-only — hash-sampled; pytest asserts bit-exact equality with a
+    single-process replica of the rejection protocol, path validity and
+    partition-count invariance)."""
+    from linkgraph.algos.walks import node2vec_walks
+    from linkgraph.engine import SuperstepEngine
+
+    eng = SuperstepEngine(num_parts=8, symmetrize=True).load_edges(_doc_edges_ds(sf_dir))
+    df = (
+        node2vec_walks(eng, walk_len=4, n_per_vertex=1, p=0.5, q=2.0, seed=13)
+        .to_pandas()
+        .sort_values(["walk_v0", "walk_rep", "step"])
+        .reset_index(drop=True)
+    )
+    eng.shutdown()
+    return df
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means assignment (deterministic splitmix64
     seeds, combiner-reduced centroid updates, 6-dp cross-engine
@@ -1119,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "embedding_dup": q_embedding_dup,
+        "node2vec_walks_4": q_node2vec,
         "hits_5": q_hits,
         "adamic_adar": q_adamic_adar,
         "weighted_pagerank_5": q_weighted_pagerank,

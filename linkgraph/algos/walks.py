@@ -43,6 +43,43 @@ def random_walks(
     return ray.data.from_arrow_refs(refs)
 
 
+def node2vec_walks(
+    engine: SuperstepEngine,
+    walk_len: int = 10,
+    n_per_vertex: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 7,
+    max_rounds: int | None = None,
+):
+    """node2vec second-order biased walks (Grover & Leskovec 2016) —
+    same output shape as random_walks. EXACT p/q bias via distributed
+    rejection sampling (KnightKing-style): each candidate's owner
+    resolves the common-neighbor membership test with a local binary
+    search and bounces rejections back for a resample, so no neighbor
+    set ever travels with a walk. REQUIRES a symmetric graph
+    (load_edges(symmetrize=True)) — that equivalence (cand in N(prev)
+    <=> prev in N(cand)) is what makes the test owner-local; node2vec
+    is defined on undirected graphs. p = return parameter, q = in-out
+    parameter; p = q = 1 degenerates to an (independently-seeded)
+    uniform walk."""
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec p and q must be positive")
+    actors = engine.actors
+    packed = [a.n2v_start.remote(n_per_vertex, seed, p, q) for a in actors]
+    limit = max_rounds or walk_len * 2 * (64 + 2)
+    for _ in range(limit):
+        rets = [
+            a.n2v_step.options(num_returns=2).remote(walk_len, *packed)
+            for a in actors
+        ]
+        packed = [r[0] for r in rets]
+        if sum(ray.get([r[1] for r in rets])) == 0:
+            break
+    refs = [a.walks_collect.remote() for a in actors]
+    return ray.data.from_arrow_refs(refs)
+
+
 def assemble_walks(visits) -> "ray.data.Dataset":
     """(walk_v0, walk_rep, step, v) visit rows -> one row per walk with
     the full path as a list column.

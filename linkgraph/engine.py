@@ -1231,6 +1231,198 @@ class GraphPartition:
         alive = (self.out_deg[idx] > 0) & (t < walk_len)
         return self._walks_hop(v0[alive], rep[alive], idx[alive], t)
 
+    # -- node2vec (second-order p/q-biased) walks -----------------------
+    # Exact bias via distributed rejection sampling: the walk at `cur`
+    # (with predecessor `prev`) samples a uniform candidate from N(cur),
+    # and the CANDIDATE'S OWNER decides acceptance — on a SYMMETRIC
+    # graph the node2vec membership test "cand in N(prev)" equals
+    # "prev in N(cand)", which is a local binary search in the owner's
+    # dst-sorted CSR. alpha = 1/p if cand == prev, 1 if common
+    # neighbor, 1/q otherwise; accept iff u*alpha_max < alpha. Rejected
+    # attempts bounce back to cur's owner for a resample (geometric
+    # round count, capped at _N2V_TRIES_CAP — after the cap the
+    # candidate is accepted; with p, q in the practical [0.25, 4]
+    # range the cap fires with probability < (1 - 1/16)^64 ~ 1.6e-2
+    # per hop at worst and the bias of the fallback is negligible).
+    # (KnightKing-style rejection walking, Yang et al. SOSP'19 —
+    # public algorithm, reimplemented on the packed exchange.)
+
+    _N2V_NONE = np.uint64(0xFFFFFFFFFFFFFFFF)
+    _N2V_TRIES_CAP = np.uint64(64)
+    _N2V_COLS = ("typ", "v0", "rep", "t", "cur", "prev", "cand", "tries")
+
+    @staticmethod
+    def _n2v_hash(v0, rep, t, tries, salt: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = splitmix64(v0) ^ splitmix64(
+                rep * np.uint64(0x9E3779B97F4A7C15)
+                + t * np.uint64(0x100000001B3)
+                + tries * np.uint64(1000003)
+                + np.uint64(salt)
+            )
+        return splitmix64(x)
+
+    def _n2v_member(self, ix: np.ndarray, prev: np.ndarray) -> np.ndarray:
+        """Vectorized per-row lower-bound search: prev[i] in the
+        dst-sorted neighbor segment of local vertex ix[i]."""
+        dst = self._walk_dst
+        lo = self.src_indptr[ix].astype(np.int64)
+        hi = self.src_indptr[ix + 1].astype(np.int64)
+        end = hi.copy()
+        guard = max(len(dst) - 1, 0)
+        while True:
+            active = lo < hi
+            if not active.any():
+                break
+            mid = (lo + hi) >> 1
+            val = dst[np.where(active, mid, 0)]
+            less = active & (val < prev)
+            lo = np.where(less, mid + 1, lo)
+            hi = np.where(active & ~less, mid, hi)
+        if len(dst) == 0:
+            return np.zeros(len(ix), bool)
+        return (lo < end) & (dst[np.minimum(lo, guard)] == prev)
+
+    def _n2v_sample(self, v0, rep, t, cur_idx, prev, tries) -> dict:
+        """Uniform candidate from N(cur) -> type-1 attempt rows."""
+        deg = self.out_deg[cur_idx].astype(np.uint64)
+        h = self._n2v_hash(v0 + self._walk_seed, rep, t, tries, 11)
+        cand = self._walk_dst[
+            self.src_indptr[cur_idx] + (h % np.maximum(deg, 1)).astype(np.int64)
+        ]
+        return {
+            "typ": np.ones(len(v0), np.uint8),
+            "v0": v0,
+            "rep": rep,
+            "t": t,
+            "cur": self.verts[cur_idx],
+            "prev": prev,
+            "cand": cand,
+            "tries": tries,
+        }
+
+    def _n2v_pack(self, outs: list[dict]):
+        if outs:
+            rows = {c: np.concatenate([o[c] for o in outs]) for c in self._N2V_COLS}
+        else:
+            rows = {
+                c: np.empty(0, np.uint8 if c == "typ" else np.uint64)
+                for c in self._N2V_COLS
+            }
+        route = np.where(
+            rows["typ"] == 1,
+            part_of(rows["cand"], self.P),
+            part_of(rows["cur"], self.P),
+        )
+        order = np.argsort(route, kind="stable")
+        packed = {c: v[order] for c, v in rows.items()}
+        packed["off"] = np.searchsorted(route[order], np.arange(self.P + 1))
+        return packed, len(route)
+
+    def n2v_start(self, n_per_vertex: int, seed: int, p: float, q: float):
+        """Seed n_per_vertex node2vec walks per non-dangling vertex;
+        record step-0 visits; return packed first-hop attempts (the
+        first hop is first-order: prev = NONE sentinel, always accept)."""
+        self._walk_csr()
+        self._walk_seed = np.uint64(seed)
+        self._n2v_alpha = (1.0 / p, 1.0 / q)
+        live = np.flatnonzero(self.out_deg > 0)
+        v0 = np.repeat(self.verts[live], n_per_vertex)
+        rep = np.tile(np.arange(n_per_vertex, dtype=np.uint64), len(live))
+        idx = np.repeat(live, n_per_vertex)
+        self._walk_rows = [(v0, rep, np.zeros(len(v0), np.int32), self.verts[idx])]
+        n = len(v0)
+        attempt = self._n2v_sample(
+            v0,
+            rep,
+            np.ones(n, np.uint64),
+            idx,
+            np.full(n, self._N2V_NONE, np.uint64),
+            np.zeros(n, np.uint64),
+        )
+        return self._n2v_pack([attempt])[0]
+
+    def n2v_step(self, walk_len: int, *packed):
+        """One protocol round: resample bounced attempts I own (typ 0),
+        accept/reject candidate attempts I own (typ 1); returns
+        (next packed rows, rows in flight)."""
+        parts: dict = {c: [] for c in self._N2V_COLS}
+        for pk in packed:
+            a, b = pk["off"][self.pid], pk["off"][self.pid + 1]
+            if a < b:
+                for c in self._N2V_COLS:
+                    parts[c].append(pk[c][a:b])
+        if not parts["v0"]:
+            return self._n2v_pack([])
+        rows = {c: np.concatenate(parts[c]) for c in self._N2V_COLS}
+        outs = []
+        mb = rows["typ"] == 0
+        if mb.any():
+            idx = np.searchsorted(self.verts, rows["cur"][mb]).astype(np.int64)
+            outs.append(
+                self._n2v_sample(
+                    rows["v0"][mb],
+                    rows["rep"][mb],
+                    rows["t"][mb],
+                    idx,
+                    rows["prev"][mb],
+                    rows["tries"][mb],
+                )
+            )
+        ma = rows["typ"] == 1
+        if ma.any():
+            v0, rep, t, cur, prev, cand, tries = (
+                rows[c][ma] for c in self._N2V_COLS[1:]
+            )
+            ix = np.searchsorted(self.verts, cand).astype(np.int64)
+            a_ret, a_far = self._n2v_alpha
+            amax = max(a_ret, 1.0, a_far)
+            alpha = np.where(
+                cand == prev,
+                a_ret,
+                np.where(self._n2v_member(ix, prev), 1.0, a_far),
+            )
+            alpha = np.where(prev == self._N2V_NONE, amax, alpha)
+            u = (
+                self._n2v_hash(v0 + self._walk_seed, rep, t, tries, 23).astype(
+                    np.float64
+                )
+                / 2.0**64
+            )
+            acc = (u * amax < alpha) | (tries >= self._N2V_TRIES_CAP)
+            if acc.any():
+                av0, arep, at = v0[acc], rep[acc], t[acc]
+                acand, aix, acur = cand[acc], ix[acc], cur[acc]
+                self._walk_rows.append((av0, arep, at.astype(np.int32), acand))
+                cont = (at < np.uint64(walk_len)) & (self.out_deg[aix] > 0)
+                if cont.any():
+                    outs.append(
+                        self._n2v_sample(
+                            av0[cont],
+                            arep[cont],
+                            at[cont] + np.uint64(1),
+                            aix[cont],
+                            acur[cont],
+                            np.zeros(int(cont.sum()), np.uint64),
+                        )
+                    )
+            rej = ~acc
+            if rej.any():
+                with np.errstate(over="ignore"):
+                    outs.append(
+                        {
+                            "typ": np.zeros(int(rej.sum()), np.uint8),
+                            "v0": v0[rej],
+                            "rep": rep[rej],
+                            "t": t[rej],
+                            "cur": cur[rej],
+                            "prev": prev[rej],
+                            "cand": cand[rej],
+                            "tries": tries[rej] + np.uint64(1),
+                        }
+                    )
+        return self._n2v_pack(outs)
+
     def walks_collect(self) -> pa.Table:
         v0 = np.concatenate([r[0] for r in self._walk_rows])
         rep = np.concatenate([r[1] for r in self._walk_rows])
