@@ -397,6 +397,22 @@ def run_bench() -> dict:
         )
         extra["semdedup_pairs"] = int(n_sem)
 
+        # node2vec biased-walk corpus on a symmetric 4M-edge RMAT graph
+        # (exact p/q via the rejection protocol; latency-bound rounds,
+        # so P=16 like the other fixpoint-heavy stages)
+        from linkgraph.algos.walks import node2vec_walks as _n2v
+
+        n2v_edges = rmat_dataset(4_000_000, scale=20, seed=17).materialize()
+
+        def _n2v_run():
+            eng = SuperstepEngine(num_parts=16, symmetrize=True).load_edges(n2v_edges)
+            n = _n2v(eng, walk_len=10, n_per_vertex=1, p=0.5, q=2.0, seed=7).count()
+            eng.shutdown()
+            return n
+
+        n_visits = ste.run("node2vec_rmat4m", _n2v_run)
+        extra["node2vec_visits_per_sec"] = round(n_visits / eq["node2vec_rmat4m"], 1)
+
         # seed array: every page of the first 4 sites (engine path — the
         # whitelist fits a driver array; the Dataset-seeded spam_mass is
         # the scale path and is driver-oracled at sf0.01)
