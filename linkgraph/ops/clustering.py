@@ -32,6 +32,7 @@ from ray.data import Dataset
 from ..hashing import splitmix64
 
 _DP = 6  # decimals every cross-engine float crossing is rounded to
+_PAIR_SLAB = 8192  # row-slab bound for within-cluster pairwise cosine
 
 
 def _mat(t: pa.Table, col: str) -> np.ndarray:
@@ -189,12 +190,17 @@ def semdedup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    pair_slab: int | None = None,
 ) -> Dataset:
     """SemDeDup: near-duplicate pairs (a < b) restricted to vectors in
     the SAME k-means cluster. ONE shuffle (groupby cluster); per-group
-    work is a vectorized |c| x |c| cosine matmul, so total cost is
-    sum |c|^2 — pick k ~ n / target_cluster_size to bound it at scale
-    (vs the O(n^2) exact pass in ops/dedup.embedding_dup_pairs)."""
+    work is a vectorized |c| x |c| cosine matmul slabbed to
+    ``pair_slab`` rows at a time (default _PAIR_SLAB), so total cost is
+    sum |c|^2 compute with bounded memory even when k was chosen too
+    small for the corpus — pick k ~ n / target_cluster_size to bound
+    it at scale (vs the O(n^2) exact pass in
+    ops/dedup.embedding_dup_pairs)."""
+    slab = pair_slab or _PAIR_SLAB
     assigned = kmeans_assign(embeddings, k, iters, id_col, emb_col, _with_emb=True)
 
     def pairs_in_cluster(t: pa.Table) -> pa.Table:
@@ -202,10 +208,22 @@ def semdedup_pairs(
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         M = _mat(t, emb_col)
-        S = _cos(M, M)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = S[iu, ju] >= threshold
-        a, b = ids[iu[hit]], ids[ju[hit]]
+        n = len(ids)
+        nm = np.linalg.norm(M, axis=1)
+        nm = np.where(nm == 0, 1.0, nm)
+        out_a, out_b = [], []
+        # slab the row side so an oversized cluster (k chosen too small
+        # for the corpus) costs bounded memory, not an n x n matrix
+        for s in range(0, n, slab):
+            e = min(s + slab, n)
+            S = np.round((M[s:e] @ M.T) / nm[s:e, None] / nm[None, :], _DP)
+            ii, jj = np.nonzero(S >= threshold)
+            gi = ii + s
+            keep = gi < jj  # upper triangle only
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
 

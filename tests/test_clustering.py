@@ -114,3 +114,15 @@ def test_kmeans_empty_and_fewer_than_k():
     assert len(df) == 2 and set(df["cluster"]) <= {0, 1}
     empty = _ds(np.array([], np.int64), np.zeros((0, DIM), np.float32), 1)
     assert kmeans_assign(empty, k=4, iters=2).to_pandas().empty
+
+
+def test_semdedup_slab_path_matches_unslabbed():
+    ids, M = _synth(150)
+    full = semdedup_pairs(_ds(ids, M), k=3, iters=2, threshold=0.9).to_pandas()
+    # force many slabs per cluster (the param travels inside the
+    # serialized closure, so the Ray workers genuinely slab)
+    slabbed = semdedup_pairs(
+        _ds(ids, M), k=3, iters=2, threshold=0.9, pair_slab=7
+    ).to_pandas()
+    key = lambda df: set(zip(df["a"], df["b"]))
+    assert key(full) == key(slabbed) and len(full) > 0
