@@ -19,6 +19,7 @@
     python -m linkgraph lm-score    --docs docs_dir --out lm_dir
     python -m linkgraph para-dedup  --docs docs_dir --out pd_dir
     python -m linkgraph quality-filter --docs docs_dir --out qf_dir
+    python -m linkgraph walks       --edges edges_dir --walk-len 10 [--p 0.5 --q 2] --out w_dir
     python -m linkgraph kmeans      --embeddings emb_dir --k 64 --out km_dir
     python -m linkgraph semdedup    --embeddings emb_dir --k 64 --threshold 0.9 --out sd_dir
     python -m linkgraph synth-pages --n 100000 --out pages_dir
@@ -133,6 +134,17 @@ def main(argv: list[str] | None = None) -> int:
         if name == "para-dedup":
             sp.add_argument("--chunk-tokens", type=int, default=16)
 
+    p = sub.add_parser("walks")
+    p.add_argument("--edges", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--walk-len", type=int, default=10)
+    p.add_argument("--n-per-vertex", type=int, default=1)
+    p.add_argument("--p", type=float, default=None, help="node2vec return param")
+    p.add_argument("--q", type=float, default=None, help="node2vec in-out param")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--parts", type=int, default=32)
+    p.add_argument("--num-cpus", type=int, default=None)
+
     for name in ("kmeans", "semdedup"):
         sp = sub.add_parser(name)
         sp.add_argument(
@@ -223,6 +235,40 @@ def main(argv: list[str] | None = None) -> int:
                 out = None
                 res = res.materialize()
             print(json.dumps({"out": out}))
+            return 0
+
+        if args.cmd == "walks":
+            from .algos.walks import assemble_walks, node2vec_walks, random_walks
+            from .engine import SuperstepEngine
+
+            biased = args.p is not None or args.q is not None
+            eng = SuperstepEngine(num_parts=args.parts, symmetrize=biased).load_edges(
+                read_edges(args.edges)
+            )
+            if biased:
+                visits = node2vec_walks(
+                    eng,
+                    walk_len=args.walk_len,
+                    n_per_vertex=args.n_per_vertex,
+                    p=args.p or 1.0,
+                    q=args.q or 1.0,
+                    seed=args.seed,
+                )
+            else:
+                visits = random_walks(
+                    eng,
+                    walk_len=args.walk_len,
+                    n_per_vertex=args.n_per_vertex,
+                    seed=args.seed,
+                )
+            paths = assemble_walks(visits)
+            if args.out:
+                out = write_partitioned(paths, args.out, tag="walks")
+            else:
+                out = None
+                paths = paths.materialize()
+            eng.shutdown()
+            print(json.dumps({"out": out, "biased": biased}))
             return 0
 
         if args.cmd in ("kmeans", "semdedup"):

@@ -207,3 +207,41 @@ def test_cli_clustering_and_quality_ops(tmp_path):
     t = pq.read_table(os.path.join(sdir, "data"))
     pairs = set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
     assert (0, 1) in pairs
+
+
+@pytest.mark.slow
+def test_cli_walks(tmp_path):
+    """walks subcommand: uniform and node2vec paths over a tiny graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    edges_dir = tmp_path / "edges"
+    edges_dir.mkdir()
+    und = [(i, (i + 1) % 12) for i in range(12)] + [(i, (i + 3) % 12) for i in range(12)]
+    pairs = sorted(set(und) | {(b, a) for a, b in und})
+    pqw.write_table(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs], pa.int64()),
+                "dst": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        ),
+        str(edges_dir / "edges.parquet"),
+    )
+    wdir = str(tmp_path / "w")
+    out = run_cli(
+        "walks", "--edges", str(edges_dir), "--out", wdir,
+        "--walk-len", "5", "--parts", "3", "--num-cpus", "4",
+    )
+    assert out["biased"] is False
+    t = pq.read_table(os.path.join(wdir, "data"))
+    assert t.num_rows == 12 and all(len(p) == 6 for p in t.column("path").to_pylist())
+
+    ndir = str(tmp_path / "n2v")
+    out = run_cli(
+        "walks", "--edges", str(edges_dir), "--out", ndir,
+        "--walk-len", "5", "--p", "0.5", "--q", "2", "--parts", "3", "--num-cpus", "4",
+    )
+    assert out["biased"] is True
+    t = pq.read_table(os.path.join(ndir, "data"))
+    assert t.num_rows == 12 and all(len(p) == 6 for p in t.column("path").to_pylist())
