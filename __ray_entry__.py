@@ -34,6 +34,8 @@ KNN_K = 10
 KNN_QUERIES = [0, 1, 2, 3, 4]
 KMEANS_K = 8
 KMEANS_ITERS = 4
+BM25_TERMS = ("data", "join", "dup")  # common/common/rare -> idf spread
+BM25_K = 10
 NUM_PARTS = 8
 HITS_ITERS = 5
 SSSP_BOUND = 100  # > max weighted eccentricity of v0 at driver scales
@@ -261,6 +263,17 @@ def q_quality_score(sf_dir: str):
     return docs.map_batches(
         QualityScore, batch_format="pyarrow", concurrency=(1, 2)
     ).to_pandas()
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-k retrieval (Lucene idf variant) for a fixed bag-of-
+    words query — the corpus search primitive. Ranked by (6-dp-rounded
+    score DESC, doc_id ASC); the SQL oracle replays the score with the
+    identical IEEE operation order."""
+    from linkgraph.ops.bm25 import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K).to_pandas()
 
 
 def q_quality_filter(sf_dir: str):
@@ -1082,7 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pagerank_5": q_pagerank,
         "cc_labels": q_cc,
-        "triangle_count": q_triangles,
+        "bm25_topk": q_bm25,
         "token_zipf": q_token_zipf,
         "kcore_peel": q_kcore,
         "ktruss_3": q_ktruss,
@@ -1139,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "embedding_dup": q_embedding_dup,
         "node2vec_walks_4": q_node2vec,
+        "triangle_count": q_triangles,
         "hits_5": q_hits,
         "adamic_adar": q_adamic_adar,
         "weighted_pagerank_5": q_weighted_pagerank,
@@ -2049,6 +2063,41 @@ def _quality_filter_sql() -> str:
     )
 
 
+def _bm25_sql() -> str:
+    """Replays ops/bm25.py: per-term tf via list_filter over the shared
+    lowercase tokenization, Lucene idf, the score expression written in
+    the exact operation order of the numpy code, 6-dp rounding before
+    the (score DESC, doc_id ASC) ranking."""
+    from linkgraph.ops.bm25 import B, K1
+
+    T = len(BM25_TERMS)
+    tfs = ", ".join(
+        f"CAST(len(list_filter(ts, x -> x = '{t}')) AS BIGINT) AS tf{j}"
+        for j, t in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{j}"
+        for j in range(T)
+    )
+    terms = " + ".join(
+        f"(ln((CAST(g.n AS DOUBLE) - g.df{j} + 0.5) / (g.df{j} + 0.5) + 1.0) "
+        f"* (st.tf{j} * ({K1} + 1.0)) "
+        f"/ (st.tf{j} + {K1} * (1.0 - {B} + {B} * (CAST(st.dl AS DOUBLE) / (CAST(g.sdl AS DOUBLE) / g.n)))))"
+        for j in range(T)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts "
+        "FROM documents), "
+        f"st AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, {tfs} FROM tok), "
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, "
+        f"{dfs} FROM st), "
+        f"sc AS (SELECT st.doc_id, round({terms}, 6) AS score FROM st, g), "
+        "r AS (SELECT doc_id, score, row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC) AS bm25_rank FROM sc) "
+        f"SELECT doc_id, score, CAST(bm25_rank AS BIGINT) AS bm25_rank FROM r WHERE bm25_rank <= {BM25_K}"
+    )
+
+
 def _quality_by_source_sql() -> str:
     bits = zip((1, 2, 4, 8, 16, 32), ("n_short", "n_toklen", "n_stop", "n_punct", "n_dup", "n_top"))
     bit_cols = ", ".join(
@@ -2455,6 +2504,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "quality_filter": _quality_filter_sql(),
         "quality_by_source": _quality_by_source_sql(),
+        "bm25_topk": _bm25_sql(),
         "salsa_5": _salsa_sql(),
         "token_zipf": (
             "WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM "

@@ -41,6 +41,7 @@ CHECKED = [
     "semdedup",
     "quality_filter",
     "quality_by_source",
+    "bm25_topk",
 ]
 
 
