@@ -353,6 +353,16 @@ def run_bench() -> dict:
         )
         extra["quality_filter_kept"] = int(kept)
 
+        # BM25 ranked retrieval over the page text (tokenize -> compact
+        # stats -> vectorized scoring + local top-k)
+        from linkgraph.ops.bm25 import bm25_topk as _bm25
+
+        ste.run(
+            "bm25_pages",
+            lambda: _bm25(ptext, ("data", "join", "dup"), k=10).count(),
+        )
+        extra["bm25_pages_per_sec"] = round(N_PAGES / eq["bm25_pages"], 1)
+
         # distributed k-means + SemDeDup over 200k synthetic 64-dim
         # vectors (splitmix64-derived, deterministic): the combiner-
         # reduced Lloyd's path and the within-cluster pair search.
