@@ -935,6 +935,15 @@ def q_quantiles(sf_dir: str):
     return exact_quantiles(ev, "value", qs=(0.5, 0.9, 0.99))
 
 
+def q_quantiles_by_type(sf_dir: str):
+    """Per-event-type exact quantiles (p50/p90/p99) — the keyed variant
+    of value_quantiles; one refinement per key (low-cardinality path)."""
+    from linkgraph.ops.quantiles import exact_quantiles_by_key
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_quantiles_by_key(ev, "event_type", "value", qs=(0.5, 0.9, 0.99))
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style intra-doc repetition signals over token 2-grams
     (dup ratio, top-gram coverage) — pure per-doc map, no shuffle."""
@@ -1094,7 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # simhash/para_dedup).
     return {
         "pagerank_5": q_pagerank,
-        "cc_labels": q_cc,
+        "quantiles_by_type": q_quantiles_by_type,
         "bm25_topk": q_bm25,
         "token_zipf": q_token_zipf,
         "kcore_peel": q_kcore,
@@ -1153,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup": q_embedding_dup,
         "node2vec_walks_4": q_node2vec,
         "triangle_count": q_triangles,
+        "cc_labels": q_cc,
         "hits_5": q_hits,
         "adamic_adar": q_adamic_adar,
         "weighted_pagerank_5": q_weighted_pagerank,
@@ -2705,6 +2715,16 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         ),
         # nearest-rank-lower quantiles: rank = 1 + floor(q*(n-1)) on
         # both sides; the VALUE at a rank is tie-order-independent
+        "quantiles_by_type": (
+            "WITH s AS (SELECT event_type, value, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY value) AS rn FROM events), "
+            "n AS (SELECT event_type, count(*) AS c FROM events GROUP BY event_type) "
+            "SELECT s.event_type, t.q, s.rn AS rank, s.value "
+            "FROM (VALUES (0.5), (0.9), (0.99)) t(q) "
+            "JOIN n ON TRUE "
+            "JOIN s ON s.event_type = n.event_type "
+            "AND s.rn = 1 + CAST(floor(t.q * (n.c - 1)) AS BIGINT)"
+        ),
         "value_quantiles": (
             "WITH s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn "
             "FROM events), n AS (SELECT count(*) AS c FROM events) "

@@ -188,3 +188,45 @@ def exact_quantiles(
             "value": pa.array(np.asarray(out_val, np.float64)),
         }
     )
+
+
+def exact_quantiles_by_key(
+    ds: Dataset,
+    key_col: str,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    **kw,
+) -> pa.Table:
+    """Per-key exact quantiles -> pa.Table (key_col, q, rank, value).
+
+    LOW-CARDINALITY-KEY path: one histogram-refinement run per key over
+    a filtered view of the (materialized once) base — K x rounds
+    streaming passes, zero driver data. For high-cardinality keys the
+    right shape is keyed histograms inside one refinement loop (state
+    per (key, q) on the driver); not needed for the event-type-scale
+    keys this serves, and documented here as the scale limit."""
+    import pyarrow.compute as pc
+
+    base = ds.select_columns([key_col, col]).materialize()
+    keys = sorted(base.unique(key_col))
+    outs = []
+    for kv in keys:
+        sub = base.map_batches(
+            lambda t, kv=kv: t.filter(pc.equal(t.column(key_col), kv)),
+            batch_format="pyarrow",
+        )
+        t = exact_quantiles(sub, col, qs=qs, **kw)
+        outs.append(
+            pa.table(
+                {
+                    key_col: pa.array([kv] * t.num_rows),
+                    "q": t.column("q"),
+                    "rank": t.column("rank"),
+                    "value": t.column("value"),
+                }
+            )
+        )
+    return pa.concat_tables(outs) if outs else pa.table(
+        {key_col: pa.array([]), "q": pa.array([], pa.float64()),
+         "rank": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+    )

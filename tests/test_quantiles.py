@@ -65,3 +65,22 @@ def test_rank_convention_matches_sql():
     t = exact_quantiles(ds_of(vals), "value", qs=(0.5,))
     assert t.column("rank").to_pylist() == [6]
     assert t.column("value").to_pylist() == [5.0]
+
+
+def test_exact_quantiles_by_key_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from linkgraph.ops.quantiles import exact_quantiles_by_key
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(["a", "b", "c"], 3000)
+    vals = rng.normal(size=3000) * (1 + (keys == "b"))
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys, "value": vals})).repartition(5)
+    t = exact_quantiles_by_key(ds, "k", "value", qs=(0.5, 0.9), max_collect=64).to_pandas()
+    for kv in "abc":
+        sub = np.sort(vals[keys == kv])
+        for q in (0.5, 0.9):
+            row = t[(t.k == kv) & (t.q == q)].iloc[0]
+            assert row["value"] == sub[int(np.floor(q * (len(sub) - 1)))]
