@@ -297,6 +297,60 @@ def q_quality_by_source(sf_dir: str):
     return quality_by_source(docs).to_pandas()
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII detection + redaction (email -> phone -> IPv4, fixed order,
+    each redacted before the next detector scans). Input text is the
+    corpus augmented with deterministic doc_id-derived PII so every
+    detector fires; the SQL oracle builds the identical augmentation
+    and replays the scrub as a regexp_replace chain — redacted text is
+    checked byte-for-byte."""
+    import pyarrow as pa
+
+    from linkgraph.ops.pii import pii_scrub
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = []
+        for d, x in zip(ids, texts):
+            if d % 3 == 0:
+                x += f" reach user{d}@mail{d % 7}.example.com"
+            if d % 4 == 0:
+                x += f" call 555-{d % 1000:03d}-{d % 10000:04d}"
+            if d % 5 == 0:
+                x += f" from 10.{d % 256}.{(d // 7) % 256}.{(d // 11) % 256}"
+            out.append(x)
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out)})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        augment, batch_format="pyarrow"
+    )
+    return pii_scrub(docs).to_pandas()
+
+
+def q_seq_pack(sf_dir: str):
+    """Sample packing: next-fit of docs into 512-token bins per source
+    (bin ids group-local, docs packed in doc_id order). One groupby
+    shuffle moving only (doc_id, source, n_tokens); in-group scan is
+    O(#bins) searchsorted calls. Oracle: recursive-CTE replay of the
+    same next-fit recurrence."""
+    from linkgraph.ops.packing import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return pack_sequences(docs).to_pandas()
+
+
+def q_data_split(sf_dir: str):
+    """Deterministic train/val/test split: bucket = splitmix64(doc_id
+    + seed) % 100, 80/10/10. Stable across runs/machines/repartitions
+    — the resumability property a random split lacks. Oracle: the
+    shared bit-exact splitmix64 SQL chain."""
+    from linkgraph.ops.packing import hash_split
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(docs).to_pandas()
+
+
 def q_token_counts(sf_dir: str):
     from linkgraph.ops import TokenCount
 
@@ -1129,7 +1183,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": q_approx_distinct,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
-        "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "quality_by_source": q_quality_by_source,
         "quality_filter": q_quality_filter,
@@ -1145,8 +1198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "spam_mass": q_spam_mass,
         "source_mix": q_source_mix,
-        "host_graph": q_host_graph,
-        "assortativity": q_assortativity,
+        "pii_scrub": q_pii_scrub,
+        "seq_pack": q_seq_pack,
+        "data_split": q_data_split,
         "lp_quotient": q_lp_quotient,
         "lp_modularity": q_lp_modularity,
         "powerlaw_alpha": q_powerlaw,
@@ -1155,7 +1209,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- past the driver's 50-query window (stable greens; knn_ivf,
         # knn_graph and embedding_dup_lsh have r3 rows-only records and
         # yield their window slots to the new hard-oracled kmeans_4 /
-        # semdedup / quality_filter) ----
+        # semdedup / quality_filter; host_graph / assortativity /
+        # minhash_dedup have r3 records and yield theirs to the new
+        # pii_scrub / seq_pack / data_split) ----
+        "host_graph": q_host_graph,
+        "assortativity": q_assortativity,
+        "minhash_dedup": q_minhash_dedup,
         "knn_ivf": q_knn_ivf,
         "knn_graph": q_knn_graph,
         "embedding_dup_lsh": q_embedding_dup_lsh,
@@ -1963,6 +2022,9 @@ def oracle_sql() -> dict[str, str]:
     # the dedup pass end-to-end: near-dup pairs (reused verbatim from
     # near_dup_shingle) -> undirected closure -> min-member keeper ->
     # cluster sizes; singletons keep themselves
+    q["pii_scrub"] = _pii_sql()
+    q["seq_pack"] = _seq_pack_sql()
+    q["data_split"] = _split_sql()
     q["dedup_clusters"] = (
         "WITH RECURSIVE p0 AS (" + q["near_dup_shingle"] + "), "
         "up AS (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0), "
@@ -1982,6 +2044,50 @@ def _sample_sql() -> str:
     from linkgraph.ops.sampling import sample_per_key_sql
 
     return sample_per_key_sql(k=5)
+
+
+def _pii_sql() -> str:
+    """Replays ops/pii.py: the deterministic doc_id-derived PII
+    augmentation, then the fixed email -> phone -> IPv4 scrub chain
+    (each redacted before the next detector scans)."""
+    from linkgraph.ops.pii import pii_sql_ctes
+
+    aug = (
+        "aug AS (SELECT doc_id, text "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) "
+        "|| '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END "
+        "|| CASE WHEN doc_id % 4 = 0 THEN ' call 555-' "
+        "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) "
+        "|| '.' || CAST((doc_id // 7) % 256 AS VARCHAR) "
+        "|| '.' || CAST((doc_id // 11) % 256 AS VARCHAR) ELSE '' END AS t0 "
+        "FROM documents)"
+    )
+    ctes, final = pii_sql_ctes("aug", "t0")
+    return "WITH " + ", ".join([aug] + ctes) + " " + final
+
+
+def _seq_pack_sql() -> str:
+    from linkgraph.ops.packing import pack_sql
+
+    return pack_sql()
+
+
+def _split_sql() -> str:
+    """Replays ops/packing.py hash_split: bucket = splitmix64(doc_id +
+    seed) % 100 via the shared bit-exact splitmix64 SQL chain."""
+    from linkgraph.ops.packing import SPLIT_EDGES, SPLIT_NAMES, SPLIT_SEED
+
+    sm, last = _sql_splitmix_ctes("splm", "verts", {"h": f"v + {SPLIT_SEED}"})
+    ctes = ["verts AS (SELECT doc_id AS v FROM documents)"] + sm
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT v AS doc_id, "
+        "CAST(h % 100 AS BIGINT) AS bucket, "
+        f"CASE WHEN h % 100 < {SPLIT_EDGES[0]} THEN '{SPLIT_NAMES[0]}' "
+        f"WHEN h % 100 < {SPLIT_EDGES[1]} THEN '{SPLIT_NAMES[1]}' "
+        f"ELSE '{SPLIT_NAMES[2]}' END AS split FROM " + last
+    )
 
 
 _M64 = "18446744073709551616"  # 2**64

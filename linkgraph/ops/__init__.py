@@ -23,6 +23,8 @@ from .graphstats import (
     powerlaw_alpha,
 )
 from .sampling import sample_per_key, sample_per_key_sql
+from .pii import PIIScrub, pii_scrub
+from .packing import pack_sequences, hash_split
 from .dedup import (
     exact_dedup,
     shingle_jaccard_pairs,
