@@ -351,6 +351,20 @@ def q_data_split(sf_dir: str):
     return hash_split(docs).to_pandas()
 
 
+def q_snapshot_churn(sf_dir: str):
+    """Crawl-over-crawl churn: per-host added/removed/stable edge
+    counts between the doc graph and a deterministically perturbed
+    second crawl (drop (src*31+dst)%11==0, add (d,(d*17+5)%n) for
+    d%6==0). One (src,dst) range sort over the tagged union; tags
+    combine by bitwise OR so duplicates can't double-count."""
+    from linkgraph.ops.snapshot import perturb_edges, snapshot_churn
+
+    n = _n_docs(sf_dir)
+    t0 = _doc_edges_ds(sf_dir)
+    t1 = perturb_edges(t0, _read(sf_dir, "documents", ["doc_id"]), n)
+    return snapshot_churn(t0, t1, host_mod=64).to_pandas()
+
+
 def q_token_counts(sf_dir: str):
     from linkgraph.ops import TokenCount
 
@@ -1212,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup / quality_filter; host_graph / assortativity /
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
+        "snapshot_churn": q_snapshot_churn,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
         "minhash_dedup": q_minhash_dedup,
@@ -2022,6 +2037,20 @@ def oracle_sql() -> dict[str, str]:
     # the dedup pass end-to-end: near-dup pairs (reused verbatim from
     # near_dup_shingle) -> undirected closure -> min-member keeper ->
     # cluster sizes; singletons keep themselves
+    q["snapshot_churn"] = (
+        f"WITH {e}, t1 AS (SELECT src, dst FROM e WHERE (src*31 + dst) % 11 <> 0 "
+        "UNION SELECT doc_id AS src, (doc_id*17 + 5) % (SELECT count(*) FROM documents) AS dst "
+        "FROM documents WHERE doc_id % 6 = 0 "
+        "AND (doc_id*17 + 5) % (SELECT count(*) FROM documents) <> doc_id), "
+        "u AS (SELECT src, dst, bit_or(tag) AS tags FROM ("
+        "SELECT src, dst, 1 AS tag FROM e UNION ALL "
+        "SELECT src, dst, 2 AS tag FROM t1) GROUP BY src, dst) "
+        "SELECT src % 64 AS host, "
+        "CAST(sum(CASE WHEN tags = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_added, "
+        "CAST(sum(CASE WHEN tags = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+        "CAST(sum(CASE WHEN tags = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stable "
+        "FROM u GROUP BY 1"
+    )
     q["pii_scrub"] = _pii_sql()
     q["seq_pack"] = _seq_pack_sql()
     q["data_split"] = _split_sql()
