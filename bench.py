@@ -495,6 +495,43 @@ def run_bench() -> dict:
         extra["streaming_pr_delta0_cold"] = float(f"{s_cold['history'][0]['delta']:.3e}")
         extra["streaming_pr_delta0_warm"] = float(f"{s_warm['history'][0]['delta']:.3e}")
         extra["streaming_pr_warm_reconverge_sec"] = round(warm_sec, 3)
+
+        # corpus-prep ops over the page text: PII scrub (regex chain,
+        # zero shuffle), sample packing into 512-token bins (one
+        # groupby moving only (doc_id, group, n_tokens)), and
+        # crawl-over-crawl churn (one (src,dst) range sort over the
+        # tagged union of the extracted edges and a perturbed copy).
+        from linkgraph.ops.packing import pack_sequences as _pack
+        from linkgraph.ops.pii import pii_scrub as _pii
+        from linkgraph.ops.snapshot import snapshot_churn as _churn
+
+        ste.run("pii_scrub_pages", lambda: _pii(ptext).count())
+        extra["pii_pages_per_sec"] = round(N_PAGES / eq["pii_scrub_pages"], 1)
+
+        def _with_src(t):
+            ids = t.column("doc_id").to_numpy()
+            return t.append_column("source", pa.array((ids % 16).astype(np.int64)))
+
+        psrc = ptext.map_batches(_with_src, batch_format="pyarrow")
+        ste.run(
+            "seq_pack_pages",
+            lambda: _pack(psrc, capacity=512, group_col="source").count(),
+        )
+        extra["pack_pages_per_sec"] = round(N_PAGES / eq["seq_pack_pages"], 1)
+
+        def _perturb(t):
+            src = t.column("src").to_numpy()
+            dst = t.column("dst").to_numpy()
+            with np.errstate(over="ignore"):
+                keep = (src * 31 + dst) % 11 != 0
+            return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+        churn_new = edges.map_batches(_perturb, batch_format="pyarrow")
+        ste.run(
+            "snapshot_churn",
+            lambda: _churn(edges, churn_new, host_mod=64).count(),
+        )
+        extra["churn_edges_per_sec"] = round(2 * n_edges / eq["snapshot_churn"], 1)
     except Exception as ex:
         extra.setdefault("errors", []).append(f"r4-extras: {ex}")
     extra["extra_queries"] = {k: round(v, 3) for k, v in eq.items()}

@@ -126,13 +126,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--num-cpus", type=int, default=None)
 
-    for name in ("lm-score", "para-dedup", "quality-filter"):
+    for name in ("lm-score", "para-dedup", "quality-filter", "pii-scrub", "pack", "split"):
         sp = sub.add_parser(name)
         sp.add_argument("--docs", required=True, help="parquet dir of (doc_id, text)")
         sp.add_argument("--out", default=None)
         sp.add_argument("--num-cpus", type=int, default=None)
         if name == "para-dedup":
             sp.add_argument("--chunk-tokens", type=int, default=16)
+        if name == "pack":
+            sp.add_argument("--capacity", type=int, default=512)
+            sp.add_argument("--group-col", default="source")
 
     p = sub.add_parser("walks")
     p.add_argument("--edges", required=True)
@@ -210,11 +213,33 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": out, "k": args.k}))
             return 0
 
-        if args.cmd in ("lm-score", "para-dedup", "quality-filter"):
+        if args.cmd in (
+            "lm-score", "para-dedup", "quality-filter", "pii-scrub", "pack", "split"
+        ):
             import ray.data
 
-            docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
-            if args.cmd == "lm-score":
+            cols = ["doc_id", "text"]
+            if args.cmd == "pack":
+                cols = ["doc_id", "text", args.group_col]
+            elif args.cmd == "split":
+                cols = ["doc_id"]
+            docs = ray.data.read_parquet(args.docs, columns=cols)
+            if args.cmd == "pii-scrub":
+                from .ops.pii import pii_scrub
+
+                res, tag = pii_scrub(docs), "pii_scrub"
+            elif args.cmd == "pack":
+                from .ops.packing import pack_sequences
+
+                res = pack_sequences(
+                    docs, capacity=args.capacity, group_col=args.group_col
+                )
+                tag = "pack"
+            elif args.cmd == "split":
+                from .ops.packing import hash_split
+
+                res, tag = hash_split(docs), "split"
+            elif args.cmd == "lm-score":
                 from .ops.lm import lm_score
 
                 res = lm_score(docs)

@@ -245,3 +245,61 @@ def test_cli_walks(tmp_path):
     assert out["biased"] is True
     t = pq.read_table(os.path.join(ndir, "data"))
     assert t.num_rows == 12 and all(len(p) == 6 for p in t.column("path").to_pylist())
+
+
+@pytest.mark.slow
+def test_cli_corpus_prep_ops(tmp_path):
+    """pii-scrub / pack / split subcommands over a tiny corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pqw.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail a@b.io or dial 555-123-4567",
+                        "three plain words here",
+                        "host 10.0.0.1 up",
+                    ]
+                ),
+                "source": pa.array(["s0", "s0", "s1"]),
+            }
+        ),
+        str(docs_dir / "docs.parquet"),
+    )
+
+    pdir = str(tmp_path / "pii")
+    run_cli("pii-scrub", "--docs", str(docs_dir), "--out", pdir, "--num-cpus", "4")
+    t = pq.read_table(os.path.join(pdir, "data"))
+    by_id = dict(zip(t.column("doc_id").to_pylist(), t.column("clean_text").to_pylist()))
+    assert "<EMAIL>" in by_id[0] and "<PHONE>" in by_id[0]
+    assert by_id[1] == "three plain words here"
+    assert "<IP>" in by_id[2]
+
+    kdir = str(tmp_path / "pk")
+    run_cli(
+        "pack", "--docs", str(docs_dir), "--out", kdir,
+        "--capacity", "5", "--num-cpus", "4",
+    )
+    t = pq.read_table(os.path.join(kdir, "data"))
+    rows = {
+        d: (b, n)
+        for d, b, n in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("bin_id").to_pylist(),
+            t.column("n_tokens").to_pylist(),
+        )
+    }
+    # s0: doc0 has 9 tokens (oversize -> own bin 0), doc1 has 4 -> bin 1
+    assert rows[0] == (0, 9) and rows[1] == (1, 4)
+    assert rows[2][0] == 0  # s1's only doc opens bin 0
+
+    sdir = str(tmp_path / "sp")
+    run_cli("split", "--docs", str(docs_dir), "--out", sdir, "--num-cpus", "4")
+    t = pq.read_table(os.path.join(sdir, "data"))
+    assert set(t.column("split").to_pylist()) <= {"train", "val", "test"}
+    assert t.num_rows == 3

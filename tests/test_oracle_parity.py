@@ -42,6 +42,10 @@ CHECKED = [
     "quality_filter",
     "quality_by_source",
     "bm25_topk",
+    "pii_scrub",
+    "seq_pack",
+    "data_split",
+    "snapshot_churn",
 ]
 
 
