@@ -351,6 +351,39 @@ def q_data_split(sf_dir: str):
     return hash_split(docs).to_pandas()
 
 
+def q_corpus_select(sf_dir: str):
+    """The capstone composition a crawl -> training-corpus pipeline
+    ships: PageRank authority prior x C4+Gopher quality verdict x
+    exact-dedup keeper flag, joined per doc by ONE tagged-union range
+    sort (no hash table); selected = keep AND is_keeper. Oracle
+    composes the pagerank_5, quality_filter and md5-window SQL."""
+    import pyarrow.compute as pc
+
+    from linkgraph.algos import pagerank
+    from linkgraph.ops.corpus import corpus_select
+
+    out, _, eng = pagerank(
+        _doc_edges_ds(sf_dir), num_parts=NUM_PARTS, damping=DAMPING,
+        tol=0.0, max_iters=PR_ITERS,
+    )
+
+    def rank_row(t):
+        import numpy as np
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": t.column("v"),
+                "pr_rank": pa.array(np.round(t.column("rank").to_numpy(), 8)),
+            }
+        )
+
+    ranks = out.map_batches(rank_row, batch_format="pyarrow").materialize()
+    eng.shutdown()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return corpus_select(docs, ranks).to_pandas()
+
+
 def q_snapshot_churn(sf_dir: str):
     """Crawl-over-crawl churn: per-host added/removed/stable edge
     counts between the doc graph and a deterministically perturbed
@@ -1195,7 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_anomaly": q_edge_anomaly,
         "dup_spans": q_dup_spans,
         "approx_distinct_tokens": q_approx_distinct,
-        "langid": q_langid,
+        "corpus_select": q_corpus_select,
         "fingerprint": q_fingerprint,
         "simhash_dedup": q_simhash_dedup,
         "quality_by_source": q_quality_by_source,
@@ -1226,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup / quality_filter; host_graph / assortativity /
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
+        "langid": q_langid,
         "snapshot_churn": q_snapshot_churn,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
@@ -2037,6 +2071,16 @@ def oracle_sql() -> dict[str, str]:
     # the dedup pass end-to-end: near-dup pairs (reused verbatim from
     # near_dup_shingle) -> undirected closure -> min-member keeper ->
     # cluster sizes; singletons keep themselves
+    q["corpus_select"] = (
+        "WITH pr AS (" + q["pagerank_5"] + "), "
+        "qf AS (" + q["quality_filter"] + "), "
+        "dd AS (SELECT doc_id, CAST(CASE WHEN doc_id = min(doc_id) OVER "
+        "(PARTITION BY md5(text)) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper "
+        "FROM documents) "
+        "SELECT pr.v AS doc_id, pr.pr_rank, qf.keep, dd.is_keeper, "
+        "CAST(qf.keep * dd.is_keeper AS BIGINT) AS selected "
+        "FROM pr JOIN qf ON qf.doc_id = pr.v JOIN dd ON dd.doc_id = pr.v"
+    )
     q["snapshot_churn"] = (
         f"WITH {e}, t1 AS (SELECT src, dst FROM e WHERE (src*31 + dst) % 11 <> 0 "
         "UNION SELECT doc_id AS src, (doc_id*17 + 5) % (SELECT count(*) FROM documents) AS dst "

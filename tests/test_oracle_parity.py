@@ -46,6 +46,7 @@ CHECKED = [
     "seq_pack",
     "data_split",
     "snapshot_churn",
+    "corpus_select",
 ]
 
 
