@@ -384,6 +384,30 @@ def q_corpus_select(sf_dir: str):
     return corpus_select(docs, ranks).to_pandas()
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental crawl dedup: MinHash near-dups of the incoming
+    quarter of the corpus (doc_id % 4 == 0) against the resident
+    three quarters — cross-side pairs only, no corpus self-join.
+    Rows-only (MinHash randomness); pytest proves verdict equality
+    with the self-join op restricted cross-side."""
+    import pyarrow as pa
+
+    from linkgraph.ops.dedup import minhash_dedup_between
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(incoming: bool):
+        def fn(t):
+            m = t.column("doc_id").to_numpy() % 4 == 0
+            return t.filter(pa.array(m if incoming else ~m))
+
+        return fn
+
+    corpus = docs.map_batches(part(False), batch_format="pyarrow")
+    incoming = docs.map_batches(part(True), batch_format="pyarrow")
+    return minhash_dedup_between(corpus, incoming, threshold=0.7).to_pandas()
+
+
 def q_snapshot_churn(sf_dir: str):
     """Crawl-over-crawl churn: per-host added/removed/stable edge
     counts between the doc graph and a deterministically perturbed
@@ -1261,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pii_scrub / seq_pack / data_split) ----
         "langid": q_langid,
         "snapshot_churn": q_snapshot_churn,
+        "dedup_incremental": q_dedup_incremental,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
         "minhash_dedup": q_minhash_dedup,

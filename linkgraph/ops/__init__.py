@@ -25,10 +25,13 @@ from .graphstats import (
 from .sampling import sample_per_key, sample_per_key_sql
 from .pii import PIIScrub, pii_scrub
 from .packing import pack_sequences, hash_split
+from .corpus import corpus_select, keeper_flags
+from .snapshot import snapshot_churn
 from .dedup import (
     exact_dedup,
     shingle_jaccard_pairs,
     minhash_dedup_pairs,
+    minhash_dedup_between,
     simhash_dedup_pairs,
     embedding_dup_pairs,
     dup_span_pairs,

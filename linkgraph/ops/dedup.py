@@ -975,3 +975,137 @@ def dedup_clusters(
         )
 
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def minhash_dedup_between(
+    corpus: Dataset,
+    incoming: Dataset,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+    corpus_sigs: Dataset | None = None,
+) -> Dataset:
+    """Near-dups of an INCOMING batch against an existing CORPUS — the
+    incremental-crawl dedup path. Returns (corpus_id, incoming_id,
+    est_jaccard), cross-side pairs only.
+
+    Same banding/verify machinery as :func:`minhash_dedup_pairs`, but
+    the collision segments emit only corpus x incoming pairs, so a
+    mostly-clean incoming batch costs its own banding + the few
+    collision verifies — never a corpus self-join. In production the
+    corpus side is a STORED signature table (pass ``corpus_sigs`` with
+    columns (doc_id, sig: list<uint64>) to skip re-shingling the
+    corpus); appending the incoming batch's signatures to that table
+    after the pass makes the op a fold over crawl batches.
+
+    Doc ids must be globally distinct across the two sides (true for
+    content-hash ids; the derived test split guarantees it).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs_c = (
+        corpus_sigs if corpus_sigs is not None
+        else minhash_signatures(corpus, k, num_perm)
+    ).materialize()
+    sigs_i = minhash_signatures(incoming, k, num_perm).materialize()
+
+    def band_rows(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            sig = np.stack(t.column("sig").to_numpy(zero_copy_only=False))
+            n = len(ids)
+            banded = sig.reshape(n, bands, r)
+            bh = banded[:, :, 0].copy()
+            for i in range(1, r):
+                bh = splitmix64(bh ^ banded[:, :, i])
+            return pa.table(
+                {
+                    "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                    "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+                    "doc_id": pa.array(np.repeat(ids, bands)),
+                    "side": pa.array(np.full(n * bands, side, np.int8)),
+                }
+            )
+
+        return fn
+
+    rows = sigs_c.map_batches(
+        band_rows(0), batch_format="pyarrow", batch_size=65536
+    ).union(
+        sigs_i.map_batches(band_rows(1), batch_format="pyarrow", batch_size=65536)
+    )
+
+    def cross_pairs(t: pa.Table) -> pa.Table:
+        bi = t.column("band_id").to_numpy()
+        bv = t.column("band_hash").to_numpy()
+        ids = t.column("doc_id").to_numpy()
+        sd = t.column("side").to_numpy()
+        order = np.lexsort((ids, sd, bv, bi))
+        bi, bv, ids, sd = bi[order], bv[order], ids[order], sd[order]
+        new = np.r_[True, (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(bi)]
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            cs = np.unique(ids[s:e][sd[s:e] == 0])
+            ns = np.unique(ids[s:e][sd[s:e] == 1])
+            if len(cs) == 0 or len(ns) == 0:
+                continue
+            outs.append(
+                np.stack(
+                    [np.repeat(cs, len(ns)), np.tile(ns, len(cs))], axis=1
+                )
+            )
+        if not outs:
+            e_ = pa.array([], pa.int64())
+            return pa.table({"a": e_, "b": e_})
+        cat = np.concatenate(outs)
+        ua, ub = pair_unique(cat[:, 0], cat[:, 1])
+        return pa.table({"a": pa.array(ua), "b": pa.array(ub)})
+
+    from ..edges import distinct_pairs
+
+    cand = rows.sort(["band_id", "band_hash"]).map_batches(
+        cross_pairs, batch_format="pyarrow", batch_size=None
+    )
+    cand = distinct_pairs(cand, "a", "b").materialize()
+    empty = pa.table(
+        {
+            "corpus_id": pa.array([], pa.int64()),
+            "incoming_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if cand.count() == 0:
+        import ray as _ray
+
+        return _ray.data.from_arrow(empty)
+
+    sigs_c_bin = sigs_c.map_batches(
+        _SigToBinary(num_perm), batch_format="pyarrow", batch_size=65536
+    )
+    sigs_i_bin = sigs_i.map_batches(
+        _SigToBinary(num_perm), batch_format="pyarrow", batch_size=65536
+    )
+    wa = _attach_sig(cand, sigs_c_bin, key="a", sig_name="sig_a", num_perm=num_perm)
+    wb = _attach_sig(wa, sigs_i_bin, key="b", sig_name="sig_b", num_perm=num_perm)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        sa = _bin_to_mat(t.column("sig_a"), num_perm)
+        sb = _bin_to_mat(t.column("sig_b"), num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "corpus_id": pa.array(t.column("a").to_numpy()[keep]),
+                "incoming_id": pa.array(t.column("b").to_numpy()[keep]),
+                "est_jaccard": pa.array(est[keep]),
+            }
+        )
+
+    return wb.map_batches(verify, batch_format="pyarrow", batch_size=65536)
