@@ -384,6 +384,20 @@ def q_corpus_select(sf_dir: str):
     return corpus_select(docs, ranks).to_pandas()
 
 
+PHRASE_TERMS = ("table", "scan")
+
+
+def q_phrase_count(sf_dir: str):
+    """Exact phrase concordance over the corpus — per-doc match counts
+    for the token sequence 'table scan' (the grep/one-shot query shape:
+    pure scan, zero shuffle). Sliding-window SQL oracle over the shared
+    tokenization."""
+    from linkgraph.ops.text import phrase_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_count(docs, PHRASE_TERMS).to_pandas()
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental crawl dedup: MinHash near-dups of the incoming
     quarter of the corpus (doc_id % 4 == 0) against the resident
@@ -1286,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "snapshot_churn": q_snapshot_churn,
         "dedup_incremental": q_dedup_incremental,
+        "phrase_count": q_phrase_count,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
         "minhash_dedup": q_minhash_dedup,
@@ -2120,6 +2135,9 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(CASE WHEN tags = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stable "
         "FROM u GROUP BY 1"
     )
+    from linkgraph.ops.text import phrase_count_sql
+
+    q["phrase_count"] = phrase_count_sql(PHRASE_TERMS)
     q["pii_scrub"] = _pii_sql()
     q["seq_pack"] = _seq_pack_sql()
     q["data_split"] = _split_sql()

@@ -747,3 +747,68 @@ def source_mix(docs):
 
     # n_sources rows — a driver-side finish is the right size
     return finish(agg.to_pandas())
+
+
+def phrase_count(docs, phrase: tuple[str, ...]):
+    """Exact phrase (token-sequence) concordance: (doc_id, n_matches)
+    for docs containing the phrase at least once.
+
+    The one-shot query shape: a pure per-doc scan (tokenize, locate the
+    first term, verify the successors) — zero shuffle, prunable at the
+    read to (doc_id, text), embarrassingly parallel at any corpus size
+    (the repeated-query shape would build a positional posting index
+    instead; BM25's stats table is that path's tokenize pass). Matches
+    may overlap ("a a a" contains "a a" twice), same as the SQL
+    sliding-window oracle.
+    """
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    terms = tuple(phrase)
+    L = len(terms)
+    assert L >= 1
+
+    def scan(t: pa.Table) -> pa.Table:
+        pat = _re.compile(TOKEN_RE)
+        texts = t.column("text").to_pylist()
+        n = np.zeros(len(texts), np.int64)
+        for i, x in enumerate(texts):
+            toks = pat.findall(x)
+            if len(toks) < L:
+                continue
+            a = np.array(toks, dtype=object)
+            hit = a[: len(a) - L + 1] == terms[0]
+            for j in range(1, L):
+                hit &= a[j : len(a) - L + 1 + j] == terms[j]
+            n[i] = int(hit.sum())
+        keep = n > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "n_matches": pa.array(n[keep]),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow", batch_size=4096)
+
+
+def phrase_count_sql(phrase: tuple[str, ...]) -> str:
+    """DuckDB replay: sliding-window equality over the shared
+    tokenization, counted per doc, docs with >= 1 match."""
+    L = len(phrase)
+    conds = " AND ".join(
+        f"ts[i + {j}] = '{w}'" for j, w in enumerate(phrase)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS ts "
+        "FROM documents), "
+        f"w AS (SELECT doc_id, unnest(range(1, len(ts) - {L} + 2)) AS i, ts "
+        f"FROM t WHERE len(ts) >= {L}), "
+        f"m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches "
+        f"FROM w WHERE {conds} GROUP BY doc_id) "
+        "SELECT doc_id, n_matches FROM m"
+    )

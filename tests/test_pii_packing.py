@@ -195,3 +195,50 @@ class TestPackingAndSplit:
         ids = a["doc_id"].to_numpy().astype(np.uint64)
         want = (splitmix64(ids + np.uint64(2024)) % np.uint64(100)).astype(np.int64)
         assert (a["bucket"].to_numpy() == want).all()
+
+
+class TestPhraseCount:
+    def test_overlapping_and_counts(self):
+        import duckdb
+
+        from linkgraph.ops.text import phrase_count, phrase_count_sql
+
+        docs = _docs_table(
+            [
+                (0, "a a a b"),          # "a a" overlaps: 2 matches
+                (1, "x a a y a a"),      # 2 matches
+                (2, "a b a b a"),        # 0
+                (3, "aa a a"),           # 1 (token 'aa' != 'a')
+            ]
+        )
+        out = phrase_count(docs, ("a", "a")).to_pandas().set_index("doc_id")
+        assert out["n_matches"].to_dict() == {0: 2, 1: 2, 3: 1}
+
+    def test_duckdb_parity_on_corpus(self):
+        import duckdb
+        import pandas as pd
+
+        from linkgraph.ops.text import phrase_count, phrase_count_sql
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = (
+            con.execute(phrase_count_sql(("table", "scan")))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = ray.data.read_parquet(
+            os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        got = (
+            phrase_count(docs, ("table", "scan"))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
