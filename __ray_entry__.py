@@ -398,6 +398,16 @@ def q_phrase_count(sf_dir: str):
     return phrase_count(docs, PHRASE_TERMS).to_pandas()
 
 
+def q_chunk_rag(sf_dir: str):
+    """RAG-prep chunking: 64-token windows with 16-token overlap per
+    doc (zero shuffle, pure flat map); chunk_text checked byte-for-byte
+    by the array_to_string SQL oracle over the shared tokenization."""
+    from linkgraph.ops.packing import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs).to_pandas()
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental crawl dedup: MinHash near-dups of the incoming
     quarter of the corpus (doc_id % 4 == 0) against the resident
@@ -1301,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_churn": q_snapshot_churn,
         "dedup_incremental": q_dedup_incremental,
         "phrase_count": q_phrase_count,
+        "chunk_rag": q_chunk_rag,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
         "minhash_dedup": q_minhash_dedup,
@@ -2138,6 +2149,9 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.ops.text import phrase_count_sql
 
     q["phrase_count"] = phrase_count_sql(PHRASE_TERMS)
+    from linkgraph.ops.packing import chunk_sql
+
+    q["chunk_rag"] = chunk_sql()
     q["pii_scrub"] = _pii_sql()
     q["seq_pack"] = _seq_pack_sql()
     q["data_split"] = _split_sql()

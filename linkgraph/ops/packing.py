@@ -136,3 +136,82 @@ def hash_split(docs, seed: int = SPLIT_SEED):
         )
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    token_re: str = "[A-Za-z0-9]+",
+):
+    """RAG-prep chunking: split each doc into fixed-token windows with
+    overlap -> (doc_id, chunk_id, start_tok, n_toks, chunk_text).
+
+    Pure per-doc flat map (zero shuffle, read prunable to doc_id+text);
+    chunk_text is the space-joined token slice, so the SQL oracle
+    (array_to_string over the shared tokenization) checks it
+    byte-for-byte. Final partial window is kept iff it starts inside
+    the doc and adds new tokens (start_tok < n and start_tok > 0 only
+    when the previous window didn't already cover the tail).
+    """
+    import re as _re
+
+    import pyarrow as pa
+
+    def chunks(t: pa.Table) -> pa.Table:
+        pat = _re.compile(token_re)
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_id, out_ck, out_st, out_n, out_tx = [], [], [], [], []
+        for d, x in zip(ids, texts):
+            toks = pat.findall(x)
+            n = len(toks)
+            if n == 0:
+                continue
+            ck = 0
+            for s in range(0, n, stride):
+                if s > 0 and s + 1 > n:  # stride stepped past the end
+                    break
+                w = toks[s : s + chunk_tokens]
+                out_id.append(d)
+                out_ck.append(ck)
+                out_st.append(s)
+                out_n.append(len(w))
+                out_tx.append(" ".join(w))
+                ck += 1
+                if s + chunk_tokens >= n:  # this window reached the tail
+                    break
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_ck, pa.int64()),
+                "start_tok": pa.array(out_st, pa.int64()),
+                "n_toks": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_tx, pa.string()),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow", batch_size=2048)
+
+
+def chunk_sql(chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE) -> str:
+    """DuckDB replay of chunk_documents: windows start at multiples of
+    the stride; a window is emitted iff it starts at 0 or its
+    predecessor did not already reach the tail (start < n_toks and
+    start - stride + chunk_tokens < n_toks)."""
+    return (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ts "
+        "FROM documents), "
+        "n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS nt FROM t WHERE len(ts) > 0), "
+        f"w AS (SELECT doc_id, ts, nt, unnest(range(0, nt, {stride})) AS s FROM n), "
+        f"k AS (SELECT * FROM w WHERE s = 0 OR s - {stride} + {chunk_tokens} < nt), "
+        "r AS (SELECT doc_id, s, "
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS chunk_id, "
+        f"CAST(least(nt - s, {chunk_tokens}) AS BIGINT) AS n_toks, "
+        f"array_to_string(ts[s + 1 : s + {chunk_tokens}], ' ') AS chunk_text FROM k) "
+        "SELECT doc_id, chunk_id, CAST(s AS BIGINT) AS start_tok, n_toks, chunk_text FROM r"
+    )

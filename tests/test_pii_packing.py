@@ -242,3 +242,57 @@ class TestPhraseCount:
         )
         assert len(got) > 0
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestChunkDocuments:
+    def test_windows_and_tail_rule(self):
+        from linkgraph.ops.packing import chunk_documents
+
+        # 10 tokens, chunk 4, stride 3: windows at 0,3,6 (6+4 >= 10 stops)
+        docs = _docs_table([(0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")])
+        out = (
+            chunk_documents(docs, chunk_tokens=4, stride=3)
+            .to_pandas()
+            .sort_values("chunk_id")
+            .reset_index(drop=True)
+        )
+        assert out["start_tok"].tolist() == [0, 3, 6]
+        assert out["n_toks"].tolist() == [4, 4, 4]
+        assert out.loc[2, "chunk_text"] == "t6 t7 t8 t9"
+        # short doc: one partial window
+        short = chunk_documents(
+            _docs_table([(1, "a b")]), chunk_tokens=4, stride=3
+        ).to_pandas()
+        assert short["n_toks"].tolist() == [2]
+        # empty doc: no rows
+        assert (
+            chunk_documents(_docs_table([(2, "!!!")]), 4, 3).to_pandas().empty
+        )
+
+    def test_duckdb_parity(self):
+        from linkgraph.ops.packing import chunk_documents, chunk_sql
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = (
+            con.execute(chunk_sql())
+            .df()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        docs = ray.data.read_parquet(
+            os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        got = (
+            chunk_documents(docs)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) > 500  # docs are ~60-130 tokens: 1-3 chunks each
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
