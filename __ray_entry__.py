@@ -398,6 +398,17 @@ def q_phrase_count(sf_dir: str):
     return phrase_count(docs, PHRASE_TERMS).to_pandas()
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic epoch shuffle: splitmix64 key -> shard + in-shard
+    rank; reproducible across runs/machines/repartitions (new epoch =
+    new seed). Oracle: row_number over the bit-exact splitmix64 SQL
+    chain."""
+    from linkgraph.ops.packing import shuffle_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_shards(docs).to_pandas()
+
+
 def q_chunk_rag(sf_dir: str):
     """RAG-prep chunking: 64-token windows with 16-token overlap per
     doc (zero shuffle, pure flat map); chunk_text checked byte-for-byte
@@ -1312,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "phrase_count": q_phrase_count,
         "chunk_rag": q_chunk_rag,
+        "shuffle_shards": q_shuffle_shards,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
         "minhash_dedup": q_minhash_dedup,
@@ -2152,6 +2164,7 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.ops.packing import chunk_sql
 
     q["chunk_rag"] = chunk_sql()
+    q["shuffle_shards"] = _shuffle_sql()
     q["pii_scrub"] = _pii_sql()
     q["seq_pack"] = _seq_pack_sql()
     q["data_split"] = _split_sql()
@@ -2202,6 +2215,21 @@ def _seq_pack_sql() -> str:
     from linkgraph.ops.packing import pack_sql
 
     return pack_sql()
+
+
+def _shuffle_sql() -> str:
+    """Replays ops/packing.py shuffle_shards via the shared splitmix64
+    SQL chain: shard = h % N, pos = rank of h within the shard."""
+    from linkgraph.ops.packing import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    sm, last = _sql_splitmix_ctes("shfm", "verts", {"h": f"v + {SHUFFLE_SEED}"})
+    ctes = ["verts AS (SELECT doc_id AS v FROM documents)"] + sm
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT v AS doc_id, "
+        f"CAST(h % {SHUFFLE_SHARDS} AS BIGINT) AS shard, "
+        f"CAST(row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS} ORDER BY h) - 1 "
+        "AS BIGINT) AS pos FROM " + last
+    )
 
 
 def _split_sql() -> str:

@@ -215,3 +215,46 @@ def chunk_sql(chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE) -> s
         f"array_to_string(ts[s + 1 : s + {chunk_tokens}], ' ') AS chunk_text FROM k) "
         "SELECT doc_id, chunk_id, CAST(s AS BIGINT) AS start_tok, n_toks, chunk_text FROM r"
     )
+
+
+SHUFFLE_SEED = 4242
+SHUFFLE_SHARDS = 8
+
+
+def shuffle_shards(docs, n_shards: int = SHUFFLE_SHARDS, seed: int = SHUFFLE_SEED):
+    """Deterministic epoch shuffle: (doc_id) -> (doc_id, shard, pos).
+
+    The training-data ordering primitive: key = splitmix64(doc_id +
+    seed) is a bijection on uint64 (distinct ids -> distinct keys, no
+    ties), shard = key % n_shards, pos = rank of key within the shard.
+    Reproducible across runs/machines/repartitions and new epochs are
+    just a new seed. One groupby(shard) shuffle moving (doc_id, key);
+    in-shard ranking is one argsort per group. At 10^12 docs n_shards
+    is sized so a shard is one trainer file (~10^6 docs), keeping the
+    per-group sort bounded.
+    """
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids + np.uint64(seed))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+                "_key": pa.array(h),  # uint64 column: order matches SQL UBIGINT
+            }
+        )
+
+    def rank(t: pa.Table) -> pa.Table:
+        k = t.column("_key").to_numpy(zero_copy_only=False)
+        pos = np.empty(len(k), np.int64)
+        pos[np.argsort(k, kind="stable")] = np.arange(len(k))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": t.column("shard"),
+                "pos": pa.array(pos),
+            }
+        )
+
+    keyed = docs.map_batches(key_rows, batch_format="pyarrow")
+    return keyed.groupby("shard").map_groups(rank, batch_format="pyarrow")

@@ -296,3 +296,34 @@ class TestChunkDocuments:
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False
         )
+
+
+class TestShuffleShards:
+    def test_deterministic_bijective_positions(self):
+        from linkgraph.ops.packing import shuffle_shards
+
+        docs = ray.data.range(3000).map_batches(
+            lambda t: pa.table({"doc_id": t.column("id")}), batch_format="pyarrow"
+        )
+        a = shuffle_shards(docs).to_pandas()
+        b = shuffle_shards(docs).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True),
+            b.sort_values("doc_id").reset_index(drop=True),
+        )
+        # positions are a 0..k-1 bijection within each shard
+        for s, grp in a.groupby("shard"):
+            assert sorted(grp["pos"]) == list(range(len(grp)))
+        # shards are roughly balanced
+        sizes = a["shard"].value_counts()
+        assert sizes.min() > 0.7 * sizes.max()
+
+    def test_new_seed_new_order(self):
+        from linkgraph.ops.packing import shuffle_shards
+
+        docs = ray.data.range(500).map_batches(
+            lambda t: pa.table({"doc_id": t.column("id")}), batch_format="pyarrow"
+        )
+        a = shuffle_shards(docs, seed=1).to_pandas().sort_values("doc_id")
+        b = shuffle_shards(docs, seed=2).to_pandas().sort_values("doc_id")
+        assert not (a["pos"].values == b["pos"].values).all()
