@@ -1266,9 +1266,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_type": q_quantiles_by_type,
         "bm25_topk": q_bm25,
         "token_zipf": q_token_zipf,
-        "kcore_peel": q_kcore,
         "ktruss_3": q_ktruss,
-        "motif_census": q_motif_census,
+        "snapshot_churn": q_snapshot_churn,
+        "phrase_count": q_phrase_count,
+        "chunk_rag": q_chunk_rag,
+        "shuffle_shards": q_shuffle_shards,
         "scc_labels": q_scc,
         "dag_levels": q_dag_levels,
         "bowtie": q_bowtie,
@@ -1284,7 +1286,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_nf": q_hyperanf,
         "eff_diameter": q_eff_diameter,
         "gcn_2layer": q_gcn,
-        "edge_anomaly": q_edge_anomaly,
         "dup_spans": q_dup_spans,
         "approx_distinct_tokens": q_approx_distinct,
         "corpus_select": q_corpus_select,
@@ -1292,7 +1293,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": q_simhash_dedup,
         "quality_by_source": q_quality_by_source,
         "quality_filter": q_quality_filter,
-        "knn_cosine": q_knn,
         "knn_lsh": q_knn_lsh,
         "kmeans_4": q_kmeans,
         "semdedup": q_semdedup,
@@ -1319,11 +1319,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
         "langid": q_langid,
-        "snapshot_churn": q_snapshot_churn,
         "dedup_incremental": q_dedup_incremental,
-        "phrase_count": q_phrase_count,
-        "chunk_rag": q_chunk_rag,
-        "shuffle_shards": q_shuffle_shards,
+        "kcore_peel": q_kcore,
+        "motif_census": q_motif_census,
+        "edge_anomaly": q_edge_anomaly,
+        "knn_cosine": q_knn,
         "host_graph": q_host_graph,
         "assortativity": q_assortativity,
         "minhash_dedup": q_minhash_dedup,
