@@ -409,6 +409,27 @@ def q_shuffle_shards(sf_dir: str):
     return shuffle_shards(docs).to_pandas()
 
 
+def q_window_topk(sf_dir: str):
+    """Per-window top-3 event types by count (heavy hitters per hour):
+    rides the tumbling combiner, per-window rank with deterministic
+    (count DESC, type ASC) tie-break; row_number SQL oracle over the
+    shared tumbling CTE."""
+    from linkgraph.ops.windows import window_topk
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return window_topk(ev, minutes=60, k=3).to_pandas()
+
+
+def q_funnel(sf_dir: str):
+    """Strict first-occurrence funnel view -> click -> purchase over
+    users: per-block combiner to per-user first-seen stamps, one
+    groupby(user) min-reduce, k-counter fold. Exact SQL oracle."""
+    from linkgraph.ops.windows import funnel_counts
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return funnel_counts(ev)
+
+
 def q_chunk_rag(sf_dir: str):
     """RAG-prep chunking: 64-token windows with 16-token overlap per
     doc (zero shuffle, pure flat map); chunk_text checked byte-for-byte
@@ -1271,6 +1292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_count": q_phrase_count,
         "chunk_rag": q_chunk_rag,
         "shuffle_shards": q_shuffle_shards,
+        "window_topk": q_window_topk,
+        "funnel": q_funnel,
         "scc_labels": q_scc,
         "dag_levels": q_dag_levels,
         "bowtie": q_bowtie,
@@ -1293,10 +1316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": q_simhash_dedup,
         "quality_by_source": q_quality_by_source,
         "quality_filter": q_quality_filter,
-        "knn_lsh": q_knn_lsh,
         "kmeans_4": q_kmeans,
         "semdedup": q_semdedup,
-        "random_walks_4": q_random_walks,
         "salsa_5": q_salsa,
         "katz_4": q_katz,
         "anchor_top3": q_anchor_top3,
@@ -1320,6 +1341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pii_scrub / seq_pack / data_split) ----
         "langid": q_langid,
         "dedup_incremental": q_dedup_incremental,
+        "knn_lsh": q_knn_lsh,
+        "random_walks_4": q_random_walks,
         "kcore_peel": q_kcore,
         "motif_census": q_motif_census,
         "edge_anomaly": q_edge_anomaly,
@@ -2165,6 +2188,27 @@ def oracle_sql() -> dict[str, str]:
 
     q["chunk_rag"] = chunk_sql()
     q["shuffle_shards"] = _shuffle_sql()
+    q["window_topk"] = (
+        "WITH c AS (" + q["tumbling_1h"] + "), "
+        "r AS (SELECT window_start, event_type, n_events, "
+        "CAST(row_number() OVER (PARTITION BY window_start "
+        "ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk FROM c) "
+        "SELECT window_start, event_type, n_events, rnk FROM r WHERE rnk <= 3"
+    )
+    q["funnel"] = (
+        "WITH f AS (SELECT user_id, "
+        "min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0, "
+        "min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1, "
+        "min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2 "
+        "FROM events GROUP BY user_id) "
+        "SELECT 'view' AS stage, CAST(count(CASE WHEN t0 IS NOT NULL THEN 1 END) "
+        "AS BIGINT) AS n_users FROM f "
+        "UNION ALL SELECT 'click', CAST(count(CASE WHEN t0 IS NOT NULL AND "
+        "t1 IS NOT NULL AND t1 > t0 THEN 1 END) AS BIGINT) FROM f "
+        "UNION ALL SELECT 'purchase', CAST(count(CASE WHEN t0 IS NOT NULL AND "
+        "t1 IS NOT NULL AND t1 > t0 AND t2 IS NOT NULL AND t2 > t1 THEN 1 END) "
+        "AS BIGINT) FROM f"
+    )
     q["pii_scrub"] = _pii_sql()
     q["seq_pack"] = _seq_pack_sql()
     q["data_split"] = _split_sql()

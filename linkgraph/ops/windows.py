@@ -155,3 +155,86 @@ def sessionize(events: Dataset, gap_minutes: int = 30, num_buckets: int = 64) ->
         .groupby("part")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def window_topk(events: Dataset, minutes: int = 60, k: int = 3) -> Dataset:
+    """Per-window top-k event types by count -> (window_start,
+    event_type, n_events, rnk). Tie-break: count DESC, type ASC.
+
+    Rides the tumbling_window combiner (per-block (window, type)
+    partials bound the shuffle to distinct pairs); the top-k is a
+    per-window map_groups over the tiny combined table."""
+    counts = tumbling_window(events, minutes=minutes)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["n_events", "event_type"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["window_start", "event_type", "n_events", "rnk"]]
+
+    return counts.groupby("window_start").map_groups(topk, batch_format="pandas")
+
+
+def funnel_counts(
+    events: Dataset,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> "pd.DataFrame":
+    """Strict first-occurrence funnel over users: stage i counts users
+    whose first `stages[i]` event happened strictly after their first
+    `stages[i-1]` event. Returns a (stage, n_users) table.
+
+    Shape: per-block combiner reduces events to per-user first-seen
+    timestamps per stage (int64 us, sentinel=max for absent), ONE
+    groupby(user) min-reduce, then the tiny per-user table folds to k
+    counters. The result is k rows — materializing it is the point.
+    """
+    from ray.data.aggregate import Min
+
+    # sentinel for "stage never seen": must be exactly representable in
+    # float64 (the pivot's NaN fill routes through float), so NOT
+    # int64.max — 2^62 is exact and far above any epoch-us timestamp
+    SENT = np.int64(1 << 62)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"], "et": df["event_type"], "us": us})
+        piv = g.pivot_table(
+            index="user_id", columns="et", values="us", aggfunc="min"
+        )
+        res = pd.DataFrame({"user_id": piv.index.to_numpy()})
+        for i, s in enumerate(stages):
+            res[f"t{i}"] = (
+                piv[s].fillna(SENT).astype(np.int64).to_numpy()
+                if s in piv.columns
+                else np.full(len(piv), SENT, np.int64)
+            )
+        return res
+
+    per_user = (
+        events.map_batches(partial, batch_format="pandas", batch_size=131072)
+        .groupby("user_id")
+        .aggregate(
+            *[Min(f"t{i}", alias_name=f"t{i}") for i in range(len(stages))]
+        )
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["t0"].to_numpy() != SENT
+        counts = [int(ok.sum())]
+        prev = df["t0"].to_numpy()
+        for i in range(1, len(stages)):
+            cur = df[f"t{i}"].to_numpy()
+            ok = ok & (cur != SENT) & (cur > prev)
+            counts.append(int(ok.sum()))
+            prev = cur
+        return pd.DataFrame({"_c": [counts]})
+
+    parts = per_user.map_batches(
+        fold, batch_format="pandas", batch_size=1 << 30
+    ).to_pandas()
+    totals = np.sum(np.array(parts["_c"].tolist(), np.int64), axis=0)
+    return pd.DataFrame(
+        {"stage": list(stages), "n_users": totals.astype(np.int64)}
+    )

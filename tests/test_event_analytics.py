@@ -1,0 +1,69 @@
+"""window_topk and funnel_counts: hand-data semantics."""
+
+import os
+import sys
+from datetime import datetime
+
+import pandas as pd
+import ray
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from linkgraph.ops.windows import funnel_counts, window_topk
+
+
+def _events(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            rows, columns=["ts", "user_id", "event_type", "value"]
+        ).astype({"ts": "datetime64[us]"})
+    )
+
+
+def T(m, s=0):
+    return datetime(2024, 1, 1, 0, m, s)
+
+
+class TestWindowTopK:
+    def test_rank_and_tiebreak(self):
+        ev = _events(
+            [(T(1), 1, "b", 1.0)] * 3
+            + [(T(2), 1, "a", 1.0)] * 3
+            + [(T(3), 1, "c", 1.0)] * 5
+            + [(T(4), 1, "d", 1.0)]
+            + [(datetime(2024, 1, 1, 1, 5), 1, "x", 1.0)]
+        )
+        out = window_topk(ev, minutes=60, k=3).to_pandas()
+        w0 = out[out["window_start"] == out["window_start"].min()]
+        w0 = w0.sort_values("rnk")
+        # c(5) first; a and b tie at 3 -> 'a' before 'b'
+        assert w0["event_type"].tolist() == ["c", "a", "b"]
+        assert w0["n_events"].tolist() == [5, 3, 3]
+        assert w0["rnk"].tolist() == [1, 2, 3]
+        w1 = out[out["window_start"] != out["window_start"].min()]
+        assert w1["event_type"].tolist() == ["x"] and w1["rnk"].tolist() == [1]
+
+
+class TestFunnel:
+    def test_strict_order(self):
+        ev = _events(
+            [
+                # user 1: full ordered funnel
+                (T(1), 1, "view", 0.0),
+                (T(2), 1, "click", 0.0),
+                (T(3), 1, "purchase", 0.0),
+                # user 2: click BEFORE view -> stops at view stage
+                (T(2), 2, "click", 0.0),
+                (T(3), 2, "view", 0.0),
+                (T(4), 2, "purchase", 0.0),
+                # user 3: view + click only
+                (T(1), 3, "view", 0.0),
+                (T(5), 3, "click", 0.0),
+                # user 4: purchase only -> not even view stage
+                (T(1), 4, "purchase", 0.0),
+            ]
+        )
+        out = funnel_counts(ev).set_index("stage")["n_users"]
+        assert out["view"] == 3  # users 1, 2, 3
+        assert out["click"] == 2  # users 1, 3
+        assert out["purchase"] == 1  # user 1
