@@ -126,7 +126,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--num-cpus", type=int, default=None)
 
-    for name in ("lm-score", "para-dedup", "quality-filter", "pii-scrub", "pack", "split"):
+    for name in (
+        "lm-score", "para-dedup", "quality-filter", "pii-scrub", "pack", "split", "chunk"
+    ):
         sp = sub.add_parser(name)
         sp.add_argument("--docs", required=True, help="parquet dir of (doc_id, text)")
         sp.add_argument("--out", default=None)
@@ -136,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "pack":
             sp.add_argument("--capacity", type=int, default=512)
             sp.add_argument("--group-col", default="source")
+        if name == "chunk":
+            sp.add_argument("--chunk-tokens", type=int, default=64)
+            sp.add_argument("--stride", type=int, default=48)
 
     p = sub.add_parser("walks")
     p.add_argument("--edges", required=True)
@@ -214,7 +219,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd in (
-            "lm-score", "para-dedup", "quality-filter", "pii-scrub", "pack", "split"
+            "lm-score", "para-dedup", "quality-filter", "pii-scrub", "pack", "split",
+            "chunk",
         ):
             import ray.data
 
@@ -224,7 +230,14 @@ def main(argv: list[str] | None = None) -> int:
             elif args.cmd == "split":
                 cols = ["doc_id"]
             docs = ray.data.read_parquet(args.docs, columns=cols)
-            if args.cmd == "pii-scrub":
+            if args.cmd == "chunk":
+                from .ops.packing import chunk_documents
+
+                res = chunk_documents(
+                    docs, chunk_tokens=args.chunk_tokens, stride=args.stride
+                )
+                tag = "chunks"
+            elif args.cmd == "pii-scrub":
                 from .ops.pii import pii_scrub
 
                 res, tag = pii_scrub(docs), "pii_scrub"

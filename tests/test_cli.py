@@ -303,3 +303,29 @@ def test_cli_corpus_prep_ops(tmp_path):
     t = pq.read_table(os.path.join(sdir, "data"))
     assert set(t.column("split").to_pylist()) <= {"train", "val", "test"}
     assert t.num_rows == 3
+
+
+@pytest.mark.slow
+def test_cli_chunk(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pqw.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"]),
+            }
+        ),
+        str(docs_dir / "docs.parquet"),
+    )
+    cdir = str(tmp_path / "ck")
+    run_cli(
+        "chunk", "--docs", str(docs_dir), "--out", cdir,
+        "--chunk-tokens", "4", "--stride", "3", "--num-cpus", "4",
+    )
+    t = pq.read_table(os.path.join(cdir, "data"))
+    assert t.num_rows == 3
+    assert sorted(t.column("start_tok").to_pylist()) == [0, 3, 6]
