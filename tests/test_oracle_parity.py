@@ -47,6 +47,11 @@ CHECKED = [
     "data_split",
     "snapshot_churn",
     "corpus_select",
+    "window_topk",
+    "funnel",
+    "shuffle_shards",
+    "phrase_count",
+    "chunk_rag",
 ]
 
 
