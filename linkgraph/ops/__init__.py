@@ -24,7 +24,7 @@ from .graphstats import (
 )
 from .sampling import sample_per_key, sample_per_key_sql
 from .pii import PIIScrub, pii_scrub
-from .packing import pack_sequences, hash_split
+from .packing import pack_sequences, hash_split, chunk_documents, shuffle_shards
 from .corpus import corpus_select, keeper_flags
 from .snapshot import snapshot_churn
 from .dedup import (
@@ -39,7 +39,13 @@ from .dedup import (
 )
 from .knn import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
 from .clustering import kmeans_fit, kmeans_assign, semdedup_pairs
-from .windows import tumbling_window, hopping_window, sessionize
+from .windows import (
+    tumbling_window,
+    hopping_window,
+    sessionize,
+    window_topk,
+    funnel_counts,
+)
 from .cms import CountMinSketch, sketch_edge_counts, edge_anomaly_scores
 from .spatial import radius_join
 from .anchors import (
