@@ -430,6 +430,16 @@ def q_funnel(sf_dir: str):
     return funnel_counts(ev)
 
 
+def q_window_distinct(sf_dir: str):
+    """Exact distinct users per tumbling hour: per-block pair dedup +
+    ONE (window, user) range sort + run-boundary counting. SQL oracle:
+    count(DISTINCT user_id) per hour."""
+    from linkgraph.ops.windows import window_distinct
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    return window_distinct(ev, minutes=60).to_pandas()
+
+
 def q_chunk_rag(sf_dir: str):
     """RAG-prep chunking: 64-token windows with 16-token overlap per
     doc (zero shuffle, pure flat map); chunk_text checked byte-for-byte
@@ -1341,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pii_scrub / seq_pack / data_split) ----
         "langid": q_langid,
         "dedup_incremental": q_dedup_incremental,
+        "window_distinct": q_window_distinct,
         "knn_lsh": q_knn_lsh,
         "random_walks_4": q_random_walks,
         "kcore_peel": q_kcore,
@@ -2194,6 +2205,11 @@ def oracle_sql() -> dict[str, str]:
         "CAST(row_number() OVER (PARTITION BY window_start "
         "ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk FROM c) "
         "SELECT window_start, event_type, n_events, rnk FROM r WHERE rnk <= 3"
+    )
+    q["window_distinct"] = (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY 1"
     )
     q["funnel"] = (
         "WITH f AS (SELECT user_id, "

@@ -238,3 +238,42 @@ def funnel_counts(
     return pd.DataFrame(
         {"stage": list(stages), "n_users": totals.astype(np.int64)}
     )
+
+
+def window_distinct(events: Dataset, minutes: int = 60) -> Dataset:
+    """Exact distinct users per tumbling window -> (window_start,
+    n_users). Per-block combiner dedups (window, user) pairs first, ONE
+    (window, user) range sort co-locates duplicates, run boundaries
+    count distincts per window with no per-group machinery. (The
+    approximate path at extreme cardinality is ops/hll.py — mergeable
+    registers per window.)"""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["ts"].astype("datetime64[s]").astype("int64")
+        w = (sec // (minutes * 60)) * (minutes * 60)
+        g = pd.DataFrame({"window_start": w, "user_id": df["user_id"]})
+        return g.drop_duplicates()
+
+    def count_runs(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"window_start": z, "n_users": z})
+        w = t.column("window_start").to_numpy()
+        u = t.column("user_id").to_numpy()
+        # distinct (w, u) runs; count run-starts per window
+        new = np.r_[True, (w[1:] != w[:-1]) | (u[1:] != u[:-1])]
+        ws = w[new]
+        starts = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+        n = np.diff(np.r_[starts, len(ws)])
+        return pa.table(
+            {
+                "window_start": pa.array(ws[starts]),
+                "n_users": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return (
+        events.map_batches(pairs, batch_format="pandas", batch_size=131072)
+        .sort(["window_start", "user_id"])
+        .map_batches(count_runs, batch_format="pyarrow", batch_size=None)
+    )

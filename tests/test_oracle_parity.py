@@ -52,6 +52,7 @@ CHECKED = [
     "shuffle_shards",
     "phrase_count",
     "chunk_rag",
+    "window_distinct",
 ]
 
 
