@@ -430,6 +430,21 @@ def q_funnel(sf_dir: str):
     return funnel_counts(ev)
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Classic relational broadcast join: orders x customer x nation
+    with the dimension tables shipped once via ray.put and probed by
+    vectorized searchsorted inside map_batches — the fact table never
+    shuffles. Revenue as exact int64 cents (floor(x*100 + 0.5), the
+    same IEEE ops in numpy and DuckDB)."""
+    from linkgraph.ops.relational import revenue_by_nation
+
+    return revenue_by_nation(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    ).to_pandas()
+
+
 def q_window_distinct(sf_dir: str):
     """Exact distinct users per tumbling hour: per-block pair dedup +
     ONE (window, user) range sort + run-boundary counting. SQL oracle:
@@ -1352,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "dedup_incremental": q_dedup_incremental,
         "window_distinct": q_window_distinct,
+        "revenue_by_nation": q_revenue_by_nation,
         "knn_lsh": q_knn_lsh,
         "random_walks_4": q_random_walks,
         "kcore_peel": q_kcore,
@@ -2210,6 +2226,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY 1"
+    )
+    q["revenue_by_nation"] = (
+        "SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
     )
     q["funnel"] = (
         "WITH f AS (SELECT user_id, "

@@ -53,6 +53,7 @@ CHECKED = [
     "phrase_count",
     "chunk_rag",
     "window_distinct",
+    "revenue_by_nation",
 ]
 
 
