@@ -445,6 +445,33 @@ def q_revenue_by_nation(sf_dir: str):
     ).to_pandas()
 
 
+def q_compress_ratio(sf_dir: str):
+    """zlib compressibility quality signal (Gopher/CCNet-style):
+    repetitive boilerplate compresses far below prose. Deterministic
+    for a fixed level — exact pytest oracle; not SQL-expressible
+    (rows-only at the driver)."""
+    from linkgraph.ops.text import compress_ratio
+
+    return compress_ratio(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+
+
+def q_dangling_share(sf_dir: str):
+    """Crawl-frontier hygiene on the crawled subset (src % 3 != 0):
+    per-host share of links pointing at pages with no outgoing links
+    (uncrawled/terminal). Tagged-union range sort for the membership
+    test — no hash table, no driver-side set. Anti-join SQL oracle."""
+    import pyarrow as pa
+
+    from linkgraph.ops.graphstats import dangling_share
+
+    def crawled(t: pa.Table) -> pa.Table:
+        keep = t.column("src").to_numpy() % 3 != 0
+        return t.filter(pa.array(keep))
+
+    edges = _doc_edges_ds(sf_dir).map_batches(crawled, batch_format="pyarrow")
+    return dangling_share(edges, host_mod=64).to_pandas()
+
+
 def q_window_distinct(sf_dir: str):
     """Exact distinct users per tumbling hour: per-block pair dedup +
     ONE (window, user) range sort + run-boundary counting. SQL oracle:
@@ -1368,6 +1395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "window_distinct": q_window_distinct,
         "revenue_by_nation": q_revenue_by_nation,
+        "compress_ratio": q_compress_ratio,
+        "dangling_share": q_dangling_share,
         "knn_lsh": q_knn_lsh,
         "random_walks_4": q_random_walks,
         "kcore_peel": q_kcore,
@@ -2193,6 +2222,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT pr.v AS doc_id, pr.pr_rank, qf.keep, dd.is_keeper, "
         "CAST(qf.keep * dd.is_keeper AS BIGINT) AS selected "
         "FROM pr JOIN qf ON qf.doc_id = pr.v JOIN dd ON dd.doc_id = pr.v"
+    )
+    q["dangling_share"] = (
+        f"WITH {e}, f AS (SELECT src, dst FROM e WHERE src % 3 <> 0), "
+        "s AS (SELECT DISTINCT src FROM f) "
+        "SELECT f.src % 64 AS host, CAST(count(*) AS BIGINT) AS n_links, "
+        "CAST(sum(CASE WHEN f.dst NOT IN (SELECT src FROM s) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dangling FROM f GROUP BY 1"
     )
     q["snapshot_churn"] = (
         f"WITH {e}, t1 AS (SELECT src, dst FROM e WHERE (src*31 + dst) % 11 <> 0 "

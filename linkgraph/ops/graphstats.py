@@ -657,3 +657,79 @@ def clustering_coefficient(
         )
 
     return joined.map_batches(coeff, batch_format="pyarrow")
+
+
+def dangling_share(edges, host_mod: int = 64):
+    """Per-host crawl-frontier hygiene: of each host's outgoing links,
+    how many point at pages that have no outgoing links themselves
+    (dangling dsts — unfetched or terminal pages).
+
+    -> (host, n_links, n_dangling). One src-set distinct (sort +
+    adjacent mask) broadcast as a tagged union with the edge rows:
+    a (key) range sort co-locates each dst with the src-set marker row
+    if one exists, so membership is a per-run any() — no hash table,
+    no driver-side set. Host key = src % host_mod for the derived doc
+    graph (production: the host hash column).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def src_marks(t: pa.Table) -> pa.Table:
+        s = np.unique(t.column("src").to_numpy())
+        return pa.table(
+            {
+                "key": pa.array(s),
+                "kind": pa.array(np.zeros(len(s), np.int8)),
+                "host": pa.array(np.zeros(len(s), np.int64)),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(dst),
+                "kind": pa.array(np.ones(len(dst), np.int8)),
+                "host": pa.array((src % host_mod).astype(np.int64)),
+            }
+        )
+
+    tagged = edges.map_batches(src_marks, batch_format="pyarrow").union(
+        edges.map_batches(edge_rows, batch_format="pyarrow")
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"host": z, "n_links": z, "n_dangling": z})
+        k = t.column("key").to_numpy()
+        kind = t.column("kind").to_numpy()
+        host = t.column("host").to_numpy()
+        new = np.r_[True, k[1:] != k[:-1]]
+        run = np.cumsum(new) - 1
+        # run has a src marker iff any kind==0 row present
+        has_src = np.zeros(run[-1] + 1, bool)
+        has_src[run[kind == 0]] = True
+        is_edge = kind == 1
+        dangling = is_edge & ~has_src[run]
+        n_links = np.bincount(host[is_edge], minlength=host_mod)
+        n_dang = np.bincount(host[dangling], minlength=host_mod)
+        keep = n_links > 0
+        hosts = np.arange(host_mod, dtype=np.int64)
+        return pa.table(
+            {
+                "host": pa.array(hosts[keep]),
+                "n_links": pa.array(n_links[keep].astype(np.int64)),
+                "n_dangling": pa.array(n_dang[keep].astype(np.int64)),
+            }
+        )
+
+    from .sortagg import sorted_sum_by
+
+    partials = tagged.sort("key").map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
+    return sorted_sum_by(
+        partials, "host", sum_cols={"n_links": "n_links", "n_dangling": "n_dangling"}
+    )

@@ -812,3 +812,36 @@ def phrase_count_sql(phrase: tuple[str, ...]) -> str:
         f"FROM w WHERE {conds} GROUP BY doc_id) "
         "SELECT doc_id, n_matches FROM m"
     )
+
+
+def compress_ratio(docs, level: int = 6):
+    """Gopher/CCNet-style compressibility signal: (doc_id, raw_bytes,
+    zlib_bytes, ratio). Highly repetitive/templated text compresses far
+    below natural prose, so a low ratio flags boilerplate the n-gram
+    filters miss. Pure per-doc map, zero shuffle; zlib is deterministic
+    for a fixed level, so the pytest oracle is exact byte equality
+    (not SQL-expressible -> rows-only at the driver)."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def scan(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        raw = np.fromiter((len(x.encode()) for x in texts), np.int64, len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(x.encode(), level)) for x in texts),
+            np.int64,
+            len(texts),
+        )
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 1.0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "raw_bytes": pa.array(raw),
+                "zlib_bytes": pa.array(comp),
+                "ratio": pa.array(np.round(ratio, 8)),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow", batch_size=4096)

@@ -54,6 +54,7 @@ CHECKED = [
     "chunk_rag",
     "window_distinct",
     "revenue_by_nation",
+    "dangling_share",
 ]
 
 
