@@ -445,6 +445,31 @@ def q_revenue_by_nation(sf_dir: str):
     ).to_pandas()
 
 
+def q_heavy_tokens(sf_dir: str):
+    """Misra-Gries heavy-hitter tokens with bounded per-block state —
+    the unbounded-cardinality (URL/host stream) alternative to the
+    exact top-k. Rows-only (approximate by design); pytest proves the
+    sandwich bound est <= true <= est + err and guaranteed recall."""
+    import pyarrow as pa
+
+    from linkgraph.ops.heavyhitters import heavy_hitters
+    from linkgraph.ops.text import TOKEN_RE
+
+    def toks(t: pa.Table) -> pa.Table:
+        import re
+
+        pat = re.compile(TOKEN_RE)
+        out = []
+        for x in t.column("text").to_pylist():
+            out.extend(pat.findall(x))
+        return pa.table({"token": pa.array(out, pa.string())})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return heavy_hitters(
+        docs.map_batches(toks, batch_format="pyarrow"), "token", k=256, top=20
+    )
+
+
 def q_compress_ratio(sf_dir: str):
     """zlib compressibility quality signal (Gopher/CCNet-style):
     repetitive boilerplate compresses far below prose. Deterministic
@@ -1397,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "compress_ratio": q_compress_ratio,
         "dangling_share": q_dangling_share,
+        "heavy_tokens": q_heavy_tokens,
         "knn_lsh": q_knn_lsh,
         "random_walks_4": q_random_walks,
         "kcore_peel": q_kcore,
