@@ -532,6 +532,39 @@ def run_bench() -> dict:
             lambda: _churn(edges, churn_new, host_mod=64).count(),
         )
         extra["churn_edges_per_sec"] = round(2 * n_edges / eq["snapshot_churn"], 1)
+
+        # relational broadcast-join throughput: 5M synthetic fact rows
+        # (deterministic splitmix custkeys) joined against the sf
+        # customer/nation dimensions — the fact side never shuffles.
+        from linkgraph.hashing import splitmix64 as _smx
+        from linkgraph.ops.relational import revenue_by_nation as _rev
+
+        cust_ds = ray.data.read_parquet(
+            os.path.join(SF_DIR, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        nat_ds = ray.data.read_parquet(
+            os.path.join(SF_DIR, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        )
+        n_cust = cust_ds.count()
+        JOIN_N = 5_000_000
+
+        def _fact(b):
+            ids = np.asarray(
+                b["id"].to_numpy() if hasattr(b["id"], "to_numpy") else b["id"],
+                np.int64,
+            )
+            ck = (_smx(ids.astype(np.uint64)) % np.uint64(n_cust)).astype(np.int64)
+            price = (ids % 9973).astype(np.float64) + 0.25
+            return pa.table(
+                {"o_custkey": pa.array(ck), "o_totalprice": pa.array(price)}
+            )
+
+        facts = ray.data.range(JOIN_N).map_batches(_fact, batch_format="pyarrow")
+        ste.run(
+            "revenue_join_5m", lambda: _rev(facts, cust_ds, nat_ds).count()
+        )
+        extra["join_rows_per_sec"] = round(JOIN_N / eq["revenue_join_5m"], 1)
     except Exception as ex:
         extra.setdefault("errors", []).append(f"r4-extras: {ex}")
     extra["extra_queries"] = {k: round(v, 3) for k, v in eq.items()}
