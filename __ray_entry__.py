@@ -470,6 +470,21 @@ def q_heavy_tokens(sf_dir: str):
     )
 
 
+def q6_scan(sf_dir: str):
+    """TPC-H Q6-shaped selective scan aggregate: 1996 shipments,
+    discount 5-7%, quantity < 24. Column-pruned read, vectorized
+    predicate + product, exact int64 revenue (cents x basis points —
+    associative integer summation, block-order-proof)."""
+    from linkgraph.ops.relational import q6_revenue
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    return q6_revenue(li).to_pandas()
+
+
 def q_compress_ratio(sf_dir: str):
     """zlib compressibility quality signal (Gopher/CCNet-style):
     repetitive boilerplate compresses far below prose. Deterministic
@@ -1423,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_ratio": q_compress_ratio,
         "dangling_share": q_dangling_share,
         "heavy_tokens": q_heavy_tokens,
+        "q6_scan": q6_scan,
         "knn_lsh": q_knn_lsh,
         "random_walks_4": q_random_walks,
         "kcore_peel": q_kcore,
@@ -2248,6 +2264,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT pr.v AS doc_id, pr.pr_rank, qf.keep, dd.is_keeper, "
         "CAST(qf.keep * dd.is_keeper AS BIGINT) AS selected "
         "FROM pr JOIN qf ON qf.doc_id = pr.v JOIN dd ON dd.doc_id = pr.v"
+    )
+    q["q6_scan"] = (
+        "SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_i, "
+        "CAST(count(*) AS BIGINT) AS n_items FROM lineitem "
+        "WHERE year(l_shipdate) = 1996 "
+        "AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7 "
+        "AND l_quantity < 24"
     )
     q["dangling_share"] = (
         f"WITH {e}, f AS (SELECT src, dst FROM e WHERE src % 3 <> 0), "

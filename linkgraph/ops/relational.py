@@ -106,3 +106,44 @@ def revenue_by_nation(
         )
 
     return combined.map_batches(finish, batch_format="pyarrow")
+
+
+def q6_revenue(lineitem: Dataset) -> "pa.Table":
+    """TPC-H Q6-shaped selective scan aggregate: forecasted revenue
+    from lineitems shipped in 1996 with discount 5-7% and quantity
+    < 24. The read is pruned to the four needed columns; the predicate
+    and product run vectorized per batch; the result is ONE integer.
+
+    Exactness: revenue = sum(cents(price) * bps(discount)) as int64
+    (cents = floor(x*100 + 0.5), bps = floor(x*100 + 0.5)) — integer
+    summation is associative, so block order cannot perturb the oracle
+    hash the way float accumulation would.
+    """
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy()
+        qty = t.column("l_quantity").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        price = t.column("l_extendedprice").to_numpy()
+        y = ship.astype("datetime64[Y]").astype(np.int64) + 1970
+        bps = np.floor(disc * 100 + 0.5).astype(np.int64)
+        keep = (y == 1996) & (bps >= 5) & (bps <= 7) & (qty < 24)
+        cents = np.floor(price[keep] * 100 + 0.5).astype(np.int64)
+        rev = int((cents * bps[keep]).sum())
+        return pa.table(
+            {
+                "revenue_i": pa.array([rev], pa.int64()),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = lineitem.map_batches(
+        partial, batch_format="pyarrow", batch_size=131072
+    ).to_pandas()
+    return pa.table(
+        {
+            "revenue_i": pa.array([int(parts["revenue_i"].sum())], pa.int64()),
+            "n_items": pa.array([int(parts["n_items"].sum())], pa.int64()),
+        }
+    )

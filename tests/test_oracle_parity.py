@@ -55,6 +55,7 @@ CHECKED = [
     "window_distinct",
     "revenue_by_nation",
     "dangling_share",
+    "q6_scan",
 ]
 
 
