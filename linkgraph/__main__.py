@@ -288,8 +288,8 @@ def main(argv: list[str] | None = None) -> int:
                     eng,
                     walk_len=args.walk_len,
                     n_per_vertex=args.n_per_vertex,
-                    p=args.p or 1.0,
-                    q=args.q or 1.0,
+                    p=args.p if args.p is not None else 1.0,
+                    q=args.q if args.q is not None else 1.0,
                     seed=args.seed,
                 )
             else:

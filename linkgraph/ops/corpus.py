@@ -32,7 +32,18 @@ _TAG_RANK, _TAG_KEEP, _TAG_KEEPER = 0, 1, 2
 
 def keeper_flags(docs: Dataset) -> Dataset:
     """(doc_id, text) -> (doc_id, is_keeper): 1 iff the doc is the
-    min-doc_id member of its exact-content (md5) group."""
+    min-doc_id member of its exact-content (md5) group.
+
+    A digest GROUP can straddle a sorted-block boundary (the sort only
+    co-locates equal (digest, doc_id) tuples, not whole digest runs), so
+    first-of-run within a block over-flags: the continuation block's
+    first row would also read as a keeper. Correction pass: collect each
+    block's (first_digest, first_doc, last_digest) — O(#blocks), tiny —
+    order blocks by their first (digest, doc_id) tuple (unique, so the
+    order is the global sort order), and every block whose first digest
+    equals its predecessor's last digest has its first row UNFLAGGED.
+    One O(N) exchange total; the corrective state is #blocks rows on
+    the driver, never O(docs)."""
     import pandas as pd
 
     from .dedup import md5_digest_series
@@ -42,12 +53,52 @@ def keeper_flags(docs: Dataset) -> Dataset:
             {"doc_id": df["doc_id"], "digest": md5_digest_series(df["text"])}
         )
 
+    d = (
+        docs.map_batches(digest, batch_format="pandas", batch_size=8192)
+        .sort(["digest", "doc_id"])
+        .materialize()
+    )
+
+    def bounds(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "first_digest": pa.array([], pa.string()),
+                    "first_doc": pa.array([], pa.int64()),
+                    "last_digest": pa.array([], pa.string()),
+                }
+            )
+        dg = t.column("digest")
+        return pa.table(
+            {
+                "first_digest": dg.slice(0, 1),
+                "first_doc": t.column("doc_id").slice(0, 1),
+                "last_digest": dg.slice(len(t) - 1, 1),
+            }
+        )
+
+    b = (
+        d.map_batches(bounds, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["first_digest", "first_doc"])
+    )
+    unflag = {
+        (fd, int(fdoc))
+        for prev_last, fd, fdoc in zip(
+            b["last_digest"].shift(1), b["first_digest"], b["first_doc"]
+        )
+        if prev_last is not None and prev_last == fd
+    }
+
     def first_of_run(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             z = pa.array([], pa.int64())
             return pa.table({"doc_id": z, "is_keeper": z})
         dg = t.column("digest").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy()
         flag = np.r_[True, dg[1:] != dg[:-1]]
+        if (dg[0], int(ids[0])) in unflag:
+            flag[0] = False
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -55,11 +106,7 @@ def keeper_flags(docs: Dataset) -> Dataset:
             }
         )
 
-    return (
-        docs.map_batches(digest, batch_format="pandas", batch_size=8192)
-        .sort(["digest", "doc_id"])
-        .map_batches(first_of_run, batch_format="pyarrow", batch_size=None)
-    )
+    return d.map_batches(first_of_run, batch_format="pyarrow", batch_size=None)
 
 
 def _tagged(ds: Dataset, tag: int, val_col: str) -> Dataset:

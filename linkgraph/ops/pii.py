@@ -49,7 +49,11 @@ class PIIScrub:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.steps = [(col, re.compile(pat), rep) for col, pat, rep in PII_STEPS]
+        # re.ASCII: Python \d matches Unicode digits but RE2 (the DuckDB
+        # oracle) is ASCII-only — compile ASCII so both agree byte-for-byte
+        self.steps = [
+            (col, re.compile(pat, re.ASCII), rep) for col, pat, rep in PII_STEPS
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()

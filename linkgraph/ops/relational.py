@@ -73,7 +73,11 @@ def revenue_by_nation(
         ).astype(np.int64)
         pos = np.searchsorted(nkeys, nk)
         n_orders = np.bincount(pos, minlength=len(nkeys)).astype(np.int64)
-        rev = np.bincount(pos, weights=cents, minlength=len(nkeys)).astype(np.int64)
+        # integer accumulation (np.add.at), NOT bincount(weights=...)
+        # whose float64 path loses exactness past 2^53 — the "exact
+        # int64 cent sum" contract must hold at any block size
+        rev = np.zeros(len(nkeys), np.int64)
+        np.add.at(rev, pos, cents)
         keep = n_orders > 0
         return pa.table(
             {

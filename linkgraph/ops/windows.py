@@ -244,9 +244,13 @@ def window_distinct(events: Dataset, minutes: int = 60) -> Dataset:
     """Exact distinct users per tumbling window -> (window_start,
     n_users). Per-block combiner dedups (window, user) pairs first, ONE
     (window, user) range sort co-locates duplicates, run boundaries
-    count distincts per window with no per-group machinery. (The
-    approximate path at extreme cardinality is ops/hll.py — mergeable
-    registers per window.)"""
+    count distincts per window with no per-group machinery. Per-block
+    run counts are PARTIALS (a window's users can span several sorted
+    blocks — the sort only co-locates equal (window, user) tuples, not
+    whole windows), so a final sorted_sum_by folds them per window.
+    (The approximate path at extreme cardinality is ops/hll.py —
+    mergeable registers per window.)"""
+    from linkgraph.ops.sortagg import sorted_sum_by
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         sec = df["ts"].astype("datetime64[s]").astype("int64")
@@ -272,8 +276,9 @@ def window_distinct(events: Dataset, minutes: int = 60) -> Dataset:
             }
         )
 
-    return (
+    partials = (
         events.map_batches(pairs, batch_format="pandas", batch_size=131072)
         .sort(["window_start", "user_id"])
         .map_batches(count_runs, batch_format="pyarrow", batch_size=None)
     )
+    return sorted_sum_by(partials, "window_start", sum_cols={"n_users": "n_users"})
