@@ -1357,26 +1357,28 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # The driver evaluates the FIRST 50 entries only. Round-4 rotation
-    # (VERDICT r3 item #1): the 10 entries that had never had a driver
-    # CORRECTNESS row (edge_jaccard .. hyperanf_nf) move into the
-    # checked window; long-stable trivial/duplicate greens (green in
-    # r1-r3: doc_edges, out_degree, labelprop_3, in_degree,
-    # degree_hist, pagerank_ds_5, cc_ds, tri_per_vertex, token_counts,
-    # char_classes, hopping_1h_15m, q1_lineitem, media_features)
-    # rotate to the tail — each family keeps one representative in the
-    # window (pagerank_5, cc_labels, lp_quotient/lp_modularity,
-    # triangle_count, quality_score, tumbling_1h). The new round-4
-    # queries (bowtie, contamination, redirects, dag_levels, katz_4,
-    # anchor_top3, para_dedup, lm_score) sit inside the window for
-    # first-run driver rows; rotated out to make room: exact_dedup,
-    # hits_5, adamic_adar, weighted_pagerank_5, radius_join_2d (all
-    # green r1-r3/r3; pagerank family keeps pagerank_5 + ppr_5 + katz_4
-    # in the window, dedup keeps dedup_clusters/dup_spans/minhash/
-    # simhash/para_dedup).
+    # The driver evaluates the FIRST 50 entries only. Round-5 rotation
+    # (VERDICT r4 item #1): the 8 entries that have never had a driver
+    # CORRECTNESS row (dedup_incremental, window_distinct,
+    # revenue_by_nation, compress_ratio, dangling_share, heavy_tokens,
+    # q6_scan, node2vec_walks_4) move into the checked window; 8 stable
+    # r4 greens rotate to the tail, each family keeping one window
+    # representative: pagerank family keeps pagerank_5 + spam_mass
+    # (katz_4/salsa_5 out), dedup keeps dedup_clusters + para_dedup +
+    # corpus_select + the new dedup_incremental (dup_spans/
+    # simhash_dedup/semdedup out), quality keeps quality_filter
+    # (repetition/quality_by_source out), quantiles keeps
+    # value_quantiles (quantiles_by_type out).
     return {
         "pagerank_5": q_pagerank,
-        "quantiles_by_type": q_quantiles_by_type,
+        "dedup_incremental": q_dedup_incremental,
+        "window_distinct": q_window_distinct,
+        "revenue_by_nation": q_revenue_by_nation,
+        "compress_ratio": q_compress_ratio,
+        "dangling_share": q_dangling_share,
+        "heavy_tokens": q_heavy_tokens,
+        "q6_scan": q6_scan,
+        "node2vec_walks_4": q_node2vec,
         "bm25_topk": q_bm25,
         "token_zipf": q_token_zipf,
         "ktruss_3": q_ktruss,
@@ -1393,7 +1395,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirects": q_redirects,
         "mis_luby": q_mis,
         "coloring_jp": q_coloring,
-        "repetition": q_repetition,
         "value_quantiles": q_quantiles,
         "dedup_clusters": q_dedup_clusters,
         "betweenness_4": q_betweenness,
@@ -1401,17 +1402,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_nf": q_hyperanf,
         "eff_diameter": q_eff_diameter,
         "gcn_2layer": q_gcn,
-        "dup_spans": q_dup_spans,
         "approx_distinct_tokens": q_approx_distinct,
         "corpus_select": q_corpus_select,
         "fingerprint": q_fingerprint,
-        "simhash_dedup": q_simhash_dedup,
-        "quality_by_source": q_quality_by_source,
         "quality_filter": q_quality_filter,
         "kmeans_4": q_kmeans,
-        "semdedup": q_semdedup,
-        "salsa_5": q_salsa,
-        "katz_4": q_katz,
         "anchor_top3": q_anchor_top3,
         "para_dedup": q_para_dedup,
         "lm_score": q_lm_score,
@@ -1432,13 +1427,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
         "langid": q_langid,
-        "dedup_incremental": q_dedup_incremental,
-        "window_distinct": q_window_distinct,
-        "revenue_by_nation": q_revenue_by_nation,
-        "compress_ratio": q_compress_ratio,
-        "dangling_share": q_dangling_share,
-        "heavy_tokens": q_heavy_tokens,
-        "q6_scan": q6_scan,
+        "katz_4": q_katz,
+        "salsa_5": q_salsa,
+        "dup_spans": q_dup_spans,
+        "simhash_dedup": q_simhash_dedup,
+        "semdedup": q_semdedup,
+        "quality_by_source": q_quality_by_source,
+        "repetition": q_repetition,
+        "quantiles_by_type": q_quantiles_by_type,
         "knn_lsh": q_knn_lsh,
         "random_walks_4": q_random_walks,
         "kcore_peel": q_kcore,
@@ -1452,7 +1448,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "embedding_dup": q_embedding_dup,
-        "node2vec_walks_4": q_node2vec,
         "triangle_count": q_triangles,
         "cc_labels": q_cc,
         "hits_5": q_hits,
