@@ -965,6 +965,48 @@ class GraphPartition:
         }
         return out
 
+    def _member_views(self, packed) -> list:
+        """Flatten incoming blocks — raw per-partition packed dicts OR
+        two-level relay bundles (see ``combine_group``) — into per-source-
+        partition member views in GLOBAL source-partition order. Each
+        view is (extras, i, v, c, m_ids, m_vals), pre-sliced (zero-copy)
+        for this destination partition. Keeping member granularity (not
+        merging members inside a bundle) preserves two invariants the
+        gather relies on: per-slice indices stay UNIQUE (the dense
+        accumulate would silently drop duplicate fancy indices) and the
+        float accumulation order matches the flat exchange bit-for-bit
+        (bundles arrive in ascending source-group order and members are
+        stored in ascending partition order within a bundle)."""
+        pid = self.pid
+        views = []
+        for pk in packed:
+            if pk.get("bundle"):
+                ql = pid - pk["dst_base"]
+                off = pk["off"]
+                for m in range(off.shape[0]):
+                    a, b = off[m, ql], off[m, ql + 1]
+                    i = pk["i"][a:b]
+                    v = pk["v"][a:b]
+                    c = None if pk["c"] is None else pk["c"][a:b]
+                    if "m_off" in pk:
+                        ma, mb = pk["m_off"][m, ql], pk["m_off"][m, ql + 1]
+                        mi, mv = pk["m_ids"][ma:mb], pk["m_vals"][ma:mb]
+                    else:
+                        mi = mv = None
+                    views.append((pk["extras_list"][m], i, v, c, mi, mv))
+            else:
+                a, b = pk["off"][pid], pk["off"][pid + 1]
+                i = pk["i"][a:b]
+                v = pk["v"][a:b]
+                c = None if pk["c"] is None else pk["c"][a:b]
+                if "m_ids" in pk:
+                    ma, mb = pk["m_off"][pid], pk["m_off"][pid + 1]
+                    mi, mv = pk["m_ids"][ma:mb], pk["m_vals"][ma:mb]
+                else:
+                    mi = mv = None
+                views.append((pk["extras"], i, v, c, mi, mv))
+        return views
+
     def _gather_apply(self, g: dict, packed) -> Any:
         """Combine incoming packed message blocks, apply program.
 
@@ -972,18 +1014,17 @@ class GraphPartition:
         per-destination-partition offsets; this partition reads its
         slice zero-copy."""
         prog = self.prog
-        pid = self.pid
+        views = self._member_views(packed)
         summed: dict = {}
-        for pk in packed:
-            for k, v in pk["extras"].items():
+        for ex, *_ in views:
+            for k, v in ex.items():
                 summed[k] = summed.get(k, 0.0) + v
         self._global_prev_conv = summed.pop("__conv", float("inf"))
         g2 = {**g, **summed}
         slices = []
-        for pk in packed:
-            a, b = pk["off"][pid], pk["off"][pid + 1]
-            if a < b:
-                slices.append((pk["i"][a:b], pk["v"][a:b], None if pk["c"] is None else pk["c"][a:b]))
+        for _, i, v, c, _, _ in views:
+            if len(i):
+                slices.append((i, v, c))
         if prog.reduce == "labelvote":
             if slices:
                 idx = np.concatenate([s[0] for s in slices]).astype(np.int64)
@@ -1027,12 +1068,10 @@ class GraphPartition:
             uv = np.empty(0, np.float64)
         # deliver vertex-to-vertex messages (if any) before apply
         in_ids, in_vals = [], []
-        for pk in packed:
-            if "m_ids" in pk:
-                a, b = pk["m_off"][pid], pk["m_off"][pid + 1]
-                if a < b:
-                    in_ids.append(pk["m_ids"][a:b])
-                    in_vals.append(pk["m_vals"][a:b])
+        for _, _, _, _, mi, mv in views:
+            if mi is not None and len(mi):
+                in_ids.append(mi)
+                in_vals.append(mv)
         if in_ids:
             ids = np.concatenate(in_ids)
             vals = np.concatenate(in_vals, axis=0)
@@ -1083,6 +1122,94 @@ class GraphPartition:
         stats = self._gather_apply(g, packed)
         out = self.scatter_packed(g)
         return stats, out
+
+    def combine_group(self, packed_refs: list, group_starts: list):
+        """Two-level exchange, level 1 (node-topology relay): merge this
+        NODE GROUP's packed scatter outputs into one bundle per
+        DESTINATION group (returned as ``num_returns=G`` values).
+
+        On a G-node cluster with P partitions this cuts per-superstep
+        object pulls from P per partition (P^2 total; P*G cross-node
+        object transfers, Ray dedups pulls per node) to P/G node-local
+        pulls per relay + G pulls per partition (P + G*P total), and —
+        because each bundle carries ONLY its destination group's
+        slices — each message crosses the interconnect exactly once
+        instead of landing on every node. This is the analogue of the
+        reference's per-PE mailbox coalescing (reference
+        src/hoover.cpp:1334-1340) lifted to node granularity; the design
+        note at the top of this module records the round-4 single-node
+        measurement (flat wins on one box, where 'pulls' are shared-
+        memory ref resolutions — the relay hop only pays off across a
+        real interconnect).
+
+        Bundles CONCATENATE member slices (member-major, ascending
+        partition order) rather than re-reducing them, so the gather's
+        per-member accumulation order — and therefore every float bit —
+        is identical to the flat exchange. Relay cost is M contiguous
+        array copies per destination group; groups are contiguous
+        partition ranges so each member contributes ONE slice per
+        bundle."""
+        packed = (
+            ray.get(list(packed_refs))
+            if packed_refs and isinstance(packed_refs[0], ray.ObjectRef)
+            else packed_refs
+        )
+        gs = np.asarray(group_starts, np.int64)
+        G = len(gs) - 1
+        M = len(packed)
+        extras_list = [pk["extras"] for pk in packed]
+        has_c = any(pk["c"] is not None for pk in packed)
+        any_m = any("m_ids" in pk for pk in packed)
+        outs = []
+        for h in range(G):
+            a_p, b_p = int(gs[h]), int(gs[h + 1])
+            n_dst = b_p - a_p
+            off = np.zeros((M, n_dst + 1), np.int64)
+            i_sl, v_sl, c_sl = [], [], []
+            base = 0
+            for m, pk in enumerate(packed):
+                a, b = int(pk["off"][a_p]), int(pk["off"][b_p])
+                i_sl.append(pk["i"][a:b])
+                v_sl.append(pk["v"][a:b])
+                if has_c:
+                    c_sl.append(
+                        pk["c"][a:b]
+                        if pk["c"] is not None
+                        else np.empty(0, np.int64)
+                    )
+                off[m] = base + np.asarray(pk["off"][a_p : b_p + 1]) - a
+                base += b - a
+            bundle: dict = {
+                "bundle": True,
+                "dst_base": a_p,
+                "i": np.concatenate(i_sl),
+                "v": np.concatenate(v_sl),
+                "c": np.concatenate(c_sl) if has_c else None,
+                "off": off,
+                "extras_list": extras_list,
+            }
+            if any_m:
+                m_off = np.zeros((M, n_dst + 1), np.int64)
+                mi_sl, mv_sl = [], []
+                mbase = 0
+                for m, pk in enumerate(packed):
+                    if "m_ids" in pk:
+                        a, b = int(pk["m_off"][a_p]), int(pk["m_off"][b_p])
+                        mi_sl.append(pk["m_ids"][a:b])
+                        mv_sl.append(pk["m_vals"][a:b])
+                        m_off[m] = mbase + np.asarray(pk["m_off"][a_p : b_p + 1]) - a
+                        mbase += b - a
+                    else:
+                        m_off[m] = mbase
+                bundle["m_ids"] = (
+                    np.concatenate(mi_sl) if mi_sl else np.empty(0, np.uint64)
+                )
+                bundle["m_vals"] = (
+                    np.concatenate(mv_sl) if mv_sl else np.empty(0, np.float64)
+                )
+                bundle["m_off"] = m_off
+            outs.append(bundle)
+        return tuple(outs) if G > 1 else outs[0]
 
     # ---- results / checkpoint ---------------------------------------
     def state_table(self, id_col: str, columns: list[str], signed_ids: bool) -> pa.Table:
@@ -1522,7 +1649,13 @@ class SuperstepEngine:
     """Build partition-pinned graph state from an edge Dataset, then run
     vertex programs to convergence with checkpoint/resume + metrics."""
 
-    def __init__(self, num_parts: int = 8, symmetrize: bool = False, dedup: bool = True):
+    def __init__(
+        self,
+        num_parts: int = 8,
+        symmetrize: bool = False,
+        dedup: bool = True,
+        node_groups: int | None = None,
+    ):
         self.P = num_parts
         self.symmetrize = symmetrize
         self.dedup = dedup
@@ -1531,6 +1664,19 @@ class SuperstepEngine:
         self.n_edges = 0
         self.signed_ids = False
         self._loaded = False
+        # node-topology two-level exchange: partitions are split into
+        # ``node_groups`` contiguous groups (each modeling one NODE of
+        # the target cluster — on a real deployment, pair this with a
+        # STRICT_SPREAD placement group so each group's actors share a
+        # node); the first actor of each group relays the group's
+        # scatter outputs as one bundle per destination group. Bit-exact
+        # vs the flat exchange (see GraphPartition.combine_group). None/
+        # <2 = flat (the right default on one node, measured round 4).
+        if node_groups and node_groups >= 2:
+            G = min(int(node_groups), self.P)
+            self._group_starts = [round(g * self.P / G) for g in range(G + 1)]
+        else:
+            self._group_starts = None
 
     # ---- graph build -------------------------------------------------
     def provision(self, wait: bool = True) -> "SuperstepEngine":
@@ -1828,9 +1974,10 @@ class SuperstepEngine:
             t0 = time.perf_counter()
             stats_futs = []
             for _ in range(k):
+                pb = self._combine_packed(packed)
                 res = [
-                    a.step.options(num_returns=2).remote(g, packed)
-                    for a in self.actors
+                    a.step.options(num_returns=2).remote(g, pb[i])
+                    for i, a in enumerate(self.actors)
                 ]
                 stats_futs.append([r[0] for r in res])
                 packed = [r[1] for r in res]
@@ -1864,6 +2011,35 @@ class SuperstepEngine:
             # truncated here when checkpointing)
             "history": history,
         }
+
+    def _combine_packed(self, packed: list) -> list:
+        """Exchange wiring for one superstep: map the P raw scatter refs
+        to each actor's inbound list. Flat: every actor reads all P refs.
+        Two-level: each group's relay actor (its first partition) merges
+        the group's refs into G per-destination-group bundles; actor pid
+        in group h then reads G bundle refs — [bundles[g][h] for g].
+        The relay tasks are pre-wired into the same burst DAG as the
+        steps (object-store dependencies, no driver round-trip)."""
+        gs = self._group_starts
+        if not gs:
+            return [packed] * self.P
+        G = len(gs) - 1
+        bundles = []
+        for gi in range(G):
+            relay = self.actors[gs[gi]]
+            refs = packed[gs[gi] : gs[gi + 1]]
+            if G > 1:
+                outs = list(
+                    relay.combine_group.options(num_returns=G).remote(refs, gs)
+                )
+            else:
+                outs = [relay.combine_group.remote(refs, gs)]
+            bundles.append(outs)
+        per_actor = []
+        for pid in range(self.P):
+            h = int(np.searchsorted(np.asarray(gs), pid, side="right")) - 1
+            per_actor.append([bundles[g][h] for g in range(G)])
+        return per_actor
 
     # ---- checkpoint / resume ----------------------------------------
     def _checkpoint(self, ckdir: str, it: int, g: dict, metrics_path: str, rows: list[dict]):

@@ -1,0 +1,73 @@
+"""Node-topology two-level exchange (engine.combine_group): results
+must be BIT-EXACT vs the flat exchange for every reduce family —
+sum (PageRank incl. extras/dangling order), min (CC), labelvote
+(label propagation) — and for vertex-to-vertex messages (msgping).
+
+4 groups over 8 partitions simulate a 4-node cluster on this box
+(group = contiguous partition range = one virtual node); on a real
+deployment each group maps to a STRICT_SPREAD placement-group node.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from linkgraph.engine import SuperstepEngine
+
+
+def _edges(n=400, m=2400, seed=3):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    # a few hubs for skew + some dangling vertices
+    src[: m // 8] = rng.integers(0, 4, m // 8)
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+
+
+def _run(prog_factory, node_groups, symmetrize=False, **run_kw):
+    eng = SuperstepEngine(
+        num_parts=8, symmetrize=symmetrize, node_groups=node_groups
+    ).load_edges(_edges())
+    m = eng.run(prog_factory(), **run_kw)
+    cols = prog_factory().state_columns
+    df = eng.state_dataset(columns=list(cols)).to_pandas().sort_values("v")
+    eng.shutdown()
+    return df.reset_index(drop=True), m
+
+
+def test_pagerank_bit_exact_across_exchange_modes():
+    from linkgraph.algos.pagerank import PageRankProgram
+
+    flat, mf = _run(lambda: PageRankProgram(tol=1e-12), None, max_iters=30)
+    two, mt = _run(lambda: PageRankProgram(tol=1e-12), 4, max_iters=30)
+    assert mf["iterations"] == mt["iterations"]
+    assert flat["v"].tolist() == two["v"].tolist()
+    # bit-exact: the relay concatenates member slices in partition order,
+    # so the gather's float accumulation order is unchanged
+    assert np.array_equal(
+        flat["rank"].to_numpy().view(np.int64), two["rank"].to_numpy().view(np.int64)
+    )
+
+
+def test_cc_and_labelprop_exact_across_exchange_modes():
+    from linkgraph.algos.cc import CCProgram
+    from linkgraph.algos.labelprop import LabelPropProgram
+
+    for prog, sym in ((CCProgram, True), (LabelPropProgram, True)):
+        flat, _ = _run(prog, None, symmetrize=sym, max_iters=20)
+        two, _ = _run(prog, 4, symmetrize=sym, max_iters=20)
+        assert flat["label"].tolist() == two["label"].tolist(), prog.__name__
+
+
+def test_messages_and_odd_group_split():
+    # PingProgram exercises send_messages (m_ids/m_vals bundling); G=3
+    # over P=8 exercises uneven contiguous group splits
+    from linkgraph.algos.msgping import PingProgram
+
+    flat, _ = _run(lambda: PingProgram(n=400, offset=7), None, max_iters=6)
+    two, _ = _run(lambda: PingProgram(n=400, offset=7), 3, max_iters=6)
+    for c in flat.columns:
+        assert flat[c].tolist() == two[c].tolist(), c
