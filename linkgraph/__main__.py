@@ -57,8 +57,13 @@ def main(argv: list[str] | None = None) -> int:
         help="'warc' ingests Common-Crawl-style WARC file(s)/dir",
     )
     p.add_argument(
-        "--canonicalize", action="store_true",
-        help="RFC 3986 url canonicalization before hashing",
+        "--canonicalize",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="RFC 3986 url canonicalization before hashing "
+        "(default: ON for --format warc — real crawl urls need ../ and "
+        "case/port normalization — OFF for parquet corpora, which are "
+        "already canonical; --no-canonicalize forces it off)",
     )
     p.add_argument("--num-cpus", type=int, default=None)
 
@@ -353,7 +358,12 @@ def main(argv: list[str] | None = None) -> int:
                 pages = read_warc(args.pages)
             else:
                 pages = read_pages(args.pages, columns=["url", "html"])
-            edges = build_edges(pages, canonicalize=args.canonicalize)
+            canon = (
+                args.canonicalize
+                if args.canonicalize is not None
+                else args.format == "warc"
+            )
+            edges = build_edges(pages, canonicalize=canon)
             out = write_partitioned(edges, args.out, tag="edges")
             print(json.dumps({"out": out}))
             return 0

@@ -33,7 +33,11 @@ def build_edges(pages: Dataset, dedup: bool = True, canonicalize: bool = False) 
         from .urlnorm import canonicalize_pages
 
         pages = canonicalize_pages(pages)
-    edges = pages.map_batches(ExtractEdges(), batch_format="pyarrow", batch_size=4096)
+    edges = pages.map_batches(
+        ExtractEdges(canonicalize=canonicalize),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
     if dedup:
         edges = distinct_edges(edges)
     return edges

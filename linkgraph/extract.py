@@ -8,9 +8,18 @@ reference tools/compare_traces.py:1-40).
 Extraction spec (the "reference extractor" this engine defines):
   * text  = all non-empty text nodes (content between ``>`` and ``<``),
     stripped, joined with ``"\\n"`` in document order.
-  * links = every ``<a href="...">`` value, absolutized against the
-    page url: absolute (``http...``) kept; rooted (``/x``) joined to
-    the url's scheme+host; other values joined to the url's directory.
+  * links = every ``<a ... href=VALUE ...>`` anchor — VALUE double-
+    quoted, single-quoted or unquoted, any attribute order, whitespace
+    allowed around ``=`` (round-5 hardening: real Common-Crawl HTML) —
+    resolved against the page's BASE url (the first ``<base href>`` if
+    present, itself resolved against the page url; else the page url):
+    absolute (``http(s)://``) kept; protocol-relative (``//h/p``) gets
+    the base's scheme; rooted (``/x``) joins the base's scheme+host;
+    other values join the base's directory. Non-navigational hrefs
+    (``#frag``, ``javascript:``, ``mailto:``, ``data:``, ``tel:``) and
+    invalid-UTF-8 values are dropped. ``../`` resolution is urlnorm's
+    job (``canonicalize=True``, default-on for WARC ingest) so the raw
+    extraction stays byte-reversible.
 
 Regexes are compiled once per actor (``__init__``), batches are Arrow
 in / Arrow out.
@@ -27,7 +36,19 @@ from .hashing import hash64_str
 from .segops import pair_unique
 
 _TEXT_NODE = re.compile(rb">([^<]+)<")
-_HREF = re.compile(rb'<a\s+href="([^"]+)"', re.I)
+# href value: "..." | '...' | unquoted. \x00 is excluded from EVERY
+# class (attribute scan + all three value forms), so in the blob scan
+# a match can never cross the \x00 page separator — see ExtractEdges.
+# (?<![\w-]) rejects data-href= and friends; quoted values use + so an
+# empty href (self-link per HTML) is dropped like the other
+# non-navigational forms.
+_HREF_VAL = (
+    rb"(?<![\w-])href\s*=\s*"
+    rb"(?:\"([^\"\x00]+)\"|'([^'\x00]+)'|([^\s>\"'\x00][^\s>\x00]*))"
+)
+_HREF = re.compile(rb"<a\s[^>\x00]*?" + _HREF_VAL, re.I)
+_BASE = re.compile(rb"<base\s[^>\x00]*?" + _HREF_VAL, re.I)
+_SKIP_PREFIXES = ("#", "javascript:", "mailto:", "data:", "tel:")
 
 
 def extract_text(html: bytes) -> str:
@@ -47,16 +68,49 @@ def _dir_prefix(url: str) -> str:
     return url[: j + 1]
 
 
+def _href_group(m: re.Match) -> bytes:
+    # exactly one of the three value alternatives matched
+    return m.group(m.lastindex)
+
+
 def absolutize(href: str, page_url: str) -> str:
     if href.startswith("http://") or href.startswith("https://"):
         return href
+    if href.startswith("//"):
+        return page_url.split("://", 1)[0] + ":" + href
     if href.startswith("/"):
         return _host_prefix(page_url) + href
     return _dir_prefix(page_url) + href
 
 
+def page_base_url(html: bytes, page_url: str) -> str:
+    """The url hrefs resolve against: the first ``<base href>`` (itself
+    resolved against the page url when relative), else the page url."""
+    m = _BASE.search(html)
+    if not m:
+        return page_url
+    try:
+        b = _href_group(m).decode("utf-8")
+    except UnicodeDecodeError:
+        return page_url
+    return absolutize(b, page_url)
+
+
+def _keep_href(h: str) -> bool:
+    return not h.lower().startswith(_SKIP_PREFIXES)
+
+
 def extract_links(html: bytes, page_url: str) -> list[str]:
-    return [absolutize(h.decode("utf-8"), page_url) for h in _HREF.findall(html)]
+    base = page_base_url(html, page_url)
+    out = []
+    for m in _HREF.finditer(html):
+        try:
+            h = _href_group(m).decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if _keep_href(h):
+            out.append(absolutize(h, base))
+    return out
 
 
 def _scan_batch(htmls: list[bytes], pattern: re.Pattern, sep: bytes):
@@ -80,7 +134,7 @@ def _scan_batch(htmls: list[bytes], pattern: re.Pattern, sep: bytes):
     caps: list[bytes] = []
     for m in pattern.finditer(blob):
         starts.append(m.start())
-        caps.append(m.group(1))
+        caps.append(m.group(m.lastindex))  # the one alternative that matched
     return (
         np.searchsorted(page_starts, np.asarray(starts, np.int64), side="right") - 1,
         np.asarray(starts, np.int64),
@@ -113,18 +167,27 @@ class ExtractEdges:
     """Actor-pool stage: pages(url, html) -> hashed edge rows (src, dst).
 
     Vectorized per batch (round-3 VERDICT item 5): ONE href regex sweep
-    over the ``b'\\x00"'``-joined batch blob, Arrow-kernel absolutize by
-    prefix class, per-page (not per-link) src hashing, in-batch dedup
-    combiner (global dedup is a later groupby — SURVEY.md §7 step 2).
+    over the ``b'\\x00'``-joined batch blob (plus one cheap ``<base``
+    sweep), Arrow-kernel absolutize by prefix class, per-page (not
+    per-link) src hashing, in-batch dedup combiner (global dedup is a
+    later groupby — SURVEY.md §7 step 2).
 
-    Separator proof: the capture ``[^"]+`` cannot cross the separator
-    quote, and the separator cannot complete ``<a\\s+href="`` (the quote
-    is preceded by ``\\x00``, which is neither ``=`` nor ``\\s``). A
-    page-tail unterminated ``href="...`` may close on the separator
-    quote, but its capture then contains ``\\x00`` and is dropped, having
-    consumed zero bytes of the following page — per-page semantics are
-    bit-preserved (tests assert parity with scalar ``extract_links``).
+    Separator proof: every character class in ``_HREF`` excludes
+    ``\\x00`` and no literal in the pattern is ``\\x00``, so NO match
+    can span the separator — a page-tail unterminated ``href="...``
+    simply fails to match, exactly as it does under the scalar per-page
+    scan (tests assert parity with ``extract_links``).
+
+    ``canonicalize=True`` additionally rewrites the resolved target
+    urls to RFC 3986 canonical form (linkgraph.urlnorm — dot-segment
+    ``../`` resolution, case/port/percent normalization) before
+    hashing; it runs per DICTIONARY-DISTINCT target, not per link.
+    Page urls are canonicalized upstream (edges.build_edges) so src and
+    dst hash the same spelling.
     """
+
+    def __init__(self, canonicalize: bool = False):
+        self.canonicalize = canonicalize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -136,28 +199,78 @@ class ExtractEdges:
         htmls = batch.column("html").to_pylist()
         if not urls:
             return empty
-        page_idx, _, caps, _, _ = _scan_batch(htmls, _HREF, b'\x00"')
-        keep = [i for i, c in enumerate(caps) if b"\x00" not in c]
-        if not keep:
+        page_idx, _, caps, _, _ = _scan_batch(htmls, _HREF, b"\x00")
+        if len(caps) == 0:
             return empty
-        if len(keep) != len(caps):
+        # <base href> per page: one literal-anchored sweep; first match
+        # per page wins (match order is position order)
+        base_urls = list(urls)
+        b_idx, _, b_caps, _, _ = _scan_batch(htmls, _BASE, b"\x00")
+        if len(b_caps):
+            firsts = np.unique(b_idx, return_index=True)[1]
+            for j in firsts:
+                pi = int(b_idx[j])
+                try:
+                    base_urls[pi] = absolutize(b_caps[j].decode("utf-8"), urls[pi])
+                except UnicodeDecodeError:
+                    pass
+        try:
+            hs = pa.array(caps, pa.binary()).cast(pa.string())  # utf-8 validated in C
+        except pa.ArrowInvalid:
+            # rare: drop individually-invalid hrefs, matching the scalar path
+            keep = []
+            for i, c in enumerate(caps):
+                try:
+                    c.decode("utf-8")
+                    keep.append(i)
+                except UnicodeDecodeError:
+                    pass
             caps = [caps[i] for i in keep]
             page_idx = page_idx[keep]
-        hs = pa.array(caps, pa.binary()).cast(pa.string())  # utf-8 validated in C
-        # absolutize, vectorized by prefix class (same precedence as the
-        # scalar absolutize(): absolute > rooted > relative)
+            if not caps:
+                return empty
+            hs = pa.array(caps, pa.binary()).cast(pa.string())
+        # drop non-navigational hrefs (fragment/javascript/mailto/...)
+        low = pc.utf8_lower(hs)
+        nav = None
+        for p in _SKIP_PREFIXES:
+            m = pc.starts_with(low, p)
+            nav = m if nav is None else pc.or_(nav, m)
+        nav = pc.invert(nav)
+        if not pc.all(nav).as_py():
+            keep_i = np.flatnonzero(nav.to_numpy(zero_copy_only=False))
+            hs = hs.filter(nav)
+            page_idx = page_idx[keep_i]
+        if len(hs) == 0:
+            return empty
+        # absolutize against the page BASE, vectorized by prefix class
+        # (same precedence as the scalar absolutize(): absolute >
+        # protocol-relative > rooted > relative)
         take_idx = pa.array(page_idx)
-        host_l = pc.take(pa.array([_host_prefix(u) for u in urls], pa.string()), take_idx)
-        dir_l = pc.take(pa.array([_dir_prefix(u) for u in urls], pa.string()), take_idx)
+        scheme_l = pc.take(
+            pa.array([u.split("://", 1)[0] + ":" for u in base_urls], pa.string()),
+            take_idx,
+        )
+        host_l = pc.take(
+            pa.array([_host_prefix(u) for u in base_urls], pa.string()), take_idx
+        )
+        dir_l = pc.take(
+            pa.array([_dir_prefix(u) for u in base_urls], pa.string()), take_idx
+        )
         is_abs = pc.or_(pc.starts_with(hs, "http://"), pc.starts_with(hs, "https://"))
+        is_proto = pc.starts_with(hs, "//")
         is_root = pc.starts_with(hs, "/")
         dst_urls = pc.if_else(
             is_abs,
             hs,
             pc.if_else(
-                is_root,
-                pc.binary_join_element_wise(host_l, hs, ""),
-                pc.binary_join_element_wise(dir_l, hs, ""),
+                is_proto,
+                pc.binary_join_element_wise(scheme_l, hs, ""),
+                pc.if_else(
+                    is_root,
+                    pc.binary_join_element_wise(host_l, hs, ""),
+                    pc.binary_join_element_wise(dir_l, hs, ""),
+                ),
             ),
         )
         # int64 bit-view of the 64-bit hash: Ray Data's hash shuffle
@@ -168,7 +281,12 @@ class ExtractEdges:
         # (Zipf outlinks: ~5x fewer hash calls measured on synth pages).
         src = hash64_str(urls).view(np.int64)[page_idx]
         enc = pc.dictionary_encode(dst_urls)
-        uh = hash64_str(enc.dictionary.to_numpy(zero_copy_only=False)).view(np.int64)
+        dvals = enc.dictionary.to_numpy(zero_copy_only=False)
+        if self.canonicalize:
+            from .urlnorm import canonicalize_url
+
+            dvals = np.array([canonicalize_url(u) for u in dvals], dtype=object)
+        uh = hash64_str(dvals).view(np.int64)
         dst = uh[enc.indices.to_numpy()]
         keep_m = src != dst  # drop self loops
         src, dst = src[keep_m], dst[keep_m]

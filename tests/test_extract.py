@@ -90,7 +90,88 @@ ADVERSARIAL_PAGES = [
     ("https://s0.example/p/11", b"<b>a</b>b<i>c</i>"),
     # whitespace-only text node (stripped -> dropped)
     ("https://s0.example/p/12", b"<p>  </p><p>kept2</p>"),
+    # ---- round-5 real-world HTML hardening ----
+    # single-quoted / unquoted hrefs, attribute reorder, ws around '='
+    ("https://s1.example/m/0", b"<a href='/sq/1'>s</a><a href=/uq/2>u</a>"),
+    ("https://s1.example/m/1", b'<a class="x" rel=nofollow href = "/after/attrs">y</a>'),
+    # data-href is NOT a link; a tag without href is not a link
+    ("https://s1.example/m/2", b'<a data-href="/not/a/link">n</a><a name=z>t</a>'),
+    # <base href> redirects relative AND rooted resolution
+    (
+        "https://s1.example/m/3",
+        b'<base href="https://cdn.example/b/"><a href="rel.html">r</a>'
+        b'<a href="/rooted">o</a>',
+    ),
+    # relative <base> resolves against the page url first
+    ("https://s1.example/m/4", b"<base href='sub/'><a href='x'>x</a>"),
+    # protocol-relative href takes the page scheme
+    ("https://s1.example/m/5", b'<a href="//other.example/pp">p</a>'),
+    # non-navigational hrefs are dropped
+    (
+        "https://s1.example/m/6",
+        b'<a href="#frag">f</a><a href="javascript:void(0)">j</a>'
+        b'<a href="mailto:a@b.c">m</a><a href="/kept">k</a>',
+    ),
+    # unterminated single-quote and unquoted at page tail
+    ("https://s1.example/m/7", b"<p>t</p><a href='/sq/untermin"),
+    ("https://s1.example/m/8", b"<p>t</p><a href=/uq/tail-ok"),
+    # uppercase tag/attr
+    ("https://s1.example/m/9", b'<A HREF="/upper">U</A>'),
 ]
+
+
+def test_messy_html_link_semantics():
+    links = dict(ADVERSARIAL_PAGES)
+
+    def ex(u):
+        return extract.extract_links(links[u], u)
+
+    assert ex("https://s1.example/m/0") == [
+        "https://s1.example/sq/1",
+        "https://s1.example/uq/2",
+    ]
+    assert ex("https://s1.example/m/1") == ["https://s1.example/after/attrs"]
+    assert ex("https://s1.example/m/2") == []
+    # base redirects BOTH relative and rooted resolution
+    assert ex("https://s1.example/m/3") == [
+        "https://cdn.example/b/rel.html",
+        "https://cdn.example/rooted",
+    ]
+    assert ex("https://s1.example/m/4") == ["https://s1.example/m/sub/x"]
+    assert ex("https://s1.example/m/5") == ["https://other.example/pp"]
+    assert ex("https://s1.example/m/6") == ["https://s1.example/kept"]
+    assert ex("https://s1.example/m/7") == []
+    assert ex("https://s1.example/m/8") == ["https://s1.example/uq/tail-ok"]
+    assert ex("https://s1.example/m/9") == ["https://s1.example/upper"]
+
+
+def test_build_edges_canonicalize_resolves_dot_segments():
+    # ../ in a relative href only collapses under canonicalize=True
+    import ray.data
+
+    from linkgraph.edges import build_edges
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["https://s.example/a/b/page"]),
+                "html": pa.array(
+                    [b'<a href="../up.html">u</a><a href="./same.html">s</a>'],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    raw = {r["dst"] for r in build_edges(pages).take_all()}
+    canon = {r["dst"] for r in build_edges(pages, canonicalize=True).take_all()}
+    assert raw == {
+        hash64_one_signed("https://s.example/a/b/../up.html"),
+        hash64_one_signed("https://s.example/a/b/./same.html"),
+    }
+    assert canon == {
+        hash64_one_signed("https://s.example/a/up.html"),
+        hash64_one_signed("https://s.example/a/b/same.html"),
+    }
 
 
 def test_vectorized_extract_text_matches_scalar_adversarial():
