@@ -1329,8 +1329,10 @@ def q_assortativity(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    # multimodal plumbing demo: synthetic media table (no media files in
-    # the driver tables), deterministic fake decode
+    # multimodal decode: synthetic media table (no media files in the
+    # driver tables) with REAL WAV payloads — audio rows decode through
+    # stdlib wave for real (decoded=True), image rows decode via PIL
+    # when importable, video rows use the deterministic fake by contract
     from linkgraph.ops.multimodal import decode_features, synth_media_dataset
 
     return decode_features(synth_media_dataset(64)).to_pandas()

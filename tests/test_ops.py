@@ -245,18 +245,29 @@ def test_windows_vs_pandas():
 
 def test_multimodal_plumbing():
     from linkgraph.ops.multimodal import (
-        FakeDecoder,
+        MediaDecoder,
+        audio_features_wav,
         decode_features,
         decode_stub,
         synth_media_dataset,
+        synth_wav,
     )
 
     with pytest.raises(NotImplementedError):
         decode_stub(b"xx", "image")
     out = decode_features(synth_media_dataset(32), concurrency=2).to_pandas()
     assert len(out) == 32
-    assert set(out.columns) == {"media_id", "kind", "features"}
-    assert all(len(f) == FakeDecoder.DIM for f in out["features"])
+    assert set(out.columns) == {"media_id", "kind", "features", "decoded"}
+    assert all(len(f) == MediaDecoder.DIM for f in out["features"])
+    # every audio row REALLY decoded (stdlib wave), matching the scalar path
+    audio = out[out["kind"] == "audio"]
+    assert len(audio) and audio["decoded"].all()
+    r = audio.iloc[0]
+    assert np.allclose(
+        list(r["features"]), audio_features_wav(synth_wav(int(r["media_id"])), 64)
+    )
+    # video rows stay fake by contract
+    assert not out[out["kind"] == "video"]["decoded"].any()
     # deterministic across runs
     out2 = decode_features(synth_media_dataset(32), concurrency=2).to_pandas()
     m1 = {r.media_id: list(r.features) for r in out.itertuples()}
@@ -399,63 +410,79 @@ def test_hll_merge_matches_single(ray_session):
 
 
 def test_decoder_adapter_seam(monkeypatch):
-    # no PIL in this env -> the seam resolves to the deterministic fake
-    import sys
-    import types
-
+    # the default adapter is MediaDecoder everywhere (its audio path is
+    # stdlib-real; its image path auto-degrades to the fake without PIL)
     import pyarrow as pa
 
     from linkgraph.ops import multimodal as mm
 
-    assert mm.resolve_decoder() is mm.FakeDecoder
+    assert mm.resolve_decoder() is mm.MediaDecoder
     assert mm.resolve_decoder(prefer="fake") is mm.FakeDecoder
-    assert mm.resolve_decoder(prefer="pil") is mm.PilImageDecoder
+    assert mm.resolve_decoder(prefer="pil") is mm.MediaDecoder
+    assert mm.resolve_decoder(prefer="media") is mm.MediaDecoder
     with pytest.raises(ValueError):
         mm.resolve_decoder(prefer="libav")
 
-    # inject a minimal fake PIL: the seam must flip to PilImageDecoder
-    # and the adapter must drive it through open/convert/resize
-    class _Img:
-        def __init__(self, payload):
-            self.payload = payload
-
-        def convert(self, mode):
-            assert mode == "L"
-            return self
-
-        def resize(self, wh):
-            self.wh = wh
-            return self
-
-        def __array__(self, dtype=None, copy=None):
-            n = self.wh[0] * self.wh[1]
-            a = (np.frombuffer(self.payload, np.uint8)[:n].astype(np.float64))
-            out = np.zeros(n)
-            out[: len(a)] = a
-            return out.reshape(self.wh[1], self.wh[0])
-
-    fake_image_mod = types.SimpleNamespace(open=lambda bio: _Img(bio.read()))
-    fake_pil = types.ModuleType("PIL")
-    fake_pil.Image = fake_image_mod
-    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
-    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
-    assert mm.resolve_decoder() is mm.PilImageDecoder
-
-    dec = mm.PilImageDecoder()
+    dec = mm.MediaDecoder()
+    wav = mm.synth_wav(3)
     batch = pa.table(
         {
-            "media_id": pa.array([1, 2], pa.int64()),
-            "kind": pa.array(["image", "audio"], pa.string()),
-            "payload": pa.array([bytes(range(16)), b"\x01\x02"], pa.binary()),
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "kind": pa.array(["audio", "video", "audio"], pa.string()),
+            "payload": pa.array([wav, bytes(range(16)), b"not a wav"], pa.binary()),
         }
     )
     out = dec(batch)
     feats = out.column("features").to_pylist()
-    assert len(feats[0]) == mm.PilImageDecoder.DIM
-    # image path: first 8 payload bytes / 255
-    assert np.allclose(feats[0], np.arange(8) / 255.0)
-    # non-image kind: deterministic fake features (mixed-kind fallback)
-    assert np.allclose(feats[1], mm.FakeDecoder().features_one(b"\x01\x02"))
+    decoded = out.column("decoded").to_pylist()
+    # real WAV decodes for real; video and malformed audio fall back to
+    # the deterministic fake (flagged via the decoded column)
+    assert decoded == [True, False, False]
+    assert len(feats[0]) == mm.MediaDecoder.DIM
+    assert np.allclose(feats[0], mm.audio_features_wav(wav, mm.MediaDecoder.DIM))
+    assert np.allclose(feats[1], mm.FakeDecoder(mm.MediaDecoder.DIM).features_one(bytes(range(16))))
+
+
+def test_audio_features_wav_golden():
+    # golden per-format oracle: a faded tone's 64-segment RMS envelope
+    # matches an independent numpy recompute and decreases with the fade
+    from linkgraph.ops import multimodal as mm
+
+    n, rate = 8000, 8000
+    wav = mm.synth_wav(5, n_samples=n, rate=rate)
+    got = mm.audio_features_wav(wav, 64)
+    t = np.arange(n) / rate
+    freq = 110.0 * (1 + (5 % 8))
+    x = (np.sin(2 * np.pi * freq * t) * (1 - t / t[-1]) * 0.8 * 32767).astype(np.int16)
+    want = np.array(
+        [np.sqrt(np.mean((s / 32768.0) ** 2)) for s in np.array_split(x.astype(np.float64), 64)]
+    )
+    assert np.allclose(got, want)
+    # fade-out: early segments carry more energy than late ones
+    assert got[0] > got[-1] > 0
+    # multi-channel + 8-bit path
+    import io
+    import wave as wavemod
+
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(100)
+        w.writeframes(bytes([128, 255] * 50))  # L=silence, R=full scale
+    f = mm.audio_features_wav(buf.getvalue(), 4)
+    assert np.allclose(f, np.full(4, 127 / 2 / 128.0))
+
+
+def test_image_features_pil_golden():
+    pytest.importorskip("PIL")
+    from linkgraph.ops import multimodal as mm
+
+    png = mm.synth_png(7)
+    dec = mm.MediaDecoder()
+    f = dec._image_features(png)
+    assert len(f) == mm.MediaDecoder.DIM
+    assert (f >= 0).all() and (f <= 1).all()
 
 
 def test_decode_features_explicit_decoder(ray_session):
