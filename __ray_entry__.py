@@ -795,6 +795,31 @@ def q_community(sf_dir: str):
     return kclique_communities(_doc_edges_ds(sf_dir), k=3).to_pandas()
 
 
+def q_window_triangles(sf_dir: str):
+    """Triangles per tumbling hour over a TIMESTAMPED edge stream —
+    the Gelly WindowTriangles composition (windowed graph metric).
+    Deterministic stamps ts_sec = (src*13 + dst*7) % 21600 (6 hourly
+    windows), identical arithmetic in the unrolled per-window SQL
+    oracle (non-negative doc ids, so numpy/SQL modulo agree)."""
+    import pyarrow as pa
+
+    from linkgraph.ops.windows import window_triangles
+
+    def stamp(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "ts_sec": pa.array((s * 13 + d * 7) % 21600),
+            }
+        )
+
+    edges = _doc_edges_ds(sf_dir).map_batches(stamp, batch_format="pyarrow")
+    return window_triangles(edges, minutes=60).to_pandas()
+
+
 def q_tumbling(sf_dir: str):
     from linkgraph.ops import tumbling_window
 
@@ -1399,7 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring_jp": q_coloring,
         "value_quantiles": q_quantiles,
         "dedup_clusters": q_dedup_clusters,
-        "betweenness_4": q_betweenness,
+        "window_triangles": q_window_triangles,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
         "eff_diameter": q_eff_diameter,
@@ -1429,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
         "langid": q_langid,
+        "betweenness_4": q_betweenness,
         "katz_4": q_katz,
         "salsa_5": q_salsa,
         "dup_spans": q_dup_spans,
@@ -2249,6 +2275,27 @@ def oracle_sql() -> dict[str, str]:
     q["betweenness_4"] = _betweenness_sql()
     q["eff_diameter"] = _effdiam_sql()
     q["ktruss_3"] = _ktruss_sql()
+    # triangles per tumbling hour over the deterministically-stamped
+    # edge stream (Gelly WindowTriangles parity): canonical per-window
+    # undirected edges, x<y<z join unrolled per window, 0-triangle
+    # windows kept via the LEFT JOIN on distinct windows
+    q["window_triangles"] = (
+        f"WITH {e}, "
+        "te AS (SELECT src, dst, (src*13 + dst*7) % 21600 AS ts_sec FROM e), "
+        "we AS (SELECT DISTINCT (ts_sec // 3600) * 3600 AS window_start, "
+        "LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM te), "
+        "ws AS (SELECT DISTINCT window_start FROM we), "
+        "tri AS (SELECT e1.window_start AS window_start, count(*) AS c "
+        "FROM we e1 "
+        "JOIN we e2 ON e2.window_start = e1.window_start "
+        "AND e2.lo = e1.lo AND e2.hi > e1.hi "
+        "JOIN we e3 ON e3.window_start = e1.window_start "
+        "AND e3.lo = e1.hi AND e3.hi = e2.hi "
+        "GROUP BY e1.window_start) "
+        "SELECT ws.window_start AS window_start, "
+        "CAST(COALESCE(tri.c, 0) AS BIGINT) AS n_triangles "
+        "FROM ws LEFT JOIN tri ON tri.window_start = ws.window_start"
+    )
     # the dedup pass end-to-end: near-dup pairs (reused verbatim from
     # near_dup_shingle) -> undirected closure -> min-member keeper ->
     # cluster sizes; singletons keep themselves

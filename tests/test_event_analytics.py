@@ -4,6 +4,7 @@ import os
 import sys
 from datetime import datetime
 
+import numpy as np
 import pandas as pd
 import ray
 
@@ -67,3 +68,47 @@ class TestFunnel:
         assert out["view"] == 3  # users 1, 2, 3
         assert out["click"] == 2  # users 1, 3
         assert out["purchase"] == 1  # user 1
+
+
+def test_window_triangles_vs_bruteforce():
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from linkgraph.ops.windows import window_triangles
+
+    rng = np.random.default_rng(13)
+    m = 3000
+    src = rng.integers(0, 60, m)
+    dst = rng.integers(0, 60, m)
+    ts = rng.integers(0, 4, m) * 3600 + rng.integers(0, 3600, m)
+    t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "ts_sec": pa.array(ts, pa.int64()),
+        }
+    )
+    got = (
+        window_triangles(ray.data.from_arrow(t).repartition(8), minutes=60)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    want = {}
+    for w in sorted(set((ts // 3600) * 3600)):
+        es = {
+            (min(s, d), max(s, d))
+            for s, d, tt in zip(src, dst, ts)
+            if (tt // 3600) * 3600 == w and s != d
+        }
+        verts = sorted({v for e in es for v in e})
+        n = sum(
+            1
+            for a, b, c in itertools.combinations(verts, 3)
+            if (a, b) in es and (a, c) in es and (b, c) in es
+        )
+        want[w] = n
+    assert dict(zip(got["window_start"], got["n_triangles"])) == want
+    assert any(v > 0 for v in want.values())  # non-degenerate fixture
