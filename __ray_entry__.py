@@ -1254,8 +1254,9 @@ def q_repetition(sf_dir: str):
 def q_contamination(sf_dir: str):
     """Benchmark decontamination: per-doc share of distinct token
     3-grams that occur in the benchmark set (doc_id % 97 == 0). One
-    gram-bucketed tagged-union shuffle; exact string matching via
-    Arrow dictionary codes inside each bucket."""
+    gram-bucketed tagged-union shuffle carrying int64 gram HASHES (the
+    production default; replay_strings=True is the no-collision-
+    assumption mode — both replay the SQL oracle)."""
     from linkgraph.ops import ngram_contamination
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])

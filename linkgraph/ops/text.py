@@ -331,18 +331,101 @@ class GramRows:
     into B shuffle buckets. Benchmark docs (doc_id % bench_mod == 0)
     additionally emit kind=0 rows — the contamination reference set
     travels in the SAME single shuffle as the doc grams (tagged union,
-    the _attach_sig pattern of ops/dedup.py)."""
+    the _attach_sig pattern of ops/dedup.py).
 
-    def __init__(self, n: int, bench_mod: int, num_buckets: int):
+    Default (``hash_grams=True``, round-4 VERDICT item 8): only the
+    64-bit gram hash travels the shuffle (int64 ``gram_h``), ~5-10x
+    fewer wire bytes than the gram strings; ``hash_grams=False`` ships
+    the strings for bit-exact-by-construction replay (no collision
+    assumption at any corpus size)."""
+
+    def __init__(
+        self, n: int, bench_mod: int, num_buckets: int, hash_grams: bool = True
+    ):
         self.tok = re.compile(TOKEN_RE)
         self.n = n
         self.mod = bench_mod
         self.B = num_buckets
+        self.hash_grams = hash_grams
+
+    # position-dependent odd multipliers: gram hash must be ORDER-
+    # sensitive over its n token hashes
+    _POS_MULT = (
+        0x9E3779B97F4A7C15,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x27D4EB2F165667C5,
+        0x94D049BB133111EB,
+        0xBF58476D1CE4E5B9,
+    )
+
+    def _hashed_rows(self, doc_ids: np.ndarray, texts: list) -> pa.Table:
+        """Fully vectorized hashed-gram emission: ONE vectorized hash of
+        the flattened token stream, gram hashes mixed from n shifted
+        token-hash arrays (position-dependent multipliers keep them
+        order-sensitive), per-doc dedup via lexsort — no gram STRING is
+        ever built (the string-join set construction dominated the
+        per-doc Python cost, not the wire bytes)."""
+        from ..hashing import hash64_str, splitmix64
+
+        n = self.n
+        toks = [self.tok.findall(t) for t in texts]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        flat = [w for ts in toks for w in ts]
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "gram_h": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int8()),
+            }
+        )
+        if not flat:
+            return empty
+        th = hash64_str(np.asarray(flat, object))  # uint64, one C call
+        starts = np.r_[np.int64(0), np.cumsum(lens)]
+        cnt = np.maximum(lens - n + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        drep = np.repeat(np.arange(len(lens), dtype=np.int64), cnt)
+        base = np.repeat(starts[:-1], cnt)
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        pos0 = base + local
+        acc = np.zeros(total, np.uint64)
+        for k in range(n):
+            acc ^= th[pos0 + k] * np.uint64(self._POS_MULT[k % len(self._POS_MULT)])
+        g = splitmix64(acc)
+        # per-doc distinct grams
+        order = np.lexsort((g, drep))
+        drep, g = drep[order], g[order]
+        keep = np.r_[True, (drep[1:] != drep[:-1]) | (g[1:] != g[:-1])]
+        drep, g = drep[keep], g[keep]
+        out_doc = doc_ids.astype(np.int64)[drep]
+        # benchmark docs re-emit their grams as kind=0 reference rows
+        bm = out_doc % self.mod == 0
+        out_doc = np.r_[out_doc, np.full(int(bm.sum()), -1, np.int64)]
+        g = np.r_[g, g[bm]]
+        kind = np.r_[
+            np.ones(len(drep), np.int8), np.zeros(int(bm.sum()), np.int8)
+        ]
+        return pa.table(
+            {
+                "part": pa.array((g % np.uint64(self.B)).astype(np.int64)),
+                "doc_id": pa.array(out_doc),
+                "gram_h": pa.array(g.view(np.int64)),
+                "kind": pa.array(kind),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = self.n
         doc_ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
+        if self.hash_grams:
+            return self._hashed_rows(doc_ids, texts)
         out_doc, out_gram, out_kind = [], [], []
         for d, t in zip(doc_ids, texts):
             ts = self.tok.findall(t)
@@ -357,9 +440,8 @@ class GramRows:
                 out_doc.extend([-1] * len(g))
                 out_gram.extend(g)
                 out_kind.extend([0] * len(g))
-        part = (
-            pd.util.hash_array(np.asarray(out_gram, object)) % self.B
-        ).astype(np.int64)
+        h = pd.util.hash_array(np.asarray(out_gram, object))
+        part = (h % self.B).astype(np.int64)
         return pa.table(
             {
                 "part": pa.array(part),
@@ -375,6 +457,7 @@ def ngram_contamination(
     n: int = 3,
     bench_mod: int = 97,
     num_buckets: int = 64,
+    replay_strings: bool = False,
 ):
     """Benchmark-decontamination scan: for every document, the share of
     its distinct token n-grams that also occur in the benchmark set
@@ -383,12 +466,14 @@ def ngram_contamination(
     contam); docs with < n tokens report (0, 0, 0.0).
 
     Scale shape: ONE gram-hash-bucketed shuffle carries doc grams and
-    the tagged benchmark set together; inside a bucket, exact string
-    matching is Arrow dictionary codes (no hash-collision assumption),
-    and per-doc partials leave the bucket combiner-reduced, so the
-    final groupby sums ~#docs x buckets-touched tiny rows. Production
-    corpora would pre-hash grams to 64-bit at the emit stage; strings
-    are kept here for bit-exact DuckDB replay.
+    the tagged benchmark set together; per-doc partials leave the
+    bucket combiner-reduced, so the final groupby sums ~#docs x
+    buckets-touched tiny rows. DEFAULT wire format is the 64-bit gram
+    hash (int64 only — the production shape; collision odds
+    ~(#grams^2)/2^64, vanishing at any real corpus); set
+    ``replay_strings=True`` to ship gram strings and match inside the
+    bucket via Arrow dictionary codes — bit-exact by construction with
+    no collision assumption (both modes replay the DuckDB oracle).
 
     (Reference analogue: SURVEY.md §2.7 set-ops family — membership of
     a derived key set against a reference set, the same inverted
@@ -396,14 +481,21 @@ def ngram_contamination(
     from ray.data.aggregate import Sum
 
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        GramRows(n, bench_mod, num_buckets), batch_format="pyarrow", batch_size=8192
+        GramRows(n, bench_mod, num_buckets, hash_grams=not replay_strings),
+        batch_format="pyarrow",
+        batch_size=8192,
     )
 
     def bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         tc = t.combine_chunks()
-        codes = pc.dictionary_encode(tc.column("gram").combine_chunks()).indices.to_numpy()
+        if "gram_h" in tc.column_names:
+            codes = tc.column("gram_h").to_numpy()
+        else:
+            codes = pc.dictionary_encode(
+                tc.column("gram").combine_chunks()
+            ).indices.to_numpy()
         kind = tc.column("kind").to_numpy()
         doc = tc.column("doc_id").to_numpy()
         bench = np.unique(codes[kind == 0])
@@ -437,8 +529,14 @@ def ngram_contamination(
     allrows = partials.union(
         docs.select_columns(["doc_id"]).map_batches(base, batch_format="pyarrow")
     )
-    agg = allrows.groupby("doc_id").aggregate(
-        Sum("n_grams", alias_name="ng"), Sum("n_matched", alias_name="nm")
+    # high-cardinality final fold: range-sort + reduceat (sortagg), not
+    # the hash groupby — at #docs x buckets-touched partial rows the
+    # per-group hash machinery dominated the whole op (the lm_score
+    # finding, 102s -> 9.4s)
+    from .sortagg import sorted_sum_by
+
+    agg = sorted_sum_by(
+        allrows, "doc_id", sum_cols={"n_grams": "ng", "n_matched": "nm"}
     )
 
     def finish(t: pa.Table) -> pa.Table:

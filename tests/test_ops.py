@@ -522,6 +522,14 @@ def test_ngram_contamination_vs_python_oracle(docs_ds, docs_pdf):
     # benchmark docs are fully self-contaminated; signal is non-trivial
     assert all(got[got.doc_id % 97 == 0]["contam"] == 1.0)
     assert (got[got.doc_id % 97 != 0]["n_matched"] > 0).any()
+    # replay_strings mode (no hash-collision assumption) is identical
+    rep = (
+        ngram_contamination(docs_ds, n=3, bench_mod=97, replay_strings=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert rep.equals(got)
 
 
 def test_ngram_contamination_short_docs(ray_session):
