@@ -79,23 +79,39 @@ def _doc_shingles(text: str, k: int) -> list[str]:
 
 
 class _ShingleRows:
-    def __init__(self, k: int):
+    """Per-doc distinct shingle rows, plus the doc's shingle count
+    repeated per row (``n_sh`` — so per-doc counts come straight off
+    the rows with NO groupby shuffle: a doc's rows are emitted whole by
+    one call, contiguous within the block). ``hashed=True`` (the
+    default wire format, round-5) ships the 64-bit shingle hash as
+    int64 ``sh`` instead of the string — same exactness stance as
+    ngram_contamination's hashed grams."""
+
+    def __init__(self, k: int, hashed: bool = False):
         self.k = k
+        self.hashed = hashed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_id, out_sh = [], []
+        out_id, out_sh, out_n = [], [], []
         for i, t in zip(ids, texts):
-            for sh in _doc_shingles(t, self.k):
-                out_id.append(i)
-                out_sh.append(sh)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "shingle": pa.array(out_sh, pa.string()),
-            }
-        )
+            shs = _doc_shingles(t, self.k)
+            out_id.extend([i] * len(shs))
+            out_sh.extend(shs)
+            out_n.extend([len(shs)] * len(shs))
+        cols = {"doc_id": pa.array(out_id, pa.int64())}
+        if self.hashed:
+            h = (
+                hash64_str(np.asarray(out_sh, object)).view(np.int64)
+                if out_sh
+                else np.empty(0, np.int64)
+            )
+            cols["sh"] = pa.array(h)
+        else:
+            cols["shingle"] = pa.array(out_sh, pa.string())
+        cols["n_sh"] = pa.array(out_n, pa.int64())
+        return pa.table(cols)
 
 
 def shingle_jaccard_pairs(
@@ -104,31 +120,70 @@ def shingle_jaccard_pairs(
     threshold: float = 0.7,
     num_partitions: int = 4,
     max_df: int | None = None,
+    replay_strings: bool = False,
 ) -> Dataset:
     """Exact k-shingle Jaccard near-dup pairs (a < b, J >= threshold).
 
-    shingle rows -> inverted index groupby(shingle) -> co-occurrence
+    shingle rows -> inverted index bucket shuffle -> co-occurrence
     pairs (combiner-counted) -> join per-doc shingle counts ->
     J = inter / (na + nb - inter). ``max_df`` optionally drops
-    ubiquitous shingles (the skew cap) — leave None for exact parity
-    with the SQL oracle."""
-    rows = docs.map_batches(_ShingleRows(k), batch_format="pyarrow", batch_size=8192)
-    counts = rows.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+    ubiquitous shingles (the skew cap).
+
+    Round-5 scale shape: per-doc counts come straight off the shingle
+    rows (docs are whole within a block — NO count groupby; was 13.6s
+    of 70s at 20k docs), and the default wire format is the int64
+    shingle HASH (``replay_strings=True`` ships the strings for a
+    zero-collision-assumption replay — same stance as
+    ngram_contamination)."""
+    hashed = not replay_strings
+    shcol = "sh" if hashed else "shingle"
+    rows = docs.map_batches(
+        _ShingleRows(k, hashed=hashed), batch_format="pyarrow", batch_size=8192
+    )
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        if len(d) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_sh": z})
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "n_sh": pa.array(t.column("n_sh").to_numpy()[starts]),
+            }
+        )
+
+    counts = rows.map_batches(local_counts, batch_format="pyarrow", batch_size=None)
 
     # bucket shingles by hash so the shuffle has B groups, not one per
     # shingle; pair generation loops only over collision segments
     B = 64
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = hash64_str(t.column("shingle").to_pylist()).view(np.int64) % B
-        return t.append_column("part", pa.array(part))
+        if hashed:
+            part = (t.column("sh").to_numpy().view(np.uint64) % np.uint64(B)).astype(
+                np.int64
+            )
+        else:
+            part = hash64_str(t.column("shingle").to_pylist()).view(np.int64) % B
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                shcol: t.column(shcol),
+                "part": pa.array(part),
+            }
+        )
 
     def pairs(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        codes = pc.dictionary_encode(
-            t.column("shingle").combine_chunks()
-        ).indices.to_numpy()
+        if hashed:
+            codes = t.column("sh").to_numpy()
+        else:
+            codes = pc.dictionary_encode(
+                t.column("shingle").combine_chunks()
+            ).indices.to_numpy()
         order = np.argsort(codes, kind="stable")
         codes = codes[order]
         ids = t.column("doc_id").to_numpy()[order]
@@ -954,13 +1009,23 @@ def dedup_clusters(
         docs.select_columns(["doc_id"]).map_batches(own, batch_format="pyarrow")
     )
     # clustered docs carry label <= doc_id, own-rows carry doc_id:
-    # min() == the CC label where one exists, doc_id otherwise
-    keepers = both.groupby("doc_id").aggregate(Min("keeper", alias_name="keeper"))
+    # min() == the CC label where one exists, doc_id otherwise.
+    # Both corpus-wide folds are sortagg range sorts, not hash groupbys
+    # (round 5: the per-group hash machinery was the dominant cost at
+    # #docs-cardinality keys), and the size attach is the tagged-union
+    # sort join.
+    from .sortagg import attach_by_key, sorted_sum_by
 
-    sizes = keepers.groupby("keeper").aggregate(Count(alias_name="cluster_size"))
-    out = keepers.join(
-        sizes, join_type="inner", num_partitions=max(2, num_parts),
-        on=("keeper",), right_on=("keeper",),
+    keepers = sorted_sum_by(both, "doc_id", min_cols={"keeper": "keeper"})
+    sizes = sorted_sum_by(
+        keepers.select_columns(["keeper"]), "keeper", count_col="cluster_size"
+    )
+    out = attach_by_key(
+        rows=keepers,
+        stats=sizes,
+        key="keeper",
+        stat_cols=["cluster_size"],
+        row_cols=["doc_id"],
     )
 
     def cast(t: pa.Table) -> pa.Table:

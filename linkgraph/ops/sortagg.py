@@ -38,6 +38,7 @@ def sorted_sum_by(
     sum_cols: dict[str, str] | None = None,
     carry_cols: list[str] | None = None,
     count_col: str | None = None,
+    min_cols: dict[str, str] | None = None,
 ) -> Dataset:
     """Exact groupby(key) by global range sort + per-block reduceat.
 
@@ -45,9 +46,11 @@ def sorted_sum_by(
     ``carry_cols`` columns constant within a key group, carried through
                    (first value of the run)
     ``count_col``  if set, emit the group row count under this name
+    ``min_cols``   {input_col: output_col} min-reduced per key group
     """
     sum_cols = sum_cols or {}
     carry_cols = carry_cols or []
+    min_cols = min_cols or {}
 
     def block(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy()
@@ -59,6 +62,8 @@ def sorted_sum_by(
                 cols[c] = t.column(c)
             for c, out in sum_cols.items():
                 cols[out] = t.column(c)
+            for c, out in min_cols.items():
+                cols[out] = t.column(c)
             if count_col:
                 cols[count_col] = pa.array([], pa.int64())
             return pa.table(cols)
@@ -68,6 +73,8 @@ def sorted_sum_by(
             cols[c] = pa.array(t.column(c).to_numpy()[starts])
         for c, out in sum_cols.items():
             cols[out] = pa.array(np.add.reduceat(t.column(c).to_numpy(), starts))
+        for c, out in min_cols.items():
+            cols[out] = pa.array(np.minimum.reduceat(t.column(c).to_numpy(), starts))
         if count_col:
             n = np.diff(np.r_[starts, len(k)])
             cols[count_col] = pa.array(n.astype(np.int64))
