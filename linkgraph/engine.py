@@ -1924,6 +1924,7 @@ class SuperstepEngine:
         burst_size: int | None = None,
         warm_start: bool = False,
         import_state: list | None = None,
+        staleness: int = 0,
     ) -> dict:
         """Run to convergence. Returns summary metrics dict.
 
@@ -1936,7 +1937,20 @@ class SuperstepEngine:
         converged state is identical whatever the chunk alignment).
         Programs whose driver_step mutates the globals must set
         burst_safe=False (chunk size 1).
-        """
+
+        ``staleness=s > 0`` enables BOUNDED-STALENESS execution — the
+        analogue of the reference's asynchronous slack (its default
+        mode; HVR_STRICT is the BSP we default to): step t applies its
+        OWN partition's messages from step t-1 but REMOTE partitions'
+        messages from step t-1-s, so a step's cross-partition
+        dependency reaches s+1 steps back and the inter-partition
+        critical path relaxes accordingly. Sound for contraction-map
+        programs (PR family: same fixpoint, possibly more supersteps —
+        Bertsekas-style asynchronous iteration); NOT for programs whose
+        semantics need lockstep rounds (coloring, MIS). Deterministic
+        (the stale generation is fixed, not raced), so runs reproduce.
+        BSP (0) stays the default and the oracle-checked mode; flat
+        exchange only."""
         assert self._loaded, "call load_edges first"
         P = self.P
         stats0 = ray.get(
@@ -1963,24 +1977,42 @@ class SuperstepEngine:
         else:
             burst = burst_size or (checkpoint_every if checkpoint_dir else 8)
 
+        if staleness:
+            assert self._group_starts is None, (
+                "bounded staleness composes with the flat exchange only"
+            )
         history: list[dict] = []
         converged = False
         it = start_iter
         logical_iters = start_iter
         t_run = time.perf_counter()
         packed = [a.scatter_packed.remote(g) for a in self.actors]
+        hist = [packed] if staleness else []
         while it < max_iters and not converged:
             k = min(burst, max_iters - it)
             t0 = time.perf_counter()
             stats_futs = []
             for _ in range(k):
-                pb = self._combine_packed(packed)
+                if staleness and len(hist) > staleness:
+                    old = hist[-1 - staleness]
+                    pb = [
+                        [
+                            packed[j] if j == i else old[j]
+                            for j in range(P)
+                        ]
+                        for i in range(P)
+                    ]
+                else:
+                    pb = self._combine_packed(packed)
                 res = [
                     a.step.options(num_returns=2).remote(g, pb[i])
                     for i, a in enumerate(self.actors)
                 ]
                 stats_futs.append([r[0] for r in res])
                 packed = [r[1] for r in res]
+                if staleness:
+                    hist.append(packed)
+                    del hist[: -(staleness + 1)]
             all_stats = [ray.get(f) for f in stats_futs]
             dt = time.perf_counter() - t0
             for j, stats in enumerate(all_stats):

@@ -71,3 +71,27 @@ def test_messages_and_odd_group_split():
     two, _ = _run(lambda: PingProgram(n=400, offset=7), 3, max_iters=6)
     for c in flat.columns:
         assert flat[c].tolist() == two[c].tolist(), c
+
+
+def test_bounded_staleness_same_fixpoint():
+    # stale-by-1 remote messages: asynchronous iteration of the PageRank
+    # contraction converges to the SAME fixpoint (allclose 1e-6), with
+    # possibly different superstep count; BSP stays the default
+    from linkgraph.algos.pagerank import PageRankProgram
+    from linkgraph.engine import SuperstepEngine
+
+    edges = _edges()
+    bsp_eng = SuperstepEngine(num_parts=8).load_edges(edges)
+    mb = bsp_eng.run(PageRankProgram(tol=1e-8), max_iters=300)
+    bsp = (
+        bsp_eng.state_dataset(columns=["rank"]).to_pandas().sort_values("v")
+    )
+    bsp_eng.shutdown()
+    st_eng = SuperstepEngine(num_parts=8).load_edges(_edges())
+    ms = st_eng.run(PageRankProgram(tol=1e-8), max_iters=300, staleness=1)
+    st = st_eng.state_dataset(columns=["rank"]).to_pandas().sort_values("v")
+    st_eng.shutdown()
+    assert mb["converged"] and ms["converged"]
+    assert np.allclose(
+        bsp["rank"].to_numpy(), st["rank"].to_numpy(), atol=1e-6, rtol=0
+    )
