@@ -110,6 +110,35 @@ def q_pagerank(sf_dir: str):
     return pd.DataFrame({"v": df["v"], "pr_rank": np.round(df["rank"], 8)})
 
 
+def q_pagerank_nofollow(sf_dir: str):
+    """Typed-edge support (reference hvr_edge_type analogue): edges
+    carry a deterministic nofollow flag ((src*7 + dst) % 5 == 0 — the
+    stand-in for extracted rel=nofollow anchors, which
+    build_edges(typed=True) produces from real HTML); PageRank flows
+    over FOLLOW edges only (SEO semantics) while teleport/dangling
+    cover the full vertex set. Oracle: the pagerank_5 SQL over the
+    filtered edge CTE."""
+    import pyarrow as pa
+
+    from linkgraph.algos import pagerank
+
+    def follow_only(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return t.filter(pa.array((s * 7 + d) % 5 != 0))
+
+    edges = _doc_edges_ds(sf_dir).map_batches(follow_only, batch_format="pyarrow")
+    out, _, eng = pagerank(
+        edges, num_parts=NUM_PARTS, damping=DAMPING, tol=0.0, max_iters=PR_ITERS,
+    )
+    df = out.to_pandas()
+    eng.shutdown()
+    # follow-graph-isolated vertices drop out of the engine's vertex
+    # set; the oracle keeps the same convention (verts from the
+    # filtered edge set)
+    return pd.DataFrame({"v": df["v"], "pr_rank": np.round(df["rank"], 8)})
+
+
 def q_cc(sf_dir: str):
     from linkgraph.algos import connected_components
 
@@ -1428,7 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_triangles": q_window_triangles,
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
-        "eff_diameter": q_eff_diameter,
+        "pagerank_nofollow": q_pagerank_nofollow,
         "gcn_2layer": q_gcn,
         "approx_distinct_tokens": q_approx_distinct,
         "corpus_select": q_corpus_select,
@@ -1455,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
         "langid": q_langid,
+        "eff_diameter": q_eff_diameter,
         "betweenness_4": q_betweenness,
         "katz_4": q_katz,
         "salsa_5": q_salsa,
@@ -1694,13 +1724,21 @@ def _motif_sql() -> str:
     )
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(edge_filter: str | None = None) -> str:
+    """Unrolled PR_ITERS PageRank SQL. ``edge_filter`` (a boolean SQL
+    expression over src/dst) restricts the edge set — the typed-edge
+    (nofollow) oracle path; verts/outdeg/messages all follow the
+    filtered table, matching the engine loaded with the same filter."""
     d = DAMPING
-    ctes = [
-        _edges_cte(),
-        _VERTS,
+    et = "e"
+    ctes = [_edges_cte()]
+    if edge_filter:
+        et = "ef"
+        ctes.append(f"ef AS (SELECT src, dst FROM e WHERE {edge_filter})")
+    ctes += [
+        _VERTS.replace("FROM e", f"FROM {et}"),
         "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
-        "outd AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        f"outd AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS deg FROM {et} GROUP BY src)",
         "r0 AS (SELECT v, 1.0/(SELECT n FROM nv) AS r FROM verts)",
     ]
     for i in range(1, PR_ITERS + 1):
@@ -1710,7 +1748,7 @@ def _pagerank_sql() -> str:
             f"LEFT JOIN outd o ON p.v = o.v WHERE o.v IS NULL)"
         )
         ctes.append(
-            f"msg{i} AS (SELECT e.dst AS v, sum(p.r / o.deg) AS s FROM e "
+            f"msg{i} AS (SELECT e.dst AS v, sum(p.r / o.deg) AS s FROM {et} e "
             f"JOIN {p} p ON e.src = p.v JOIN outd o ON e.src = o.v GROUP BY e.dst)"
         )
         ctes.append(
@@ -2276,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
     q["betweenness_4"] = _betweenness_sql()
     q["eff_diameter"] = _effdiam_sql()
     q["ktruss_3"] = _ktruss_sql()
+    q["pagerank_nofollow"] = _pagerank_sql("(src*7 + dst) % 5 <> 0")
     # triangles per tumbling hour over the deterministically-stamped
     # edge stream (Gelly WindowTriangles parity): canonical per-window
     # undirected edges, x<y<z join unrolled per window, 0-triangle

@@ -17,13 +17,21 @@ from ray.data.aggregate import Sum
 from .extract import ExtractEdges
 
 
-def build_edges(pages: Dataset, dedup: bool = True, canonicalize: bool = False) -> Dataset:
+def build_edges(
+    pages: Dataset,
+    dedup: bool = True,
+    canonicalize: bool = False,
+    typed: bool = False,
+) -> Dataset:
     """pages(url, html) -> deduplicated hashed edge table (src, dst) uint64.
 
     ``canonicalize=True`` rewrites page urls to RFC 3986 canonical form
     before extraction/hashing (linkgraph.urlnorm), collapsing spelling
     variants of one page to one vertex; off by default to preserve the
     byte-identical golden invariant on already-canonical corpora.
+    ``typed=True`` adds the int8 ``nofollow`` edge-type column
+    (rel=nofollow anchors; the reference's hvr_edge_type analogue,
+    inc/hvr_common.h:96-117), deduped with min(nofollow) per edge.
 
     Reference parity: explicit-edge creation + idempotent upsert
     (reference src/hoover.cpp:2289-2355, 450-600 `update_edge_info`
@@ -34,13 +42,48 @@ def build_edges(pages: Dataset, dedup: bool = True, canonicalize: bool = False) 
 
         pages = canonicalize_pages(pages)
     edges = pages.map_batches(
-        ExtractEdges(canonicalize=canonicalize),
+        ExtractEdges(canonicalize=canonicalize, typed=typed),
         batch_format="pyarrow",
         batch_size=4096,
     )
     if dedup:
-        edges = distinct_edges(edges)
+        edges = distinct_edges_typed(edges) if typed else distinct_edges(edges)
     return edges
+
+
+def distinct_edges_typed(edges: Dataset) -> Dataset:
+    """Global dedup of TYPED edges (src, dst, nofollow): one (src, dst)
+    range sort, then per-block run-min of nofollow — one followed
+    anchor anywhere in the crawl makes the edge a follow edge. Exact
+    across blocks: the sort key IS the dedup key (equal composite keys
+    share a block), so unlike coarser-key folds no correction pass is
+    needed."""
+    import numpy as np
+
+    def fold(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        if len(s) == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "nofollow": pa.array([], pa.int8()),
+                }
+            )
+        d = t.column("dst").to_numpy()
+        nf = t.column("nofollow").to_numpy()
+        starts = np.flatnonzero(np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+        return pa.table(
+            {
+                "src": pa.array(s[starts]),
+                "dst": pa.array(d[starts]),
+                "nofollow": pa.array(np.minimum.reduceat(nf, starts)),
+            }
+        )
+
+    return edges.sort(["src", "dst"]).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
 
 
 def distinct_pairs(ds: Dataset, c1: str, c2: str) -> Dataset:

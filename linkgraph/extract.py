@@ -48,6 +48,15 @@ _HREF_VAL = (
 )
 _HREF = re.compile(rb"<a\s[^>\x00]*?" + _HREF_VAL, re.I)
 _BASE = re.compile(rb"<base\s[^>\x00]*?" + _HREF_VAL, re.I)
+# rel attribute of an <a> tag (same anchoring as _HREF, so a rel match
+# and an href match of the SAME tag share their match start offset —
+# the alignment the vectorized typed scan relies on)
+_REL = re.compile(
+    rb"<a\s[^>\x00]*?(?<![\w-])rel\s*=\s*"
+    rb"(?:\"([^\"\x00]+)\"|'([^'\x00]+)'|([^\s>\"'\x00][^\s>\x00]*))",
+    re.I,
+)
+_NOFOLLOW = re.compile(rb"(?:^|[\s,])nofollow(?:$|[\s,])", re.I)
 _SKIP_PREFIXES = ("#", "javascript:", "mailto:", "data:", "tel:")
 
 
@@ -110,6 +119,29 @@ def extract_links(html: bytes, page_url: str) -> list[str]:
             continue
         if _keep_href(h):
             out.append(absolutize(h, base))
+    return out
+
+
+def extract_links_typed(html: bytes, page_url: str) -> list[tuple[str, int]]:
+    """Like extract_links, plus the EDGE TYPE: (url, nofollow) with
+    nofollow=1 when the anchor carries ``rel=nofollow`` (the reference
+    models typed edges via hvr_edge_type, inc/hvr_common.h:96-117; on
+    the web the type that matters is the SEO no-endorsement flag).
+    Anchors are matched to their rel attribute by tag start offset."""
+    base = page_base_url(html, page_url)
+    nf_starts = {
+        m.start()
+        for m in _REL.finditer(html)
+        if _NOFOLLOW.search(_href_group(m))
+    }
+    out = []
+    for m in _HREF.finditer(html):
+        try:
+            h = _href_group(m).decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if _keep_href(h):
+            out.append((absolutize(h, base), int(m.start() in nf_starts)))
     return out
 
 
@@ -186,22 +218,38 @@ class ExtractEdges:
     dst hash the same spelling.
     """
 
-    def __init__(self, canonicalize: bool = False):
+    def __init__(self, canonicalize: bool = False, typed: bool = False):
         self.canonicalize = canonicalize
+        self.typed = typed
+
+    def _empty(self) -> pa.Table:
+        cols = {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        if self.typed:
+            cols["nofollow"] = pa.array([], pa.int8())
+        return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        empty = pa.table(
-            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-        )
+        empty = self._empty()
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         if not urls:
             return empty
-        page_idx, _, caps, _, _ = _scan_batch(htmls, _HREF, b"\x00")
+        page_idx, starts, caps, _, _ = _scan_batch(htmls, _HREF, b"\x00")
         if len(caps) == 0:
             return empty
+        if self.typed:
+            # rel=nofollow anchors, matched by tag start offset (both
+            # patterns anchor at '<a', so offsets align exactly)
+            _, r_starts, r_caps, _, _ = _scan_batch(htmls, _REL, b"\x00")
+            nf_starts = np.asarray(
+                [s for s, c in zip(r_starts, r_caps) if _NOFOLLOW.search(c)],
+                np.int64,
+            )
+            nofollow = np.isin(starts, nf_starts)
+        else:
+            nofollow = None
         # <base href> per page: one literal-anchored sweep; first match
         # per page wins (match order is position order)
         base_urls = list(urls)
@@ -227,6 +275,8 @@ class ExtractEdges:
                     pass
             caps = [caps[i] for i in keep]
             page_idx = page_idx[keep]
+            if nofollow is not None:
+                nofollow = nofollow[keep]
             if not caps:
                 return empty
             hs = pa.array(caps, pa.binary()).cast(pa.string())
@@ -241,6 +291,8 @@ class ExtractEdges:
             keep_i = np.flatnonzero(nav.to_numpy(zero_copy_only=False))
             hs = hs.filter(nav)
             page_idx = page_idx[keep_i]
+            if nofollow is not None:
+                nofollow = nofollow[keep_i]
         if len(hs) == 0:
             return empty
         # absolutize against the page BASE, vectorized by prefix class
@@ -292,6 +344,20 @@ class ExtractEdges:
         src, dst = src[keep_m], dst[keep_m]
         if len(src) == 0:
             return empty
+        if nofollow is not None:
+            # typed in-batch dedup: min(nofollow) per (src, dst) — one
+            # followed anchor makes the edge a follow edge
+            nf = nofollow[keep_m].astype(np.int8)
+            order = np.lexsort((nf, dst, src))
+            src, dst, nf = src[order], dst[order], nf[order]
+            first = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            return pa.table(
+                {
+                    "src": pa.array(src[first]),
+                    "dst": pa.array(dst[first]),
+                    "nofollow": pa.array(nf[first]),
+                }
+            )
         # in-batch dedup (combiner before the global dedup shuffle)
         src, dst = pair_unique(src, dst)
         return pa.table(

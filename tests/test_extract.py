@@ -244,3 +244,59 @@ def test_distinct_edges_exact_across_blocks():
     want = {(int(s), int(d)) for s, d in zip(src, dst)}
     assert got == want
     assert distinct_edges(ds).count() == len(want)  # no boundary dups survive
+
+
+def test_typed_nofollow_extraction():
+    import ray.data
+
+    from linkgraph.edges import build_edges
+
+    pages = [
+        (
+            "https://s.example/t/0",
+            b'<a rel="nofollow" href="/a">x</a><a href="/b">y</a>'
+            b"<a href='/c' rel='ugc nofollow'>z</a><a href=/d rel=nofollow>w</a>",
+        ),
+        # rel on another tag does not type this page's links; rel value
+        # containing 'nofollow' as a substring of another token does not
+        ("https://s.example/t/1", b'<a href="/e" rel="nofollowish">n</a>'),
+        # duplicate edge follow+nofollow dedups to follow (min)
+        (
+            "https://s.example/t/2",
+            b'<a rel=nofollow href="/f">1</a><a href="/f">2</a>',
+        ),
+    ]
+    # scalar semantics
+    got = extract.extract_links_typed(pages[0][1], pages[0][0])
+    assert got == [
+        ("https://s.example/a", 1),
+        ("https://s.example/b", 0),
+        ("https://s.example/c", 1),
+        ("https://s.example/d", 1),
+    ]
+    assert extract.extract_links_typed(pages[1][1], pages[1][0]) == [
+        ("https://s.example/e", 0)
+    ]
+    # vectorized parity (batch level)
+    batch = pa.table(
+        {
+            "url": pa.array([u for u, _ in pages]),
+            "html": pa.array([h for _, h in pages], pa.binary()),
+        }
+    )
+    out = extract.ExtractEdges(typed=True)(batch).to_pylist()
+    want = set()
+    for u, h in pages:
+        su = hash64_one_signed(u)
+        links = {}
+        for link, nf in extract.extract_links_typed(h, u):
+            d = hash64_one_signed(link)
+            if su != d:
+                links[(su, d)] = min(nf, links.get((su, d), 1))
+        want |= {(a, b, nf) for (a, b), nf in links.items()}
+    assert {(r["src"], r["dst"], r["nofollow"]) for r in out} == want
+    # end-to-end typed build: global dedup keeps min(nofollow)
+    ds = ray.data.from_arrow(batch)
+    edges = build_edges(ds, typed=True).to_pandas()
+    f = edges[edges.src == hash64_one_signed("https://s.example/t/2")]
+    assert f["nofollow"].tolist() == [0]
