@@ -79,6 +79,17 @@ def main(argv: list[str] | None = None) -> int:
         if name == "pagerank":
             sp.add_argument("--tol", type=float, default=1e-8)
             sp.add_argument("--damping", type=float, default=0.85)
+            sp.add_argument(
+                "--node-groups", type=int, default=None,
+                help="two-level node-topology exchange: one relay per "
+                "contiguous partition group (bit-exact vs flat; see "
+                "BASELINE.md)",
+            )
+            sp.add_argument(
+                "--staleness", type=int, default=0,
+                help="bounded-staleness message application (async "
+                "slack; 0 = BSP, the default)",
+            )
     p = sub.add_parser("triangles")
     common(p)
 
@@ -380,6 +391,8 @@ def main(argv: list[str] | None = None) -> int:
                 max_iters=args.max_iters,
                 checkpoint_dir=args.checkpoint,
                 resume=args.resume,
+                node_groups=args.node_groups,
+                staleness=args.staleness,
             )
             if args.out:
                 write_partitioned(res, args.out, tag="pagerank")

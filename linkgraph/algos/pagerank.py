@@ -182,12 +182,24 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     engine: SuperstepEngine | None = None,
+    node_groups: int | None = None,
+    staleness: int = 0,
 ):
-    """edges Dataset (src, dst) -> (Dataset(v, rank), summary metrics)."""
-    eng = engine or SuperstepEngine(num_parts=num_parts).load_edges(edges)
+    """edges Dataset (src, dst) -> (Dataset(v, rank), summary metrics).
+
+    ``node_groups`` wires the two-level node-topology exchange
+    (bit-exact vs flat); ``staleness`` enables bounded-staleness
+    message application (same fixpoint, engine.run docstring)."""
+    eng = engine or SuperstepEngine(
+        num_parts=num_parts, node_groups=node_groups
+    ).load_edges(edges)
     prog = PageRankProgram(damping=damping, tol=tol)
     summary = eng.run(
-        prog, max_iters=max_iters, checkpoint_dir=checkpoint_dir, resume=resume
+        prog,
+        max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        staleness=staleness,
     )
     out = eng.state_dataset(id_col="v", columns=["rank"])
     return out, summary, eng
