@@ -106,7 +106,23 @@ def lm_score(docs: Dataset, num_partitions: int = 8) -> Dataset:
     bg = docs.map_batches(_bigram_rows, batch_format="pyarrow").materialize()
 
     vocab = docs.map_batches(_token_hash_rows, batch_format="pyarrow")
-    v = float(vocab.groupby("th").count().count())
+
+    # exact distinct tokens by sorted run counting (equal hashes share a
+    # sorted block), NOT groupby(th).count() — the one remaining
+    # vocab-cardinality hash groupby in this op (round 5)
+    def run_starts(t: pa.Table) -> pa.Table:
+        th = t.column("th").to_numpy()
+        n = int(np.count_nonzero(np.r_[True, th[1:] != th[:-1]])) if len(th) else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    v = float(
+        sum(
+            r["n"]
+            for r in vocab.sort("th")
+            .map_batches(run_starts, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+    )
 
     # every aggregate/join below keys on ~corpus-cardinality int64
     # hashes — the sortagg kernels (range sort + per-block run kernels)
