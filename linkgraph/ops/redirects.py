@@ -19,6 +19,14 @@ unique per side).
 (Reference analogue: SURVEY.md §2.4 map/cache structures — the
 reference resolves indirection through its AVL vertex map per lookup;
 here the whole map is compressed in bulk, Ray-Data-first.)
+
+Round-5 negative result, measured and kept for the record: replacing
+these hash joins with the sortagg tagged-union sort join
+(attach_by_key) was 4.5x SLOWER at 1M rows (9.0s -> 40.9s) — unlike
+the high-cardinality GROUPBYs where sortagg wins ~10x, a unique-key
+equi-join with few, well-sized partitions is exactly the shape Ray's
+hash join is good at, and the sort pays a full range-partition of the
+2N-row union per doubling round. Hash joins stay.
 """
 
 from __future__ import annotations

@@ -89,6 +89,7 @@ def attach_by_key(
     key: str,
     stat_cols: list[str],
     row_cols: list[str],
+    stat_type: "pa.DataType | None" = None,
 ) -> Dataset:
     """Hash-join replacement: append ``stat_cols`` (from the stats
     table, ONE row per key) to every row of ``rows`` sharing the key.
@@ -99,16 +100,21 @@ def attach_by_key(
     a vectorized per-run broadcast fills the stat columns in. Rows
     whose key has no stats row are DROPPED (inner-join semantics);
     stats rows with no data rows contribute nothing.
+
+    ``stat_type`` is the wire dtype of the stat columns (the union
+    schema must agree across both sides); default float64. Pass
+    ``pa.int64()`` for id-valued stats — 64-bit ids do NOT round-trip
+    through float64.
     """
+    st = stat_type if stat_type is not None else pa.float64()
+    np_st = st.to_pandas_dtype()
 
     def tag_stats(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         cols = {key: t.column(key), "_k": pa.array(np.zeros(len(t), np.int8))}
         for c in stat_cols:
-            # stat columns travel as float64 (union schema must match
-            # the dummy columns on the data rows)
-            cols[c] = pc.cast(t.column(c), pa.float64())
+            cols[c] = pc.cast(t.column(c), st)
         for c in row_cols:
             cols[c] = pa.array(np.zeros(len(t), np.int64))
         return pa.table(cols)
@@ -116,7 +122,7 @@ def attach_by_key(
     def tag_rows(t: pa.Table) -> pa.Table:
         cols = {key: t.column(key), "_k": pa.array(np.ones(len(t), np.int8))}
         for c in stat_cols:
-            cols[c] = pa.array(np.zeros(len(t), np.float64))
+            cols[c] = pa.array(np.zeros(len(t), np_st))
         for c in row_cols:
             cols[c] = t.column(c)
         return pa.table(cols)
@@ -129,7 +135,7 @@ def attach_by_key(
         k = t.column(key).to_numpy()
         empty_cols: dict = {key: pa.array([], pa.int64())}
         for c in stat_cols:
-            empty_cols[c] = pa.array([], pa.float64())
+            empty_cols[c] = pa.array([], st)
         for c in row_cols:
             empty_cols[c] = pa.array([], pa.int64())
         if len(k) == 0:

@@ -104,3 +104,35 @@ def test_pii_ascii_digits_only():
     assert out.column("n_phones").to_pylist() == [0, 1]
     assert out.column("clean_text").to_pylist()[0] == f"call {arabic} now"
     assert out.column("clean_text").to_pylist()[1] == "call <PHONE> now"
+
+
+def test_attach_by_key_int64_stats():
+    # stat_type=pa.int64(): 64-bit id-valued stats must survive the
+    # tagged-union attach exactly (float64 would corrupt ids >= 2^53)
+    import ray.data
+
+    from linkgraph.ops.sortagg import attach_by_key
+
+    big = (1 << 62) + 12345  # not representable in float64
+    stats = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()), "val": pa.array([big, 7], pa.int64())}
+        )
+    )
+    rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], pa.int64()),
+                "x": pa.array([10, 11, 12, 13], pa.int64()),
+            }
+        )
+    )
+    out = (
+        attach_by_key(rows, stats, "k", ["val"], ["x"], stat_type=pa.int64())
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    # k=3 dropped (inner join); big id exact
+    assert out["x"].tolist() == [10, 11, 12]
+    assert out["val"].tolist() == [big, big, 7]
