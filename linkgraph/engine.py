@@ -1740,7 +1740,10 @@ class SuperstepEngine:
         per-partition state refs (``export_state_refs`` /
         ``run(import_state=...)``) align between the two engines."""
         assert self._loaded, "call load_edges first"
-        t = SuperstepEngine(num_parts=self.P, dedup=self.dedup).provision()
+        g = len(self._group_starts) - 1 if self._group_starts else None
+        t = SuperstepEngine(
+            num_parts=self.P, dedup=self.dedup, node_groups=g
+        ).provision()
         t.signed_ids = self.signed_ids
         t.streaming = False
         ray.get([a.push_transpose.remote(t.actors) for a in self.actors])
