@@ -95,3 +95,66 @@ def test_bounded_staleness_same_fixpoint():
     assert np.allclose(
         bsp["rank"].to_numpy(), st["rank"].to_numpy(), atol=1e-6, rtol=0
     )
+
+
+def test_two_level_transposed_and_resume():
+    # transposed() inherits node_groups (bit-exact vs flat transpose);
+    # checkpoint/resume under the two-level exchange reproduces the
+    # uninterrupted run exactly
+    import tempfile
+
+    from linkgraph.algos.pagerank import PageRankProgram
+    from linkgraph.engine import SuperstepEngine
+
+    ranks = {}
+    for G in (None, 4):
+        eng = SuperstepEngine(num_parts=8, node_groups=G).load_edges(_edges())
+        tr = eng.transposed()
+        assert tr._group_starts == eng._group_starts
+        tr.run(PageRankProgram(tol=0.0), max_iters=10)
+        ranks[G] = (
+            tr.state_dataset(columns=["rank"])
+            .to_pandas()
+            .sort_values("v")["rank"]
+            .to_numpy()
+        )
+        tr.shutdown()
+        eng.shutdown()
+    assert np.array_equal(
+        ranks[None].view(np.int64), ranks[4].view(np.int64)
+    )
+
+    with tempfile.TemporaryDirectory() as ck:
+        full = SuperstepEngine(num_parts=8, node_groups=3).load_edges(_edges())
+        full.run(PageRankProgram(tol=0.0), max_iters=12)
+        want = (
+            full.state_dataset(columns=["rank"])
+            .to_pandas()
+            .sort_values("v")["rank"]
+            .to_numpy()
+        )
+        full.shutdown()
+        e1 = SuperstepEngine(num_parts=8, node_groups=3).load_edges(_edges())
+        e1.run(
+            PageRankProgram(tol=0.0),
+            max_iters=6,
+            checkpoint_dir=ck,
+            checkpoint_every=3,
+        )
+        e1.shutdown()
+        e2 = SuperstepEngine(num_parts=8, node_groups=3).load_edges(_edges())
+        e2.run(
+            PageRankProgram(tol=0.0),
+            max_iters=12,
+            checkpoint_dir=ck,
+            resume=True,
+            checkpoint_every=3,
+        )
+        got = (
+            e2.state_dataset(columns=["rank"])
+            .to_pandas()
+            .sort_values("v")["rank"]
+            .to_numpy()
+        )
+        e2.shutdown()
+        assert np.array_equal(want.view(np.int64), got.view(np.int64))
