@@ -1123,10 +1123,28 @@ class GraphPartition:
         out = self.scatter_packed(g)
         return stats, out
 
-    def combine_group(self, packed_refs: list, group_starts: list):
+    def combine_group(
+        self,
+        packed_refs: list,
+        group_starts: list,
+        mode: str = "concat",
+        reduce: str | None = None,
+    ):
         """Two-level exchange, level 1 (node-topology relay): merge this
         NODE GROUP's packed scatter outputs into one bundle per
         DESTINATION group (returned as ``num_returns=G`` values).
+
+        ``mode="concat"`` (default) concatenates member slices — zero
+        relay compute, BIT-exact vs flat. ``mode="reduce"`` additionally
+        re-aggregates per destination vertex at the relay (the full
+        mailbox-coalescing semantics): a dst vertex receiving from all
+        M = P/G members of this group ships ONCE per (group pair)
+        instead of M times, cutting cross-node message VOLUME up to Mx
+        on hub-heavy graphs. Exact for 'min' and 'labelvote'; for 'sum'
+        the relay accumulation reorders float adds (allclose, not
+        bit-equal — quantified in tests). Vertex-to-vertex messages
+        (m_ids) are never reduced (their combination is program-defined
+        at the inbox).
 
         On a G-node cluster with P partitions this cuts per-superstep
         object pulls from P per partition (P^2 total; P*G cross-node
@@ -1165,7 +1183,7 @@ class GraphPartition:
             a_p, b_p = int(gs[h]), int(gs[h + 1])
             n_dst = b_p - a_p
             off = np.zeros((M, n_dst + 1), np.int64)
-            i_sl, v_sl, c_sl = [], [], []
+            i_sl, v_sl, c_sl, q_sl = [], [], [], []
             base = 0
             for m, pk in enumerate(packed):
                 a, b = int(pk["off"][a_p]), int(pk["off"][b_p])
@@ -1177,14 +1195,51 @@ class GraphPartition:
                         if pk["c"] is not None
                         else np.empty(0, np.int64)
                     )
+                if mode == "reduce":
+                    widths = np.diff(np.asarray(pk["off"][a_p : b_p + 1]))
+                    q_sl.append(np.repeat(np.arange(n_dst, dtype=np.int32), widths))
                 off[m] = base + np.asarray(pk["off"][a_p : b_p + 1]) - a
                 base += b - a
+            i_cat = np.concatenate(i_sl)
+            v_cat = np.concatenate(v_sl)
+            c_cat = np.concatenate(c_sl) if has_c else None
+            if mode == "reduce" and reduce in ("sum", "min", "labelvote") and base:
+                q_cat = np.concatenate(q_sl)
+                if reduce == "labelvote":
+                    order = np.lexsort((v_cat, i_cat, q_cat))
+                    q_o, i_o, l_o = q_cat[order], i_cat[order], v_cat[order]
+                    c_o = c_cat[order]
+                    new = np.r_[
+                        True,
+                        (q_o[1:] != q_o[:-1])
+                        | (i_o[1:] != i_o[:-1])
+                        | (l_o[1:] != l_o[:-1]),
+                    ]
+                    starts = np.flatnonzero(new)
+                    i_cat, v_cat = i_o[starts], l_o[starts]
+                    c_cat = np.add.reduceat(c_o, starts)
+                    q_runs = q_o[starts]
+                else:
+                    order = np.lexsort((i_cat, q_cat))
+                    q_o, i_o = q_cat[order], i_cat[order]
+                    v_o = v_cat[order]
+                    new = np.r_[True, (q_o[1:] != q_o[:-1]) | (i_o[1:] != i_o[:-1])]
+                    starts = np.flatnonzero(new)
+                    red = np.add if reduce == "sum" else np.minimum
+                    i_cat = i_o[starts]
+                    v_cat = red.reduceat(v_o, starts, axis=0)
+                    q_runs = q_o[starts]
+                # single pseudo-member row 0 carries the merged slices;
+                # rows 1..M-1 are empty (their extras still ride in
+                # extras_list, so global sums stay complete and ordered)
+                off = np.zeros((M, n_dst + 1), np.int64)
+                off[0] = np.searchsorted(q_runs, np.arange(n_dst + 1))
             bundle: dict = {
                 "bundle": True,
                 "dst_base": a_p,
-                "i": np.concatenate(i_sl),
-                "v": np.concatenate(v_sl),
-                "c": np.concatenate(c_sl) if has_c else None,
+                "i": i_cat,
+                "v": v_cat,
+                "c": c_cat,
                 "off": off,
                 "extras_list": extras_list,
             }
@@ -1655,6 +1710,7 @@ class SuperstepEngine:
         symmetrize: bool = False,
         dedup: bool = True,
         node_groups: int | None = None,
+        node_combine: str = "concat",
     ):
         self.P = num_parts
         self.symmetrize = symmetrize
@@ -1677,6 +1733,12 @@ class SuperstepEngine:
             self._group_starts = [round(g * self.P / G) for g in range(G + 1)]
         else:
             self._group_starts = None
+        if node_combine not in ("concat", "reduce"):
+            raise ValueError(node_combine)
+        # "concat" = bit-exact vs flat; "reduce" = relay re-aggregates
+        # per dst vertex (cross-node VOLUME cut up to P/G x on hub
+        # graphs; exact for min/labelvote, allclose for float sums)
+        self._node_combine = node_combine
 
     # ---- graph build -------------------------------------------------
     def provision(self, wait: bool = True) -> "SuperstepEngine":
@@ -1742,7 +1804,10 @@ class SuperstepEngine:
         assert self._loaded, "call load_edges first"
         g = len(self._group_starts) - 1 if self._group_starts else None
         t = SuperstepEngine(
-            num_parts=self.P, dedup=self.dedup, node_groups=g
+            num_parts=self.P,
+            dedup=self.dedup,
+            node_groups=g,
+            node_combine=self._node_combine,
         ).provision()
         t.signed_ids = self.signed_ids
         t.streaming = False
@@ -2006,7 +2071,7 @@ class SuperstepEngine:
                         for i in range(P)
                     ]
                 else:
-                    pb = self._combine_packed(packed)
+                    pb = self._combine_packed(packed, reduce=prog.reduce)
                 res = [
                     a.step.options(num_returns=2).remote(g, pb[i])
                     for i, a in enumerate(self.actors)
@@ -2047,7 +2112,7 @@ class SuperstepEngine:
             "history": history,
         }
 
-    def _combine_packed(self, packed: list) -> list:
+    def _combine_packed(self, packed: list, reduce: str | None = None) -> list:
         """Exchange wiring for one superstep: map the P raw scatter refs
         to each actor's inbound list. Flat: every actor reads all P refs.
         Two-level: each group's relay actor (its first partition) merges
@@ -2063,12 +2128,15 @@ class SuperstepEngine:
         for gi in range(G):
             relay = self.actors[gs[gi]]
             refs = packed[gs[gi] : gs[gi + 1]]
+            mode = self._node_combine
             if G > 1:
                 outs = list(
-                    relay.combine_group.options(num_returns=G).remote(refs, gs)
+                    relay.combine_group.options(num_returns=G).remote(
+                        refs, gs, mode, reduce
+                    )
                 )
             else:
-                outs = [relay.combine_group.remote(refs, gs)]
+                outs = [relay.combine_group.remote(refs, gs, mode, reduce)]
             bundles.append(outs)
         per_actor = []
         for pid in range(self.P):

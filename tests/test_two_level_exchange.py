@@ -158,3 +158,43 @@ def test_two_level_transposed_and_resume():
         )
         e2.shutdown()
         assert np.array_equal(want.view(np.int64), got.view(np.int64))
+
+
+def test_reduce_mode_relay():
+    # node_combine="reduce": relay re-aggregates per dst vertex.
+    # Exact for min (CC) and labelvote (LP); allclose for float sums
+    # (PageRank) with identical iteration counts; messages unaffected.
+    from linkgraph.algos.cc import CCProgram
+    from linkgraph.algos.labelprop import LabelPropProgram
+    from linkgraph.algos.msgping import PingProgram
+    from linkgraph.algos.pagerank import PageRankProgram
+    from linkgraph.engine import SuperstepEngine
+
+    def run_mode(prog_factory, combine, sym=False, **kw):
+        eng = SuperstepEngine(
+            num_parts=8, symmetrize=sym, node_groups=4, node_combine=combine
+        ).load_edges(_edges())
+        m = eng.run(prog_factory(), **kw)
+        cols = prog_factory().state_columns
+        df = (
+            eng.state_dataset(columns=list(cols))
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        eng.shutdown()
+        return df, m
+
+    for prog, sym in ((CCProgram, True), (LabelPropProgram, True)):
+        a, _ = run_mode(prog, "concat", sym=sym, max_iters=20)
+        b, _ = run_mode(prog, "reduce", sym=sym, max_iters=20)
+        assert a["label"].tolist() == b["label"].tolist(), prog.__name__
+
+    a, ma = run_mode(lambda: PageRankProgram(tol=1e-10), "concat", max_iters=60)
+    b, mb = run_mode(lambda: PageRankProgram(tol=1e-10), "reduce", max_iters=60)
+    assert ma["iterations"] == mb["iterations"]
+    assert np.allclose(a["rank"], b["rank"], atol=1e-12, rtol=0)
+
+    a, _ = run_mode(lambda: PingProgram(n=400, offset=7), "concat", max_iters=6)
+    b, _ = run_mode(lambda: PingProgram(n=400, offset=7), "reduce", max_iters=6)
+    assert a["got"].tolist() == b["got"].tolist()
