@@ -76,15 +76,16 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("pagerank", "cc", "labelprop"):
         sp = sub.add_parser(name)
         common(sp)
-        if name == "pagerank":
-            sp.add_argument("--tol", type=float, default=1e-8)
-            sp.add_argument("--damping", type=float, default=0.85)
+        if name in ("pagerank", "cc"):
             sp.add_argument(
                 "--node-groups", type=int, default=None,
                 help="two-level node-topology exchange: one relay per "
                 "contiguous partition group (bit-exact vs flat; see "
                 "BASELINE.md)",
             )
+        if name == "pagerank":
+            sp.add_argument("--tol", type=float, default=1e-8)
+            sp.add_argument("--damping", type=float, default=0.85)
             sp.add_argument(
                 "--staleness", type=int, default=0,
                 help="bounded-staleness message application (async "
@@ -407,6 +408,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_iters=args.max_iters,
                 checkpoint_dir=args.checkpoint,
                 resume=args.resume,
+                node_groups=args.node_groups,
             )
             if args.out:
                 write_partitioned(res, args.out, tag="cc")

@@ -70,14 +70,17 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     engine: SuperstepEngine | None = None,
+    node_groups: int | None = None,
 ):
     """edges Dataset (src, dst; treated undirected) -> (Dataset(v, label), summary).
 
     Note: min-label propagation converges in O(diameter) supersteps —
     fine for web graphs (small diameter); a pointer-doubling variant is
-    the scale path for long chains.
-    """
-    eng = engine or SuperstepEngine(num_parts=num_parts, symmetrize=True).load_edges(edges)
+    the scale path for long chains. ``node_groups`` selects the
+    two-level node-topology exchange (exact — min combine)."""
+    eng = engine or SuperstepEngine(
+        num_parts=num_parts, symmetrize=True, node_groups=node_groups
+    ).load_edges(edges)
     summary = eng.run(
         CCProgram(signed=eng.signed_ids),
         max_iters=max_iters,
