@@ -1062,4 +1062,14 @@ if __name__ == "__main__":
     elif "--scaling-subprocess" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        _res = run_bench()
+        # Verbose record first (per-stage throughputs, steal telemetry,
+        # extra_queries); then the headline contract as the FINAL stdout
+        # line, kept compact so it survives a bounded tail capture of the
+        # process output (the r4 artifact lost the long combined line).
+        print(json.dumps(_res))
+        print(json.dumps({
+            k: _res[k]
+            for k in ("metric", "value", "unit", "queries", "sf", "num_cpus")
+            if k in _res
+        }))
