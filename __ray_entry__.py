@@ -1045,6 +1045,23 @@ def q_reciprocity(sf_dir: str):
     return reciprocity(_doc_edges_ds(sf_dir))
 
 
+def q_butterflies(sf_dir: str):
+    """Butterfly (C4 / 2x2-biclique) census of the directed doc graph —
+    the Trawling link-farm density signal: wedge counts per dst pair,
+    C(w,2) summed."""
+    from linkgraph.ops import butterflies
+
+    return butterflies(_doc_edges_ds(sf_dir))
+
+
+def q_adj_gamma(sf_dir: str):
+    """WebGraph-style Elias-gamma adjacency compressibility: exact
+    gap-code bit count of the sorted distinct out-lists vs 64-bit raw."""
+    from linkgraph.ops import adjacency_gamma_bits
+
+    return adjacency_gamma_bits(_doc_edges_ds(sf_dir))
+
+
 def q_clustering(sf_dir: str):
     """Local clustering coefficient per vertex from the sqrt(m)-bounded
     wedge pipeline + distinct-neighbor degrees."""
@@ -1539,6 +1556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard": q_edge_jaccard,
         "community_kclique": q_community,
         "reciprocity": q_reciprocity,
+        "butterfly_count": q_butterflies,
+        "adj_gamma_bits": q_adj_gamma,
     }
 
 
@@ -3102,6 +3121,30 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "(SELECT nr FROM r) AS n_reciprocal, "
             "round(CAST((SELECT nr FROM r) AS DOUBLE) / "
             "(SELECT count(*) FROM e), 8) AS reciprocity"
+        ),
+        "butterfly_count": (
+            f"WITH {e}, d AS (SELECT DISTINCT src, dst FROM e), "
+            "w AS (SELECT x.dst AS d1, y.dst AS d2, "
+            "CAST(count(*) AS BIGINT) AS w FROM d x "
+            "JOIN d y ON x.src = y.src AND x.dst < y.dst GROUP BY 1, 2) "
+            "SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS n_wedges, "
+            "CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) "
+            "AS n_butterflies FROM w"
+        ),
+        "adj_gamma_bits": (
+            f"WITH {e}, d AS (SELECT DISTINCT src, dst FROM e), "
+            "g AS (SELECT CASE WHEN "
+            "lag(dst) OVER (PARTITION BY src ORDER BY dst) IS NULL "
+            "THEN dst + 1 ELSE dst - "
+            "lag(dst) OVER (PARTITION BY src ORDER BY dst) END AS gap "
+            "FROM d), "
+            "b AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(sum(2 * CAST(floor(log2(gap)) AS BIGINT) + 1) AS BIGINT) "
+            "AS gamma_bits FROM g) "
+            "SELECT n_edges, gamma_bits, "
+            "CAST(64 * n_edges AS BIGINT) AS raw_bits, "
+            "round(CAST(gamma_bits AS DOUBLE) / (64 * n_edges), 8) AS ratio "
+            "FROM b"
         ),
         "clustering_coeff": (
             f"WITH {e}, c AS (SELECT DISTINCT least(src, dst) AS u, "

@@ -21,6 +21,8 @@ from .graphstats import (
     quotient_graph,
     modularity,
     powerlaw_alpha,
+    butterflies,
+    adjacency_gamma_bits,
 )
 from .sampling import sample_per_key, sample_per_key_sql
 from .pii import PIIScrub, pii_scrub

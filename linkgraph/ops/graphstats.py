@@ -733,3 +733,152 @@ def dangling_share(edges, host_mod: int = 64):
     return sorted_sum_by(
         partials, "host", sum_cols={"n_links": "n_links", "n_dangling": "n_dangling"}
     )
+
+
+def butterflies(
+    edges: Dataset,
+    num_partitions: int | None = None,
+    max_out_degree: int | None = None,
+) -> pd.DataFrame:
+    """Butterfly (2x2-biclique / C4) count of the directed link graph —
+    the standard link-farm / bipartite-core density signal (Trawling's
+    (2,2)-core): pairs of sources that both link to the same pair of
+    destinations.
+
+    One row (n_wedges, n_butterflies) with
+    n_wedges = sum_s C(outdeg(s), 2) over distinct (src, dst) edges and
+    n_butterflies = sum_{d1<d2} C(w(d1, d2), 2) where w is the number of
+    sources linking to both d1 and d2.
+
+    Shape: route edges by src%B so each source's out-list co-locates,
+    enumerate its dst-pairs slab-bounded (a degree-d hub never
+    materializes C(d,2) at once), pre-aggregate (d1, d2) wedge counts
+    per group, re-aggregate globally by pair bucket, and fold the B
+    per-bucket partials on the driver (O(B) rows). ``max_out_degree``
+    optionally drops hub sources above the cap (documented-approximate
+    mode for skewed crawls; default exact).
+    """
+    from ..algos.triangles import _all_pairs_per_run_slabbed
+
+    P = _nparts(num_partitions)
+    B = max(P * 4, 16)
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64, copy=False)
+        d = t.column("dst").to_numpy().astype(np.int64, copy=False)
+        return pa.table({"part": _i64(s % B), "src": _i64(s), "dst": _i64(d)})
+
+    routed = edges.map_batches(route, batch_format="pyarrow", batch_size=1 << 20)
+
+    def wedge_partials(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        if len(s):  # distinct (src, dst): all rows of a src are in-group
+            keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+            s, d = s[keep], d[keep]
+        s, d, _ = _filter_runs(s, d, max_out_degree)
+        outs = {"part2": [], "d1": [], "d2": [], "w": []}
+        for ii, jj in _all_pairs_per_run_slabbed(s, d):
+            # dsts strictly ascend within a run, so d[ii] < d[jj]
+            ux, uy, inv = pair_unique_inverse(d[ii], d[jj])
+            outs["part2"].append((ux + 31 * uy) % B)
+            outs["d1"].append(ux)
+            outs["d2"].append(uy)
+            outs["w"].append(np.bincount(inv).astype(np.int64))
+        if not outs["d1"]:
+            z = pa.array([], pa.int64())
+            return pa.table({"part2": z, "d1": z, "d2": z, "w": z})
+        return pa.table({k: _i64(np.concatenate(v)) for k, v in outs.items()})
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        d1 = t.column("d1").to_numpy()
+        d2 = t.column("d2").to_numpy()
+        if len(d1) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"n_wedges": z, "n_butterflies": z})
+        _, _, inv = pair_unique_inverse(d1, d2)
+        w = np.zeros(int(inv.max()) + 1, np.int64)  # exact int64 accumulation
+        np.add.at(w, inv, t.column("w").to_numpy())
+        return pa.table(
+            {
+                "n_wedges": _i64([int(w.sum())]),
+                "n_butterflies": _i64([int((w * (w - 1) // 2).sum())]),
+            }
+        )
+
+    parts = (
+        routed.groupby("part")
+        .map_groups(wedge_partials, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .to_pandas()  # <= B one-row partials
+    )
+    return pd.DataFrame(
+        {
+            "n_wedges": [np.int64(parts["n_wedges"].sum()) if len(parts) else 0],
+            "n_butterflies": [
+                np.int64(parts["n_butterflies"].sum()) if len(parts) else 0
+            ],
+        }
+    )
+
+
+def adjacency_gamma_bits(
+    edges: Dataset, num_partitions: int | None = None
+) -> pd.DataFrame:
+    """WebGraph-flavored adjacency compressibility estimate: per source,
+    the distinct out-neighbors sorted ascending are coded as
+    first = dst0 + 1 then successive gaps (>= 1 by distinctness), each
+    value g costing the Elias-gamma 2*floor(log2(g)) + 1 bits. One row
+    (n_edges, gamma_bits, raw_bits, ratio) with raw_bits = 64*n_edges.
+
+    A high ratio means the crawl's id assignment destroys locality (the
+    WebGraph BV result: lexicographic URL ids make gamma_bits tiny);
+    routed by src%B so each out-list is whole in its group, per-group
+    partials folded on the driver (O(B) rows). floor(log2) is computed
+    exactly from the float64 exponent (frexp), not a logarithm.
+    """
+    P = _nparts(num_partitions)
+    B = max(P * 4, 16)
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64, copy=False)
+        d = t.column("dst").to_numpy().astype(np.int64, copy=False)
+        return pa.table({"part": _i64(s % B), "src": _i64(s), "dst": _i64(d)})
+
+    routed = edges.map_batches(route, batch_format="pyarrow", batch_size=1 << 20)
+
+    def gap_partial(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        if len(s) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"n_edges": z, "gamma_bits": z})
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        s, d = s[keep], d[keep]
+        first = np.r_[True, s[1:] != s[:-1]]
+        gaps = np.where(first, d + 1, d - np.r_[0, d[:-1]])
+        # exact floor(log2(g)): frexp exponent - 1 (g integer < 2^53)
+        ebits = np.frexp(gaps.astype(np.float64))[1].astype(np.int64) - 1
+        bits = int((2 * ebits + 1).sum())
+        return pa.table({"n_edges": _i64([len(d)]), "gamma_bits": _i64([bits])})
+
+    parts = (
+        routed.groupby("part")
+        .map_groups(gap_partial, batch_format="pyarrow")
+        .to_pandas()  # <= B one-row partials
+    )
+    n = int(parts["n_edges"].sum()) if len(parts) else 0
+    g = int(parts["gamma_bits"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "n_edges": [np.int64(n)],
+            "gamma_bits": [np.int64(g)],
+            "raw_bits": [np.int64(64 * n)],
+            "ratio": [round(g / (64.0 * n), 8) if n else 0.0],
+        }
+    )

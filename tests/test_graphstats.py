@@ -191,3 +191,86 @@ def test_powerlaw_alpha_random():
     alpha = 1.0 + len(tail) / (np.log(tail).sum() - len(tail) * np.log(1.5))
     assert int(df["n_tail"][0]) == len(tail)
     assert abs(df["alpha"][0] - alpha) < 1e-8
+
+
+def butterfly_oracle(edges):
+    dedup = sorted(set(edges))
+    by_src = {}
+    for s, d in dedup:
+        by_src.setdefault(s, []).append(d)
+    w = {}
+    wedges = 0
+    for s, ds in by_src.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                w[(ds[i], ds[j])] = w.get((ds[i], ds[j]), 0) + 1
+                wedges += 1
+    return wedges, sum(c * (c - 1) // 2 for c in w.values())
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 40, 300), (11, 25, 200)])
+def test_butterflies_random(seed, n, m):
+    from linkgraph.ops import butterflies
+
+    edges = random_edges(n, m, seed=seed)
+    # duplicate some rows: the op must count distinct (src, dst) only
+    edges_dup = edges + edges[: len(edges) // 3]
+    nw, nb = butterfly_oracle(edges)
+    df = butterflies(edges_ds(edges_dup))
+    assert int(df["n_wedges"][0]) == nw
+    assert int(df["n_butterflies"][0]) == nb
+
+
+def test_butterflies_known():
+    from linkgraph.ops import butterflies
+
+    # K_{2,2}: exactly one butterfly, two wedges
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11)]
+    df = butterflies(edges_ds(edges))
+    assert int(df["n_wedges"][0]) == 2
+    assert int(df["n_butterflies"][0]) == 1
+    # degree cap drops hub source 0 (outdeg 3 > 2)
+    edges = [(0, 10), (0, 11), (0, 12), (1, 10), (1, 11)]
+    df = butterflies(edges_ds(edges), max_out_degree=2)
+    assert int(df["n_wedges"][0]) == 1
+    assert int(df["n_butterflies"][0]) == 0
+
+
+def gamma_oracle(edges):
+    dedup = sorted(set(edges))
+    by_src = {}
+    for s, d in dedup:
+        by_src.setdefault(s, []).append(d)
+    n, bits = 0, 0
+    for s, ds in by_src.items():
+        prev = None
+        for d in sorted(ds):
+            g = d + 1 if prev is None else d - prev
+            bits += 2 * (g.bit_length() - 1) + 1
+            prev = d
+            n += 1
+    return n, bits
+
+
+@pytest.mark.parametrize("seed,n,m", [(13, 50, 400), (17, 30, 250)])
+def test_adjacency_gamma_bits_random(seed, n, m):
+    from linkgraph.ops import adjacency_gamma_bits
+
+    edges = random_edges(n, m, seed=seed)
+    edges_dup = edges + edges[: len(edges) // 4]
+    ne, bits = gamma_oracle(edges)
+    df = adjacency_gamma_bits(edges_ds(edges_dup))
+    assert int(df["n_edges"][0]) == ne
+    assert int(df["gamma_bits"][0]) == bits
+    assert int(df["raw_bits"][0]) == 64 * ne
+    assert abs(df["ratio"][0] - round(bits / (64.0 * ne), 8)) < 1e-12
+
+
+def test_adjacency_gamma_bits_vertex_zero():
+    from linkgraph.ops import adjacency_gamma_bits
+
+    # dst 0 first in a run: gap = 0 + 1 = 1 -> gamma cost 1 bit
+    df = adjacency_gamma_bits(edges_ds([(5, 0), (5, 1), (5, 9)]))
+    # gaps: 1 (cost 1), 1 (cost 1), 8 (cost 7)
+    assert int(df["gamma_bits"][0]) == 9

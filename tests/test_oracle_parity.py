@@ -31,6 +31,8 @@ CHECKED = [
     "weighted_pagerank_5",
     "host_graph",
     "reciprocity",
+    "butterfly_count",
+    "adj_gamma_bits",
     "clustering_coeff",
     "adamic_adar",
     "assortativity",
