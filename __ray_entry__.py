@@ -1062,6 +1062,14 @@ def q_adj_gamma(sf_dir: str):
     return adjacency_gamma_bits(_doc_edges_ds(sf_dir))
 
 
+def q_cocitation(sf_dir: str):
+    """Top-20 co-cited destination pairs by shared in-linking sources
+    (deterministic (n_common DESC, d1, d2) order at the boundary)."""
+    from linkgraph.ops import cocitation_topk
+
+    return cocitation_topk(_doc_edges_ds(sf_dir), k=20)
+
+
 def q_clustering(sf_dir: str):
     """Local clustering coefficient per vertex from the sqrt(m)-bounded
     wedge pipeline + distinct-neighbor degrees."""
@@ -1558,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": q_reciprocity,
         "butterfly_count": q_butterflies,
         "adj_gamma_bits": q_adj_gamma,
+        "cocitation_topk": q_cocitation,
     }
 
 
@@ -3130,6 +3139,14 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS n_wedges, "
             "CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) "
             "AS n_butterflies FROM w"
+        ),
+        "cocitation_topk": (
+            f"WITH {e}, d AS (SELECT DISTINCT src, dst FROM e), "
+            "w AS (SELECT x.dst AS d1, y.dst AS d2, "
+            "CAST(count(*) AS BIGINT) AS n_common FROM d x "
+            "JOIN d y ON x.src = y.src AND x.dst < y.dst GROUP BY 1, 2) "
+            "SELECT d1, d2, n_common FROM w "
+            "ORDER BY n_common DESC, d1, d2 LIMIT 20"
         ),
         "adj_gamma_bits": (
             f"WITH {e}, d AS (SELECT DISTINCT src, dst FROM e), "

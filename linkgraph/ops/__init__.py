@@ -23,6 +23,7 @@ from .graphstats import (
     powerlaw_alpha,
     butterflies,
     adjacency_gamma_bits,
+    cocitation_topk,
 )
 from .sampling import sample_per_key, sample_per_key_sql
 from .pii import PIIScrub, pii_scrub

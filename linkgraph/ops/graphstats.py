@@ -758,10 +758,50 @@ def butterflies(
     optionally drops hub sources above the cap (documented-approximate
     mode for skewed crawls; default exact).
     """
-    from ..algos.triangles import _all_pairs_per_run_slabbed
-
     P = _nparts(num_partitions)
     B = max(P * 4, 16)
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        d1 = t.column("d1").to_numpy()
+        d2 = t.column("d2").to_numpy()
+        if len(d1) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"n_wedges": z, "n_butterflies": z})
+        _, _, inv = pair_unique_inverse(d1, d2)
+        w = np.zeros(int(inv.max()) + 1, np.int64)  # exact int64 accumulation
+        np.add.at(w, inv, t.column("w").to_numpy())
+        return pa.table(
+            {
+                "n_wedges": _i64([int(w.sum())]),
+                "n_butterflies": _i64([int((w * (w - 1) // 2).sum())]),
+            }
+        )
+
+    parts = (
+        _wedge_pair_partials(edges, B, max_out_degree)
+        .groupby("part2")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .to_pandas()  # <= B one-row partials
+    )
+    return pd.DataFrame(
+        {
+            "n_wedges": [np.int64(parts["n_wedges"].sum()) if len(parts) else 0],
+            "n_butterflies": [
+                np.int64(parts["n_butterflies"].sum()) if len(parts) else 0
+            ],
+        }
+    )
+
+
+def _wedge_pair_partials(
+    edges: Dataset, B: int, max_out_degree: int | None
+) -> Dataset:
+    """Shared co-citation wedge stage: (part2, d1, d2, w) partial rows —
+    per src%B group, distinct out-lists enumerated pair-wise slab-bounded
+    (a degree-d hub never materializes C(d,2) at once) with in-group
+    (d1, d2) count pre-aggregation. d1 < d2 always; a pair's partials may
+    span src groups, so consumers re-aggregate by part2."""
+    from ..algos.triangles import _all_pairs_per_run_slabbed
 
     def route(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy().astype(np.int64, copy=False)
@@ -792,37 +832,58 @@ def butterflies(
             return pa.table({"part2": z, "d1": z, "d2": z, "w": z})
         return pa.table({k: _i64(np.concatenate(v)) for k, v in outs.items()})
 
-    def bucket_fold(t: pa.Table) -> pa.Table:
+    return routed.groupby("part").map_groups(wedge_partials, batch_format="pyarrow")
+
+
+def cocitation_topk(
+    edges: Dataset,
+    k: int = 20,
+    num_partitions: int | None = None,
+    max_out_degree: int | None = None,
+) -> pd.DataFrame:
+    """Top-k co-cited destination pairs: (d1, d2, n_common) for the k
+    pairs most often linked by the same source (co-citation strength —
+    the classic related-page signal; its transpose is bibliographic
+    coupling, obtainable by swapping src/dst upstream).
+
+    Total order is (n_common DESC, d1, d2) so the boundary is
+    deterministic under ties. Per-bucket local top-k bounds the driver
+    fold at B*k rows; the wedge stage is shared with butterflies()."""
+    P = _nparts(num_partitions)
+    B = max(P * 4, 16)
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
         d1 = t.column("d1").to_numpy()
         d2 = t.column("d2").to_numpy()
         if len(d1) == 0:
             z = pa.array([], pa.int64())
-            return pa.table({"n_wedges": z, "n_butterflies": z})
-        _, _, inv = pair_unique_inverse(d1, d2)
-        w = np.zeros(int(inv.max()) + 1, np.int64)  # exact int64 accumulation
+            return pa.table({"d1": z, "d2": z, "n_common": z})
+        u1, u2, inv = pair_unique_inverse(d1, d2)
+        w = np.zeros(len(u1), np.int64)
         np.add.at(w, inv, t.column("w").to_numpy())
+        order = np.lexsort((u2, u1, -w))[:k]  # local top-k, same total order
         return pa.table(
-            {
-                "n_wedges": _i64([int(w.sum())]),
-                "n_butterflies": _i64([int((w * (w - 1) // 2).sum())]),
-            }
+            {"d1": _i64(u1[order]), "d2": _i64(u2[order]), "n_common": _i64(w[order])}
         )
 
     parts = (
-        routed.groupby("part")
-        .map_groups(wedge_partials, batch_format="pyarrow")
+        _wedge_pair_partials(edges, B, max_out_degree)
         .groupby("part2")
-        .map_groups(bucket_fold, batch_format="pyarrow")
-        .to_pandas()  # <= B one-row partials
+        .map_groups(bucket_topk, batch_format="pyarrow")
+        .to_pandas()  # <= B*k rows
     )
-    return pd.DataFrame(
-        {
-            "n_wedges": [np.int64(parts["n_wedges"].sum()) if len(parts) else 0],
-            "n_butterflies": [
-                np.int64(parts["n_butterflies"].sum()) if len(parts) else 0
-            ],
-        }
-    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "d1": pd.Series([], dtype=np.int64),
+                "d2": pd.Series([], dtype=np.int64),
+                "n_common": pd.Series([], dtype=np.int64),
+            }
+        )
+    parts = parts.sort_values(
+        ["n_common", "d1", "d2"], ascending=[False, True, True]
+    ).head(k)
+    return parts.reset_index(drop=True)
 
 
 def adjacency_gamma_bits(

@@ -274,3 +274,32 @@ def test_adjacency_gamma_bits_vertex_zero():
     df = adjacency_gamma_bits(edges_ds([(5, 0), (5, 1), (5, 9)]))
     # gaps: 1 (cost 1), 1 (cost 1), 8 (cost 7)
     assert int(df["gamma_bits"][0]) == 9
+
+
+@pytest.mark.parametrize("seed,n,m,k", [(19, 30, 260, 10), (23, 45, 350, 7)])
+def test_cocitation_topk_random(seed, n, m, k):
+    from linkgraph.ops import cocitation_topk
+
+    edges = random_edges(n, m, seed=seed)
+    by_src = {}
+    for s, d in sorted(set(edges)):
+        by_src.setdefault(s, []).append(d)
+    w = {}
+    for s, ds in by_src.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                w[(ds[i], ds[j])] = w.get((ds[i], ds[j]), 0) + 1
+    want = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    df = cocitation_topk(edges_ds(edges), k=k)
+    got = list(zip(zip(df["d1"], df["d2"]), df["n_common"]))
+    assert [(tuple(map(int, p)), int(c)) for p, c in got] == [
+        (p, c) for p, c in want
+    ]
+
+
+def test_cocitation_topk_empty():
+    from linkgraph.ops import cocitation_topk
+
+    df = cocitation_topk(edges_ds([(1, 2)]), k=5)  # no src with outdeg >= 2
+    assert len(df) == 0 and list(df.columns) == ["d1", "d2", "n_common"]

@@ -33,6 +33,7 @@ CHECKED = [
     "reciprocity",
     "butterfly_count",
     "adj_gamma_bits",
+    "cocitation_topk",
     "clustering_coeff",
     "adamic_adar",
     "assortativity",
