@@ -1483,6 +1483,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
         "pagerank_nofollow": q_pagerank_nofollow,
+        # new round-5 session-2 ops, rotated into the checked window
+        # (lp_modularity, tfidf_top3, powerlaw_alpha move past it —
+        # stable r4 greens whose families keep a representative:
+        # lp_quotient, bm25_topk, dangling_share)
+        "butterfly_count": q_butterflies,
+        "adj_gamma_bits": q_adj_gamma,
+        "cocitation_topk": q_cocitation,
         "gcn_2layer": q_gcn,
         "approx_distinct_tokens": q_approx_distinct,
         "corpus_select": q_corpus_select,
@@ -1498,10 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": q_seq_pack,
         "data_split": q_data_split,
         "lp_quotient": q_lp_quotient,
-        "lp_modularity": q_lp_modularity,
-        "powerlaw_alpha": q_powerlaw,
         "sample_per_key": q_sample_per_key,
-        "tfidf_top3": q_tfidf,
         # ---- past the driver's 50-query window (stable greens; knn_ivf,
         # knn_graph and embedding_dup_lsh have r3 rows-only records and
         # yield their window slots to the new hard-oracled kmeans_4 /
@@ -1564,9 +1568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard": q_edge_jaccard,
         "community_kclique": q_community,
         "reciprocity": q_reciprocity,
-        "butterfly_count": q_butterflies,
-        "adj_gamma_bits": q_adj_gamma,
-        "cocitation_topk": q_cocitation,
+        "lp_modularity": q_lp_modularity,
+        "powerlaw_alpha": q_powerlaw,
+        "tfidf_top3": q_tfidf,
     }
 
 
