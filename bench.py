@@ -565,6 +565,21 @@ def run_bench() -> dict:
             "revenue_join_5m", lambda: _rev(facts, cust_ds, nat_ds).count()
         )
         extra["join_rows_per_sec"] = round(JOIN_N / eq["revenue_join_5m"], 1)
+
+        # round-5 session-2 graphstats: butterfly census (wedge volume is
+        # the scale driver — recorded), co-citation top-k over the same
+        # shared wedge stage, Elias-gamma adjacency compressibility.
+        from linkgraph.ops import adjacency_gamma_bits, butterflies, cocitation_topk
+
+        df_bf = ste.run("butterflies", lambda: butterflies(edges))
+        extra["butterfly_wedges"] = int(df_bf["n_wedges"][0])
+        extra["butterfly_count"] = int(df_bf["n_butterflies"][0])
+        extra["butterfly_wedges_per_sec"] = round(
+            extra["butterfly_wedges"] / eq["butterflies"], 1
+        )
+        ste.run("cocitation_top20", lambda: cocitation_topk(edges, k=20))
+        df_gb = ste.run("adj_gamma_bits", lambda: adjacency_gamma_bits(edges))
+        extra["adj_gamma_ratio"] = float(df_gb["ratio"][0])
     except Exception as ex:
         extra.setdefault("errors", []).append(f"r4-extras: {ex}")
     extra["extra_queries"] = {k: round(v, 3) for k, v in eq.items()}
