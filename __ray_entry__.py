@@ -849,6 +849,31 @@ def q_window_triangles(sf_dir: str):
     return window_triangles(edges, minutes=60).to_pandas()
 
 
+def q_window_cc(sf_dir: str):
+    """Connected components per tumbling hour over the same
+    deterministically-stamped edge stream as window_triangles — the
+    Gelly windowed-CC composition. Oracle: per-window recursive
+    min-label reachability (same CTE shape as cc_labels, keyed by
+    window)."""
+    import pyarrow as pa
+
+    from linkgraph.ops.windows import window_cc
+
+    def stamp(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "ts_sec": pa.array((s * 13 + d * 7) % 21600),
+            }
+        )
+
+    edges = _doc_edges_ds(sf_dir).map_batches(stamp, batch_format="pyarrow")
+    return window_cc(edges, minutes=60).to_pandas()
+
+
 def q_tumbling(sf_dir: str):
     from linkgraph.ops import tumbling_window
 
@@ -1468,7 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_count": q_phrase_count,
         "chunk_rag": q_chunk_rag,
         "shuffle_shards": q_shuffle_shards,
-        "window_topk": q_window_topk,
+        "window_cc": q_window_cc,
         "funnel": q_funnel,
         "scc_labels": q_scc,
         "dag_levels": q_dag_levels,
@@ -1571,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_modularity": q_lp_modularity,
         "powerlaw_alpha": q_powerlaw,
         "tfidf_top3": q_tfidf,
+        "window_topk": q_window_topk,
     }
 
 
@@ -2367,6 +2393,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ws.window_start AS window_start, "
         "CAST(COALESCE(tri.c, 0) AS BIGINT) AS n_triangles "
         "FROM ws LEFT JOIN tri ON tri.window_start = ws.window_start"
+    )
+    # CC per tumbling hour: same deterministic stamps, per-window
+    # recursive min-label reachability (cc_labels' CTE keyed by window;
+    # self-loops excluded — they add no edge and their endpoint only
+    # counts if another edge references it, matching window_cc)
+    q["window_cc"] = (
+        f"WITH RECURSIVE {e}, "
+        "te AS (SELECT src, dst, (src*13 + dst*7) % 21600 AS ts_sec FROM e "
+        "WHERE src <> dst), "
+        "we AS (SELECT DISTINCT (ts_sec // 3600) * 3600 AS w, "
+        "LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM te), "
+        "ue AS (SELECT w, lo AS a, hi AS b FROM we "
+        "UNION ALL SELECT w, hi, lo FROM we), "
+        "wverts AS (SELECT DISTINCT w, a AS v FROM ue), "
+        "reach(w, v, label) AS ("
+        " SELECT w, v, v FROM wverts"
+        " UNION"
+        " SELECT ue.w, ue.b, reach.label FROM reach "
+        "JOIN ue ON reach.w = ue.w AND reach.v = ue.a), "
+        "lab AS (SELECT w, v, min(label) AS label FROM reach GROUP BY w, v) "
+        "SELECT w AS window_start, CAST(count(*) AS BIGINT) AS n_vertices, "
+        "CAST(count(DISTINCT label) AS BIGINT) AS n_components "
+        "FROM lab GROUP BY w"
     )
     # the dedup pass end-to-end: near-dup pairs (reused verbatim from
     # near_dup_shingle) -> undirected closure -> min-member keeper ->

@@ -48,6 +48,7 @@ from .windows import (
     sessionize,
     window_topk,
     funnel_counts,
+    window_cc,
 )
 from .cms import CountMinSketch, sketch_edge_counts, edge_anomaly_scores
 from .spatial import radius_join

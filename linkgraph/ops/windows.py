@@ -328,32 +328,13 @@ def _tri_count_arrays(s: np.ndarray, d: np.ndarray) -> int:
     return total
 
 
-def window_triangles(
-    edges_ts: Dataset,
-    minutes: int = 60,
-    ts_col: str = "ts_sec",
-    src_col: str = "src",
-    dst_col: str = "dst",
-) -> Dataset:
-    """Triangles per tumbling window over a TIMESTAMPED edge stream ->
-    (window_start epoch-seconds, n_triangles) — the windowed
-    graph-metric composition of the Gelly benchmark suite (reference
-    bench/flink-gelly/community-detection/WindowTriangles.java; round-4
-    VERDICT missing #3).
-
-    Shape: per-block combiner canonicalizes + dedups (window, lo, hi)
-    triples (bounding the shuffle by distinct window-edges, like every
-    other window combiner here), ONE groupby(window) shuffle, exact
-    per-window count via the degree-oriented wedge kernel.
-
-    Partitioning assumption (documented per the custom-operator rule):
-    one WINDOW's deduplicated edge set fits a single task — windows
-    bound subgraph size by construction. For a pathological window, run
-    the fully distributed algos.triangles.triangle_count on that
-    window's slice instead.
-
-    ``ts_col`` may be int64 epoch seconds or an Arrow timestamp."""
-    wsec = minutes * 60
+def _window_edge_bucket(
+    wsec: int, ts_col: str, src_col: str, dst_col: str
+):
+    """Per-block combiner for windowed graph metrics: canonicalize +
+    dedup (window, lo, hi) triples, dropping self-loops — bounds the
+    one groupby(window) shuffle by DISTINCT window-edges. Shared by
+    window_triangles and window_cc."""
 
     def bucket(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -392,6 +373,37 @@ def window_triangles(
             }
         )
 
+    return bucket
+
+
+def window_triangles(
+    edges_ts: Dataset,
+    minutes: int = 60,
+    ts_col: str = "ts_sec",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> Dataset:
+    """Triangles per tumbling window over a TIMESTAMPED edge stream ->
+    (window_start epoch-seconds, n_triangles) — the windowed
+    graph-metric composition of the Gelly benchmark suite (reference
+    bench/flink-gelly/community-detection/WindowTriangles.java; round-4
+    VERDICT missing #3).
+
+    Shape: per-block combiner canonicalizes + dedups (window, lo, hi)
+    triples (bounding the shuffle by distinct window-edges, like every
+    other window combiner here), ONE groupby(window) shuffle, exact
+    per-window count via the degree-oriented wedge kernel.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    one WINDOW's deduplicated edge set fits a single task — windows
+    bound subgraph size by construction. For a pathological window, run
+    the fully distributed algos.triangles.triangle_count on that
+    window's slice instead.
+
+    ``ts_col`` may be int64 epoch seconds or an Arrow timestamp."""
+    wsec = minutes * 60
+    bucket = _window_edge_bucket(wsec, ts_col, src_col, dst_col)
+
     def per_window(t: pa.Table) -> pa.Table:
         cnt = _tri_count_arrays(
             t.column("lo").to_numpy(), t.column("hi").to_numpy()
@@ -400,6 +412,72 @@ def window_triangles(
             {
                 "window_start": t.column("window_start").slice(0, 1),
                 "n_triangles": pa.array([cnt], pa.int64()),
+            }
+        )
+
+    return (
+        edges_ts.map_batches(bucket, batch_format="pyarrow", batch_size=131072)
+        .groupby("window_start")
+        .map_groups(per_window, batch_format="pyarrow")
+    )
+
+
+def _cc_count_arrays(lo: np.ndarray, hi: np.ndarray) -> tuple[int, int]:
+    """(n_vertices, n_components) of the undirected edge list, fully
+    vectorized: min-label half-union (np.minimum.at over both endpoint
+    index arrays) alternated with pointer jumping until fixpoint —
+    O(log n) outer rounds, no Python per-edge loop."""
+    ids = np.unique(np.concatenate([lo, hi]))
+    a = np.searchsorted(ids, lo)
+    b = np.searchsorted(ids, hi)
+    lbl = np.arange(len(ids), dtype=np.int64)
+    while True:
+        old = lbl.copy()
+        m = np.minimum(lbl[a], lbl[b])
+        np.minimum.at(lbl, a, m)
+        np.minimum.at(lbl, b, m)
+        while True:
+            nl = lbl[lbl]
+            if np.array_equal(nl, lbl):
+                break
+            lbl = nl
+        if np.array_equal(lbl, old):
+            break
+    return len(ids), int(np.unique(lbl).size)
+
+
+def window_cc(
+    edges_ts: Dataset,
+    minutes: int = 60,
+    ts_col: str = "ts_sec",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> Dataset:
+    """Connected components per tumbling window over a TIMESTAMPED edge
+    stream -> (window_start, n_vertices, n_components) — the windowed
+    companion of window_triangles, completing the Gelly windowed-CC
+    variant (reference bench/flink-gelly community-detection suite).
+    Vertices are the window's edge endpoints (an unreferenced page is
+    in no window's graph).
+
+    Same shape and the same partitioning assumption as window_triangles
+    (one window's DEDUPLICATED edge set fits a single task — windows
+    bound subgraph size by construction; a pathological window would
+    run the distributed engine CC on its slice instead): shared
+    per-block (window, lo, hi) combiner, ONE groupby(window) shuffle,
+    per-window vectorized min-label fixpoint."""
+    wsec = minutes * 60
+    bucket = _window_edge_bucket(wsec, ts_col, src_col, dst_col)
+
+    def per_window(t: pa.Table) -> pa.Table:
+        nv, nc = _cc_count_arrays(
+            t.column("lo").to_numpy(), t.column("hi").to_numpy()
+        )
+        return pa.table(
+            {
+                "window_start": t.column("window_start").slice(0, 1),
+                "n_vertices": pa.array([nv], pa.int64()),
+                "n_components": pa.array([nc], pa.int64()),
             }
         )
 

@@ -112,3 +112,76 @@ def test_window_triangles_vs_bruteforce():
         want[w] = n
     assert dict(zip(got["window_start"], got["n_triangles"])) == want
     assert any(v > 0 for v in want.values())  # non-degenerate fixture
+
+
+def test_window_cc_vs_bruteforce():
+    import pyarrow as pa
+    import ray.data
+
+    from linkgraph.ops.windows import window_cc
+
+    rng = np.random.default_rng(29)
+    m = 2000
+    src = rng.integers(0, 120, m)
+    dst = rng.integers(0, 120, m)
+    ts = rng.integers(0, 4, m) * 3600 + rng.integers(0, 3600, m)
+    t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "ts_sec": pa.array(ts, pa.int64()),
+        }
+    )
+    got = window_cc(ray.data.from_arrow(t).repartition(8), minutes=60).to_pandas()
+    got = got.sort_values("window_start").reset_index(drop=True)
+
+    def uf_components(es):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return len(parent), len({find(v) for v in parent})
+
+    want = {}
+    for w in sorted(set((ts // 3600) * 3600)):
+        es = {
+            (min(s, d), max(s, d))
+            for s, d, tt in zip(src, dst, ts)
+            if (tt // 3600) * 3600 == w and s != d
+        }
+        want[w] = uf_components(es)
+    assert {
+        int(r.window_start): (int(r.n_vertices), int(r.n_components))
+        for r in got.itertuples()
+    } == want
+    assert any(nc > 1 for _, nc in want.values()) or len(want) > 1
+
+
+def test_window_cc_disconnected():
+    import pyarrow as pa
+    import ray.data
+
+    from linkgraph.ops.windows import window_cc
+
+    # one window: two separate components + an isolated self-loop (dropped)
+    t = pa.table(
+        {
+            "src": pa.array([1, 2, 10, 7], pa.int64()),
+            "dst": pa.array([2, 3, 11, 7], pa.int64()),
+            "ts_sec": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    df = window_cc(ray.data.from_arrow(t), minutes=60).to_pandas()
+    assert len(df) == 1
+    assert int(df["n_vertices"][0]) == 5  # 1,2,3,10,11 (7 self-loop dropped)
+    assert int(df["n_components"][0]) == 2

@@ -56,6 +56,7 @@ CHECKED = [
     "phrase_count",
     "chunk_rag",
     "window_distinct",
+    "window_cc",
     "revenue_by_nation",
     "dangling_share",
     "q6_scan",
