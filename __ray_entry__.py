@@ -849,6 +849,19 @@ def q_window_triangles(sf_dir: str):
     return window_triangles(edges, minutes=60).to_pandas()
 
 
+def q_temporal_reach(sf_dir: str):
+    """Earliest-arrival temporal reachability from doc 0 over
+    time-respecting paths (edge stamps (13*src + 7*dst) % 21600,
+    non-decreasing along a path) — engine gate_ge min program;
+    iteration-free exact fixpoint vs the recursive SQL enumeration."""
+    from linkgraph.algos import temporal_reach
+
+    out, _, eng = temporal_reach(_doc_edges_ds(sf_dir), source=0, num_parts=8)
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
 def q_window_cc(sf_dir: str):
     """Connected components per tumbling hour over the same
     deterministically-stamped edge stream as window_triangles — the
@@ -1494,7 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_rag": q_chunk_rag,
         "shuffle_shards": q_shuffle_shards,
         "window_cc": q_window_cc,
-        "funnel": q_funnel,
+        "temporal_reach": q_temporal_reach,
         "scc_labels": q_scc,
         "dag_levels": q_dag_levels,
         "bowtie": q_bowtie,
@@ -1597,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha": q_powerlaw,
         "tfidf_top3": q_tfidf,
         "window_topk": q_window_topk,
+        "funnel": q_funnel,
     }
 
 
@@ -2416,6 +2430,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w AS window_start, CAST(count(*) AS BIGINT) AS n_vertices, "
         "CAST(count(DISTINCT label) AS BIGINT) AS n_components "
         "FROM lab GROUP BY w"
+    )
+    # earliest-arrival temporal reachability from doc 0: recursive
+    # enumeration of (vertex, candidate-arrival) pairs over
+    # time-respecting edges (stamp >= current candidate), min per vertex
+    q["temporal_reach"] = (
+        f"WITH RECURSIVE {e},\n{_VERTS},\n"
+        "te AS (SELECT src, dst, (13*src + 7*dst) % 21600 AS ts FROM e), "
+        "reach(v, t) AS ("
+        " SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)"
+        " UNION"
+        " SELECT te.dst, te.ts FROM reach "
+        "JOIN te ON te.src = reach.v AND te.ts >= reach.t)\n"
+        "SELECT verts.v, coalesce(m.t, -1) AS arrival FROM verts "
+        "LEFT JOIN (SELECT v, min(t) AS t FROM reach GROUP BY v) m "
+        "ON verts.v = m.v"
     )
     # the dedup pass end-to-end: near-dup pairs (reused verbatim from
     # near_dup_shingle) -> undirected closure -> min-member keeper ->

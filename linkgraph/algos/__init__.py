@@ -14,6 +14,7 @@ from .kcore import kcore
 from .gcn import gcn_features
 from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
+from .temporal import temporal_reach
 from .hits import hits_dataset
 from .katz import katz_dataset, katz_numpy
 from .salsa import salsa_dataset, salsa_numpy
@@ -46,6 +47,7 @@ __all__ = [
     "random_walks",
     "assemble_walks",
     "sssp_weighted",
+    "temporal_reach",
     "hits_dataset",
     "katz_dataset",
     "katz_numpy",

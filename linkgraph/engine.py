@@ -141,7 +141,11 @@ class VertexProgram:
     # weights live where the edges live), then combined into every
     # scattered message: mode 'add' -> message = value(src) + w (min-plus
     # semiring: weighted SSSP), mode 'mul' -> message = value(src) * w
-    # (weighted random-surfer / masked propagation).
+    # (weighted random-surfer / masked propagation), mode 'gate_ge' ->
+    # message = w where w >= value(src) else the int64 min-identity
+    # sentinel (temporal gating: an edge stamped w is traversable only
+    # at-or-after the source's current value — earliest-arrival
+    # reachability over time-respecting paths; min-reduce programs).
     edge_weight_fn: Any = None
     edge_weight_mode: str = "add"
     # ship_dtype (sum programs only): cast scatter values to this dtype
@@ -911,7 +915,14 @@ class GraphPartition:
         """Combine per-edge weights into gathered per-edge values."""
         if vals.ndim == 2 and w.ndim == 1:
             w = w[:, None]
-        return vals + w if self.prog.edge_weight_mode == "add" else vals * w
+        mode = self.prog.edge_weight_mode
+        if mode == "add":
+            return vals + w
+        if mode == "gate_ge":
+            # temporal gate: traversable only at-or-after value(src);
+            # ineligible edges ship the min-identity sentinel
+            return np.where(w >= vals, w, np.iinfo(np.int64).max // 2)
+        return vals * w
 
     def _scatter_dense(self, vv: np.ndarray, red) -> dict:
         P = self.P

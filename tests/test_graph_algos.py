@@ -141,3 +141,61 @@ def test_bfs_hops():
     verts = {v for e in edges for v in e}
     want = {v: dist.get(v, -1) for v in verts}
     assert got == want
+
+
+@pytest.mark.parametrize("seed,n,m,source", [(3, 60, 400, 0), (9, 40, 220, 5)])
+def test_temporal_reach_vs_bellman_ford(seed, n, m, source):
+    from linkgraph.algos import temporal_reach
+    from linkgraph.algos.temporal import id_ts
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(4)
+    out, _, eng = temporal_reach(edges, source=source, num_parts=4)
+    df = out.to_pandas()
+    eng.shutdown()
+
+    ts = id_ts(src, dst)
+    INF = 1 << 60
+    arr = {v: INF for v in set(src.tolist()) | set(dst.tolist())}
+    arr[source] = 0
+    for _ in range(len(arr)):
+        changed = False
+        for s, d, t in zip(src, dst, ts):
+            if t >= arr[s] and t < arr[d]:
+                arr[d] = int(t)
+                changed = True
+        if not changed:
+            break
+    want = {v: (a if a < INF else -1) for v, a in arr.items()}
+    got = dict(zip(df["v"].astype(int), df["arrival"].astype(int)))
+    assert got == want
+    assert sum(1 for a in want.values() if a > 0) > 0  # non-degenerate
+
+
+def test_temporal_reach_gate_blocks_stale_paths():
+    from linkgraph.algos import temporal_reach
+
+    # stamps: (13*src + 7*dst) % 21600. Chain 0 -> a -> b is viable only
+    # if ts(a, b) >= ts(0, a). Pick ids so the second hop is EARLIER:
+    # ts(0, 100) = 700; ts(100, 3) = 1321 >= 700 reaches 3 at 1321;
+    # ts(3, 1) = 46 < 1321 -> vertex 1 unreachable through 3.
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 100, 3], pa.int64()),
+                "dst": pa.array([100, 3, 1], pa.int64()),
+            }
+        )
+    )
+    out, _, eng = temporal_reach(edges, source=0, num_parts=2)
+    df = out.to_pandas().set_index("v")["arrival"]
+    eng.shutdown()
+    assert int(df[100]) == 700
+    assert int(df[3]) == 1321
+    assert int(df[1]) == -1  # time-respecting constraint blocks it

@@ -26,6 +26,7 @@ CHECKED = [
     "top_tokens_100",
     "sessionize",
     "sssp_weighted",
+    "temporal_reach",
     "hits_5",
     "ppr_5",
     "weighted_pagerank_5",
