@@ -580,6 +580,47 @@ def run_bench() -> dict:
         ste.run("cocitation_top20", lambda: cocitation_topk(edges, k=20))
         df_gb = ste.run("adj_gamma_bits", lambda: adjacency_gamma_bits(edges))
         extra["adj_gamma_ratio"] = float(df_gb["ratio"][0])
+
+        # windowed CC + temporal reachability over deterministically
+        # stamped page edges (stamps shared with window_triangles)
+        from linkgraph.ops.windows import window_cc as _wcc
+
+        def _stamp(t):
+            s = t.column("src").to_numpy()
+            d = t.column("dst").to_numpy()
+            return pa.table(
+                {
+                    "src": t.column("src"),
+                    "dst": t.column("dst"),
+                    "ts_sec": pa.array((s * 13 + d * 7) % 21600),
+                }
+            )
+
+        stamped = edges.map_batches(_stamp, batch_format="pyarrow")
+        df_wcc = ste.run(
+            "window_cc", lambda: _wcc(stamped, minutes=60).to_pandas()
+        )
+        extra["window_cc_windows"] = int(len(df_wcc))
+
+        from linkgraph.algos import temporal_reach as _treach
+
+        src0 = int(edges.take(1)[0]["src"])  # ids are hashes; 0 may not exist
+
+        def _tr():
+            out, _, eng = _treach(edges, source=src0, num_parts=NUM_PARTS)
+
+            def _cnt(t):
+                n = int((t.column("arrival").to_numpy() >= 0).sum())
+                return pa.table({"n": pa.array([n], pa.int64())})
+
+            n_reached = int(
+                out.map_batches(_cnt, batch_format="pyarrow").sum("n")
+            )
+            eng.shutdown()
+            return n_reached
+
+        n_reached = ste.run("temporal_reach", _tr)
+        extra["temporal_reach_n_reached"] = int(n_reached)
     except Exception as ex:
         extra.setdefault("errors", []).append(f"r4-extras: {ex}")
     extra["extra_queries"] = {k: round(v, 3) for k, v in eq.items()}
