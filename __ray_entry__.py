@@ -972,6 +972,22 @@ def q_sssp(sf_dir: str):
     return df
 
 
+def q_widest_path(sf_dir: str):
+    """Widest path (max-min bottleneck) from doc 0 — the third engine
+    semiring next to min-plus (sssp_weighted) and temporal gating
+    (temporal_reach): stored negated so the monotone min-reduce +
+    frontier machinery applies unchanged (edge_weight_mode='cap_neg').
+    Weights are the sssp-shared 1 + (7*src + 13*dst) % 10; the source
+    reports 2^30 ("infinite" origin capacity, mirrored in the oracle's
+    CTE seed), unreachable vertices -1."""
+    from linkgraph.algos import widest_path
+
+    out, _, eng = widest_path(_doc_edges_ds(sf_dir), source=0, num_parts=NUM_PARTS)
+    df = out.to_pandas()
+    eng.shutdown()
+    return df
+
+
 def q_hits(sf_dir: str):
     """HITS hubs & authorities, simultaneous-update, L2-normalized at
     export, 8 dp — iteration-exact vs the unrolled SQL recurrence."""
@@ -1508,6 +1524,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": q_shuffle_shards,
         "window_cc": q_window_cc,
         "temporal_reach": q_temporal_reach,
+        # round-5 session-3: third engine semiring, rotated into the
+        # window (source_mix — stable r4 green, simple-groupby family
+        # already represented by revenue_by_nation/q6_scan — moves out)
+        "widest_path": q_widest_path,
         "scc_labels": q_scc,
         "dag_levels": q_dag_levels,
         "bowtie": q_bowtie,
@@ -1538,7 +1558,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "para_dedup": q_para_dedup,
         "lm_score": q_lm_score,
         "spam_mass": q_spam_mass,
-        "source_mix": q_source_mix,
         "pii_scrub": q_pii_scrub,
         "seq_pack": q_seq_pack,
         "data_split": q_data_split,
@@ -1550,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup / quality_filter; host_graph / assortativity /
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
+        "source_mix": q_source_mix,
         "langid": q_langid,
         "eff_diameter": q_eff_diameter,
         "betweenness_4": q_betweenness,
@@ -3132,6 +3152,20 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             f" WHERE reach.d < {SSSP_BOUND})\n"
             "SELECT verts.v, coalesce(m.d, -1) AS dist FROM verts "
             "LEFT JOIN (SELECT v, min(d) AS d FROM reach GROUP BY v) m "
+            "ON verts.v = m.v"
+        ),
+        # widest path: recursive enumeration of (vertex, bottleneck)
+        # candidates terminates because b only takes values in
+        # {2^30} ∪ [1, 10] (finite distinct rows under UNION dedup)
+        "widest_path": (
+            f"WITH RECURSIVE {e},\n{_VERTS},\n"
+            "reach(v, b) AS ("
+            " SELECT CAST(0 AS BIGINT), CAST(1073741824 AS BIGINT)"
+            " UNION"
+            " SELECT e.dst, least(reach.b, 1 + (7*e.src + 13*e.dst) % 10)"
+            " FROM reach JOIN e ON reach.v = e.src)\n"
+            "SELECT verts.v, coalesce(m.b, -1) AS bneck FROM verts "
+            "LEFT JOIN (SELECT v, max(b) AS b FROM reach GROUP BY v) m "
             "ON verts.v = m.v"
         ),
         "hits_5": _hits_sql(),

@@ -15,6 +15,7 @@ from .gcn import gcn_features
 from .walks import assemble_walks, random_walks
 from .sssp import sssp_weighted
 from .temporal import temporal_reach
+from .widest import widest_path
 from .hits import hits_dataset
 from .katz import katz_dataset, katz_numpy
 from .salsa import salsa_dataset, salsa_numpy
@@ -48,6 +49,7 @@ __all__ = [
     "assemble_walks",
     "sssp_weighted",
     "temporal_reach",
+    "widest_path",
     "hits_dataset",
     "katz_dataset",
     "katz_numpy",

@@ -145,7 +145,11 @@ class VertexProgram:
     # message = w where w >= value(src) else the int64 min-identity
     # sentinel (temporal gating: an edge stamped w is traversable only
     # at-or-after the source's current value — earliest-arrival
-    # reachability over time-respecting paths; min-reduce programs).
+    # reachability over time-respecting paths; min-reduce programs),
+    # mode 'cap_neg' -> message = max(value(src), -w): the NEGATED
+    # max-min (bottleneck / widest-path) semiring — programs store
+    # x = -bottleneck so the existing monotone min-reduce + frontier
+    # machinery applies unchanged (algos/widest.py).
     edge_weight_fn: Any = None
     edge_weight_mode: str = "add"
     # ship_dtype (sum programs only): cast scatter values to this dtype
@@ -922,6 +926,9 @@ class GraphPartition:
             # temporal gate: traversable only at-or-after value(src);
             # ineligible edges ship the min-identity sentinel
             return np.where(w >= vals, w, np.iinfo(np.int64).max // 2)
+        if mode == "cap_neg":
+            # negated bottleneck: min(bneck(src), w) == -max(-bneck, -w)
+            return np.maximum(vals, -w)
         return vals * w
 
     def _scatter_dense(self, vv: np.ndarray, red) -> dict:

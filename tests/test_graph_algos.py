@@ -199,3 +199,61 @@ def test_temporal_reach_gate_blocks_stale_paths():
     assert int(df[100]) == 700
     assert int(df[3]) == 1321
     assert int(df[1]) == -1  # time-respecting constraint blocks it
+
+
+@pytest.mark.parametrize("seed,n,m,source", [(5, 60, 400, 0), (11, 40, 220, 5)])
+def test_widest_path_vs_bellman_ford(seed, n, m, source):
+    from linkgraph.algos import widest_path
+    from linkgraph.algos.sssp import id_weight
+    from linkgraph.algos.widest import BIG
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(4)
+    out, _, eng = widest_path(edges, source=source, num_parts=4)
+    df = out.to_pandas()
+    eng.shutdown()
+
+    w = id_weight(src, dst)
+    b = {v: -1 for v in set(src.tolist()) | set(dst.tolist())}
+    b[source] = int(BIG)
+    for _ in range(len(b)):
+        changed = False
+        for s, d, ww in zip(src, dst, w):
+            cand = min(b[s], int(ww)) if b[s] >= 0 else -1
+            if cand > b[d]:
+                b[d] = cand
+                changed = True
+        if not changed:
+            break
+    got = dict(zip(df["v"].astype(int), df["bneck"].astype(int)))
+    assert got == b
+    reached = [x for v, x in b.items() if v != source and x > 0]
+    assert reached and min(reached) < max(reached)  # non-degenerate
+
+
+def test_widest_path_prefers_wide_detour():
+    from linkgraph.algos import widest_path
+
+    # weights 1 + (7*src + 13*dst) % 10: direct edge 0->1 has weight
+    # 1 + 13 % 10 = 4; detour 0->7->1 has weights w(0,7)=1+91%10=2 ... pick
+    # ids so the detour's bottleneck beats the direct edge: w(0,3)=
+    # 1+39%10=10, w(3,1)=1+(21+13)%10=5 -> bottleneck 5 > direct 4.
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 0, 3], pa.int64()),
+                "dst": pa.array([1, 3, 1], pa.int64()),
+            }
+        )
+    )
+    out, _, eng = widest_path(edges, source=0, num_parts=2)
+    df = out.to_pandas().set_index("v")["bneck"]
+    eng.shutdown()
+    assert int(df[3]) == 10
+    assert int(df[1]) == 5  # max(min-path) beats the direct weight-4 edge

@@ -27,6 +27,7 @@ CHECKED = [
     "sessionize",
     "sssp_weighted",
     "temporal_reach",
+    "widest_path",
     "hits_5",
     "ppr_5",
     "weighted_pagerank_5",
