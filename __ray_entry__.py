@@ -658,6 +658,29 @@ def q_langid(sf_dir: str):
     return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
 
 
+def q_bpe_pairs(sf_dir: str):
+    """First BPE-trainer iteration statistic: top-20 adjacent character
+    pairs inside [a-z]+ runs, (n desc, pair asc). Byte-vectorized
+    bincount of 16-bit pair codes per batch; only (code, cnt) partials
+    shuffle."""
+    from linkgraph.ops.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_read(sf_dir, "documents", ["text"]), k=20)
+
+
+def q_bpe_merges(sf_dir: str):
+    """Three BPE merges learned over the corpus vocabulary (the classic
+    frequency-weighted unique-word trainer): per merge a distributed
+    weighted pair count, an O(1) top-pair pull, and a vectorized
+    fixpoint literal replace. Oracle: the same three iterations
+    unrolled in SQL, with the fixpoint replace as a recursive CTE per
+    level (replace/contains semantics are identical in Python and
+    DuckDB, so merge application is bit-for-bit shared)."""
+    from linkgraph.ops.bpe import bpe_learn
+
+    return bpe_learn(_read(sf_dir, "documents", ["text"]), n_merges=3)
+
+
 def q_fingerprint(sf_dir: str):
     from linkgraph.ops import Fingerprint
 
@@ -1551,13 +1574,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gcn_2layer": q_gcn,
         "approx_distinct_tokens": q_approx_distinct,
         "corpus_select": q_corpus_select,
-        "fingerprint": q_fingerprint,
+        # round-5 session-3: BPE tokenizer-training layer (fingerprint
+        # and spam_mass — stable r4 greens whose families keep
+        # quality_filter/pii_scrub and pagerank_5/pagerank_nofollow —
+        # rotate past the window)
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_merges_3": q_bpe_merges,
         "quality_filter": q_quality_filter,
         "kmeans_4": q_kmeans,
         "anchor_top3": q_anchor_top3,
         "para_dedup": q_para_dedup,
         "lm_score": q_lm_score,
-        "spam_mass": q_spam_mass,
         "pii_scrub": q_pii_scrub,
         "seq_pack": q_seq_pack,
         "data_split": q_data_split,
@@ -1569,6 +1596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup / quality_filter; host_graph / assortativity /
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
+        "fingerprint": q_fingerprint,
+        "spam_mass": q_spam_mass,
         "source_mix": q_source_mix,
         "langid": q_langid,
         "eff_diameter": q_eff_diameter,
@@ -2720,6 +2749,60 @@ def _quality_filter_sql() -> str:
     )
 
 
+def _bpe_pairs_sql() -> str:
+    """Adjacent character pairs within [a-z]+ runs, top-20 by
+    (n desc, pair asc) — the deterministic-tie LIMIT makes the row SET
+    unique, so the order-insensitive compare is exact."""
+    return (
+        "WITH words AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) "
+        "AS w FROM documents), "
+        "p AS (SELECT unnest([substr(w, CAST(i AS INT), 2) "
+        "for i in range(1, len(w))]) AS pair FROM words WHERE len(w) >= 2) "
+        "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p "
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"
+    )
+
+
+def _bpe_merges_sql(n_merges: int = 3) -> str:
+    """Unrolled n-merge BPE trainer: per level, pair census over the
+    spaced-symbol words, deterministic top-1, then merge application as
+    a recursive fixpoint replace (each replace strictly shrinks the
+    string, so the recursion terminates; the final row per chain is the
+    one with no remaining match). replace()/contains() semantics are
+    identical in DuckDB and Python str, so the merge application is
+    bit-for-bit the ops/bpe.py fixpoint."""
+
+    def level(i: int, prev: str) -> str:
+        pat = f"(SELECT ' '||pair||' ' FROM m{i})"
+        rep = f"(SELECT ' '||merged||' ' FROM m{i})"
+        return (
+            f"p{i} AS (SELECT unnest([sym[CAST(j AS INT)] || ' ' || "
+            f"sym[CAST(j AS INT)+1] for j in range(1, len(sym))]) AS pair "
+            f"FROM (SELECT string_split(trim(s), ' ') AS sym FROM {prev}) t{i}), "
+            f"m{i} AS (SELECT pair, replace(pair, ' ', '') AS merged, "
+            f"CAST(count(*) AS BIGINT) AS n FROM p{i} "
+            f"GROUP BY pair ORDER BY n DESC, pair LIMIT 1), "
+            f"r{i}(s) AS (SELECT s FROM {prev} UNION ALL "
+            f"SELECT replace(s, {pat}, {rep}) FROM r{i} "
+            f"WHERE contains(s, {pat})), "
+            f"w{i} AS (SELECT s FROM r{i} WHERE NOT contains(s, {pat}))"
+        )
+
+    parts = [
+        "WITH RECURSIVE words AS (SELECT unnest(regexp_extract_all(text, "
+        "'[a-z]+')) AS w FROM documents), "
+        "w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s "
+        "FROM words)"
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(level(i, f"w{i - 1}"))
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, pair, merged, n FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ", ".join(parts) + " " + tail
+
+
 def _bm25_sql() -> str:
     """Replays ops/bm25.py: per-term tf via list_filter over the shared
     lowercase tokenization, Lucene idf, the score expression written in
@@ -2936,6 +3019,8 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "motif_census": _motif_sql(),
         "gcn_2layer": _gcn_sql(),
         "fingerprint": _fingerprint_sql(),
+        "bpe_pairs": _bpe_pairs_sql(),
+        "bpe_merges_3": _bpe_merges_sql(3),
         "simhash_dedup": _simhash_sql(),
         "cc_labels": (
             f"WITH RECURSIVE {e},\n{_VERTS},\n{_UE},\n"

@@ -353,6 +353,14 @@ def run_bench() -> dict:
         )
         extra["quality_filter_kept"] = int(kept)
 
+        # BPE trainer: 3 merges over the page text (word-freq collapse
+        # once, then vocab-sized pair censuses + fixpoint replaces)
+        from linkgraph.ops.bpe import bpe_learn as _bpe_learn
+
+        df_bpe = ste.run("bpe_merges_pages", lambda: _bpe_learn(ptext, 3))
+        extra["bpe_pages_per_sec"] = round(N_PAGES / eq["bpe_merges_pages"], 1)
+        extra["bpe_top_merge"] = str(df_bpe["merged"][0]) if len(df_bpe) else ""
+
         # BM25 ranked retrieval over the page text (tokenize -> compact
         # stats -> vectorized scoring + local top-k)
         from linkgraph.ops.bm25 import bm25_topk as _bm25

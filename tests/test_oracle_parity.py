@@ -28,6 +28,8 @@ CHECKED = [
     "sssp_weighted",
     "temporal_reach",
     "widest_path",
+    "bpe_pairs",
+    "bpe_merges_3",
     "hits_5",
     "ppr_5",
     "weighted_pagerank_5",
