@@ -910,6 +910,33 @@ def q_window_cc(sf_dir: str):
     return window_cc(edges, minutes=60).to_pandas()
 
 
+def q_window_pagerank(sf_dir: str):
+    """Top-3 PageRank pages per tumbling hour over the shared
+    deterministically-stamped edge stream — completes the Gelly
+    windowed-graph-metric family (triangles, CC, PR). Oracle: the
+    pagerank_5 recurrence unrolled per window (window key joined into
+    every step), ranking by the shared (round(pr,8) desc, v asc)."""
+    import pyarrow as pa
+
+    from linkgraph.ops.windows import window_pagerank
+
+    def stamp(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "ts_sec": pa.array((s * 13 + d * 7) % 21600),
+            }
+        )
+
+    edges = _doc_edges_ds(sf_dir).map_batches(stamp, batch_format="pyarrow")
+    return window_pagerank(
+        edges, minutes=60, iters=PR_ITERS, k=3, damping=DAMPING
+    ).to_pandas()
+
+
 def q_tumbling(sf_dir: str):
     from linkgraph.ops import tumbling_window
 
@@ -1546,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_rag": q_chunk_rag,
         "shuffle_shards": q_shuffle_shards,
         "window_cc": q_window_cc,
+        "window_pagerank": q_window_pagerank,
         "temporal_reach": q_temporal_reach,
         # round-5 session-3: third engine semiring, rotated into the
         # window (source_mix — stable r4 green, simple-groupby family
@@ -1589,13 +1617,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": q_seq_pack,
         "data_split": q_data_split,
         "lp_quotient": q_lp_quotient,
-        "sample_per_key": q_sample_per_key,
         # ---- past the driver's 50-query window (stable greens; knn_ivf,
         # knn_graph and embedding_dup_lsh have r3 rows-only records and
         # yield their window slots to the new hard-oracled kmeans_4 /
         # semdedup / quality_filter; host_graph / assortativity /
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
+        "sample_per_key": q_sample_per_key,
         "fingerprint": q_fingerprint,
         "spam_mass": q_spam_mass,
         "source_mix": q_source_mix,
@@ -1880,6 +1908,52 @@ def _pagerank_sql(edge_filter: str | None = None) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v, round(r, 8) AS pr_rank FROM r{PR_ITERS}"
+    )
+
+
+def _window_pagerank_sql(k: int = 3) -> str:
+    """The pagerank_5 recurrence unrolled PER TUMBLING WINDOW over the
+    deterministically-stamped edge stream (window key joined into every
+    step); dangling mass redistributed within the window; final ranking
+    (round(pr,8) desc, v asc) matches ops/windows.window_pagerank."""
+    d = DAMPING
+    ctes = [
+        _edges_cte(),
+        "te AS (SELECT DISTINCT ((src*13 + dst*7) % 21600 // 3600) * 3600 "
+        "AS w, src, dst FROM e WHERE src <> dst)",
+        "wv AS (SELECT DISTINCT w, v FROM (SELECT w, src AS v FROM te "
+        "UNION ALL SELECT w, dst FROM te))",
+        "nv AS (SELECT w, CAST(count(*) AS DOUBLE) AS n FROM wv GROUP BY w)",
+        "outd AS (SELECT w, src AS v, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM te GROUP BY w, src)",
+        "r0 AS (SELECT wv.w, wv.v, 1.0/nv.n AS r FROM wv "
+        "JOIN nv ON nv.w = wv.w)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"dang{i} AS (SELECT p.w, coalesce(sum(p.r), 0.0) AS dm FROM {p} p "
+            f"LEFT JOIN outd o ON o.w = p.w AND o.v = p.v "
+            f"WHERE o.v IS NULL GROUP BY p.w)"
+        )
+        ctes.append(
+            f"msg{i} AS (SELECT te.w, te.dst AS v, sum(p.r / o.deg) AS s "
+            f"FROM te JOIN {p} p ON p.w = te.w AND p.v = te.src "
+            f"JOIN outd o ON o.w = te.w AND o.v = te.src GROUP BY te.w, te.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT wv.w, wv.v, (1 - {d})/nv.n + {d} * "
+            f"(coalesce(m.s, 0.0) + coalesce(g.dm, 0.0)/nv.n) AS r "
+            f"FROM wv JOIN nv ON nv.w = wv.w "
+            f"LEFT JOIN msg{i} m ON m.w = wv.w AND m.v = wv.v "
+            f"LEFT JOIN dang{i} g ON g.w = wv.w)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        f"ranked AS (SELECT w, v, round(r, 8) AS pr, row_number() OVER "
+        f"(PARTITION BY w ORDER BY round(r, 8) DESC, v) AS rk FROM r{PR_ITERS}) "
+        f'SELECT w AS window_start, v, pr AS pr_rank, CAST(rk AS BIGINT) AS "rank" '
+        f"FROM ranked WHERE rk <= {k}"
     )
 
 
@@ -2461,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
     # recursive min-label reachability (cc_labels' CTE keyed by window;
     # self-loops excluded — they add no edge and their endpoint only
     # counts if another edge references it, matching window_cc)
+    q["window_pagerank"] = _window_pagerank_sql(3)
     q["window_cc"] = (
         f"WITH RECURSIVE {e}, "
         "te AS (SELECT src, dst, (src*13 + dst*7) % 21600 AS ts_sec FROM e "

@@ -610,6 +610,14 @@ def run_bench() -> dict:
         )
         extra["window_cc_windows"] = int(len(df_wcc))
 
+        from linkgraph.ops.windows import window_pagerank as _wpr
+
+        df_wpr = ste.run(
+            "window_pagerank",
+            lambda: _wpr(stamped, minutes=60, iters=5, k=3).to_pandas(),
+        )
+        extra["window_pagerank_rows"] = int(len(df_wpr))
+
         from linkgraph.algos import temporal_reach as _treach
 
         src0 = int(edges.take(1)[0]["src"])  # ids are hashes; 0 may not exist

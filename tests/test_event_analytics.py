@@ -185,3 +185,57 @@ def test_window_cc_disconnected():
     assert len(df) == 1
     assert int(df["n_vertices"][0]) == 5  # 1,2,3,10,11 (7 self-loop dropped)
     assert int(df["n_components"][0]) == 2
+
+
+def test_window_pagerank_vs_bruteforce():
+    import pyarrow as pa
+    import ray.data
+
+    from linkgraph.ops.windows import window_pagerank
+
+    rng = np.random.default_rng(31)
+    m = 3000
+    src = rng.integers(0, 150, m)
+    dst = rng.integers(0, 150, m)
+    ts = rng.integers(0, 4, m) * 3600 + rng.integers(0, 3600, m)
+    t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "ts_sec": pa.array(ts, pa.int64()),
+        }
+    )
+    got = window_pagerank(
+        ray.data.from_arrow(t).repartition(8), minutes=60, iters=5, k=3
+    ).to_pandas()
+
+    w = (ts // 3600) * 3600
+    want_rows = []
+    for wk in sorted(set(w.tolist())):
+        es = sorted({(a, b) for a, b, x in zip(src, dst, w) if x == wk and a != b})
+        ids = sorted({v for e in es for v in e})
+        idx = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        deg = np.zeros(n)
+        for a, _ in es:
+            deg[idx[a]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(5):
+            msg = np.zeros(n)
+            for a, b in es:
+                msg[idx[b]] += r[idx[a]] / deg[idx[a]]
+            dm = r[deg == 0].sum()
+            r = 0.15 / n + 0.85 * (msg + dm / n)
+        rr = np.round(r, 8)
+        order = sorted(range(n), key=lambda i: (-rr[i], ids[i]))[:3]
+        for rank, i in enumerate(order, 1):
+            want_rows.append((wk, ids[i], rr[i], rank))
+
+    got_rows = [
+        (int(a), int(b), float(c), int(d))
+        for a, b, c, d in zip(
+            got["window_start"], got["v"], got["pr_rank"], got["rank"]
+        )
+    ]
+    assert sorted(got_rows) == sorted(want_rows)
+    assert len({r[0] for r in want_rows}) >= 3  # several windows

@@ -61,6 +61,7 @@ CHECKED = [
     "chunk_rag",
     "window_distinct",
     "window_cc",
+    "window_pagerank",
     "revenue_by_nation",
     "dangling_share",
     "q6_scan",

@@ -55,6 +55,25 @@ def synth_docs(n: int, doc_len: int = 60, vocab: int = 20000) -> "ray.data.Datas
     )
 
 
+_DIGITS2ALPHA = str.maketrans("0123456789", "abcdefghij")
+
+
+def _bpe_on_letterized(docs, n: int) -> int:
+    """BPE over the corpus with token digits mapped to letters
+    ('w123' -> 'wbcd'), since [a-z]+ runs are the trainer's word
+    domain; the translate is a vectorized per-batch view, not a copy
+    of the corpus on the driver."""
+    import pandas as pd
+
+    from linkgraph.ops.bpe import bpe_learn
+
+    def letterize(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("text").to_pylist()).str.translate(_DIGITS2ALPHA)
+        return pa.table({"text": pa.array(s.tolist(), pa.string())})
+
+    return len(bpe_learn(docs.map_batches(letterize, batch_format="pyarrow"), 3))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", type=int, nargs="+", default=[100_000, 1_000_000])
@@ -89,6 +108,7 @@ def main() -> None:
             "contamination": lambda: ngram_contamination(docs, n=3, bench_mod=97).count(),
             "corpus_select": lambda: corpus_select(docs, ranks).count(),
             "dedup_clusters": lambda: dedup_clusters(docs, k=3, threshold=0.7).count(),
+            "bpe_merges_3": lambda: _bpe_on_letterized(docs, n),
         }
         for name, fn in ops.items():
             t0 = time.perf_counter()
