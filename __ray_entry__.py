@@ -681,6 +681,18 @@ def q_bpe_merges(sf_dir: str):
     return bpe_learn(_read(sf_dir, "documents", ["text"]), n_merges=3)
 
 
+def q_bpe_encode(sf_dir: str):
+    """The BPE APPLY pass: per-doc token counts after 3 self-trained
+    merges — the streaming tokenization a 100-TB corpus pays once per
+    epoch. Merge list rides the task closure; per batch the fixpoint
+    replaces touch unique words only."""
+    from linkgraph.ops.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n_merges=3
+    ).to_pandas()
+
+
 def q_fingerprint(sf_dir: str):
     from linkgraph.ops import Fingerprint
 
@@ -1608,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotate past the window)
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges_3": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "quality_filter": q_quality_filter,
         "kmeans_4": q_kmeans,
         "anchor_top3": q_anchor_top3,
@@ -1615,7 +1628,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "pii_scrub": q_pii_scrub,
         "seq_pack": q_seq_pack,
-        "data_split": q_data_split,
         "lp_quotient": q_lp_quotient,
         # ---- past the driver's 50-query window (stable greens; knn_ivf,
         # knn_graph and embedding_dup_lsh have r3 rows-only records and
@@ -1623,6 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup / quality_filter; host_graph / assortativity /
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
+        "data_split": q_data_split,
         "sample_per_key": q_sample_per_key,
         "fingerprint": q_fingerprint,
         "spam_mass": q_spam_mass,
@@ -2878,6 +2891,44 @@ def _bpe_merges_sql(n_merges: int = 3) -> str:
     return ", ".join(parts) + " " + tail
 
 
+def _bpe_encode_sql(n_merges: int = 3) -> str:
+    """Per-doc token counts after applying n self-trained BPE merges:
+    the _bpe_merges_sql levels with doc_id carried through every
+    fixpoint-replace chain, then symbols summed per doc (docs with no
+    [a-z] words report 0 via the LEFT JOIN)."""
+
+    def level(i: int, prev: str) -> str:
+        pat = f"(SELECT ' '||pair||' ' FROM m{i})"
+        rep = f"(SELECT ' '||merged||' ' FROM m{i})"
+        return (
+            f"p{i} AS (SELECT unnest([sym[CAST(j AS INT)] || ' ' || "
+            f"sym[CAST(j AS INT)+1] for j in range(1, len(sym))]) AS pair "
+            f"FROM (SELECT string_split(trim(s), ' ') AS sym FROM {prev}) t{i}), "
+            f"m{i} AS (SELECT pair, replace(pair, ' ', '') AS merged "
+            f"FROM p{i} GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1), "
+            f"r{i}(doc_id, s) AS (SELECT doc_id, s FROM {prev} UNION ALL "
+            f"SELECT doc_id, replace(s, {pat}, {rep}) FROM r{i} "
+            f"WHERE contains(s, {pat})), "
+            f"w{i} AS (SELECT doc_id, s FROM r{i} WHERE NOT contains(s, {pat}))"
+        )
+
+    parts = [
+        "WITH RECURSIVE words AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents), "
+        "w0 AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') "
+        "AS s FROM words)"
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(level(i, f"w{i - 1}"))
+    return (
+        ", ".join(parts)
+        + f", tot AS (SELECT doc_id, sum(len(string_split(trim(s), ' '))) "
+        f"AS n FROM w{n_merges} GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens "
+        "FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id"
+    )
+
+
 def _bm25_sql() -> str:
     """Replays ops/bm25.py: per-term tf via list_filter over the shared
     lowercase tokenization, Lucene idf, the score expression written in
@@ -3096,6 +3147,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "fingerprint": _fingerprint_sql(),
         "bpe_pairs": _bpe_pairs_sql(),
         "bpe_merges_3": _bpe_merges_sql(3),
+        "bpe_encode": _bpe_encode_sql(3),
         "simhash_dedup": _simhash_sql(),
         "cc_labels": (
             f"WITH RECURSIVE {e},\n{_VERTS},\n{_UE},\n"

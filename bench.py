@@ -361,6 +361,18 @@ def run_bench() -> dict:
         extra["bpe_pages_per_sec"] = round(N_PAGES / eq["bpe_merges_pages"], 1)
         extra["bpe_top_merge"] = str(df_bpe["merged"][0]) if len(df_bpe) else ""
 
+        # the APPLY pass: tokenize every page with the learned merges
+        from linkgraph.ops.bpe import bpe_encode_counts as _bpe_encode
+
+        n_tok = ste.run(
+            "bpe_encode_pages",
+            lambda: _bpe_encode(ptext, merges=df_bpe).sum("n_tokens"),
+        )
+        extra["bpe_encode_pages_per_sec"] = round(
+            N_PAGES / eq["bpe_encode_pages"], 1
+        )
+        extra["bpe_encode_total_tokens"] = int(n_tok)
+
         # BM25 ranked retrieval over the page text (tokenize -> compact
         # stats -> vectorized scoring + local top-k)
         from linkgraph.ops.bm25 import bm25_topk as _bm25

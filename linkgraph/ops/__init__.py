@@ -49,6 +49,7 @@ from .windows import (
     window_topk,
     funnel_counts,
     window_cc,
+    window_pagerank,
 )
 from .cms import CountMinSketch, sketch_edge_counts, edge_anomaly_scores
 from .spatial import radius_join
@@ -60,6 +61,7 @@ from .anchors import (
 )
 from .paradedup import ChunkHashRows, para_dedup_stats
 from .lm import BigramRows, lm_score
+from .bpe import bpe_pair_counts, bpe_learn, bpe_encode_counts, word_freq
 
 __all__ = [
     "TokenCount",
@@ -79,6 +81,11 @@ __all__ = [
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "tumbling_window",
+    "window_pagerank",
+    "bpe_pair_counts",
+    "bpe_learn",
+    "bpe_encode_counts",
+    "word_freq",
     "hopping_window",
     "sessionize",
     "CountMinSketch",

@@ -191,3 +191,55 @@ def bpe_learn(docs: Dataset, n_merges: int = 3) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["rank", "pair", "merged", "n"]).astype(
         {"rank": "int64", "n": "int64"}
     )
+
+
+def bpe_encode_counts(
+    docs: Dataset, n_merges: int = 3, merges: pd.DataFrame | None = None
+) -> Dataset:
+    """Tokenize the corpus with learned BPE merges and emit per-doc
+    token counts: Dataset(doc_id, n_tokens) where n_tokens is the
+    number of symbols after applying the merges (in rank order) to
+    every [a-z]+ word.  This is the APPLY pass — the one that streams
+    the full corpus — so it is a single map_batches with the (tiny)
+    merge list carried in the task closure: per batch, the fixpoint
+    replaces run over the batch's UNIQUE words only, then the counts
+    broadcast back to word occurrences and sum per doc (exact int64).
+
+    ``merges`` defaults to self-training via :func:`bpe_learn` on the
+    same corpus (the oracle-shared setup)."""
+    if merges is None:
+        merges = bpe_learn(docs, n_merges)
+    pats = [
+        (" " + p + " ", " " + m + " ")
+        for p, m in zip(merges["pair"], merges["merged"])
+    ]
+
+    def encode(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        big = "\n".join(x or "" for x in texts)
+        # char offset of each separating newline, from cumulative doc
+        # lengths (no per-char scan)
+        lens = np.fromiter((len(x or "") for x in texts), np.int64, len(texts))
+        bounds = np.cumsum(lens + 1)[:-1] - 1
+        starts, words = [], []
+        for m in re.finditer(r"[a-z]+", big):
+            starts.append(m.start())
+            words.append(m.group())
+        n_tok = np.zeros(len(doc_ids), np.int64)
+        if words:
+            doc_idx = np.searchsorted(bounds, np.array(starts, np.int64))
+            uw, inv = np.unique(np.array(words, dtype=object), return_inverse=True)
+            spaced = pd.Series([" " + " ".join(w) + " " for w in uw])
+            for pat, rep in pats:
+                hit = spaced.str.contains(pat, regex=False)
+                while hit.any():
+                    spaced[hit] = spaced[hit].str.replace(pat, rep, regex=False)
+                    hit = spaced.str.contains(pat, regex=False)
+            counts = (spaced.str.count(" ") - 1).to_numpy().astype(np.int64)
+            np.add.at(n_tok, doc_idx, counts[inv])
+        return pa.table({"doc_id": pa.array(doc_ids), "n_tokens": pa.array(n_tok)})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )

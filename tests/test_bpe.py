@@ -101,3 +101,33 @@ def test_word_freq_partition_invariance():
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_bpe_encode_counts_vs_reference():
+    from linkgraph.ops.bpe import bpe_encode_counts
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(CORPUS))), pa.int64()),
+                "text": pa.array(CORPUS),
+            }
+        )
+    ).repartition(3)
+    got = bpe_encode_counts(ds, n_merges=3).to_pandas()
+    got = dict(zip(got["doc_id"].astype(int), got["n_tokens"].astype(int)))
+
+    merges = ref_bpe(CORPUS, 3)
+    want = {}
+    for i, t in enumerate(CORPUS):
+        total = 0
+        for w in re.findall(r"[a-z]+", t):
+            s = " " + " ".join(w) + " "
+            for _, pair, merged, _n in merges:
+                pat, rep = " " + pair + " ", " " + merged + " "
+                while pat in s:
+                    s = s.replace(pat, rep)
+            total += len(s.strip().split(" "))
+        want[i] = total
+    assert got == want
+    assert want[3] == 0  # empty doc reports 0 tokens

@@ -30,6 +30,7 @@ CHECKED = [
     "widest_path",
     "bpe_pairs",
     "bpe_merges_3",
+    "bpe_encode",
     "hits_5",
     "ppr_5",
     "weighted_pagerank_5",
