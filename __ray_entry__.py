@@ -693,6 +693,31 @@ def q_bpe_encode(sf_dir: str):
     ).to_pandas()
 
 
+def q_pca_cov(sf_dir: str):
+    """Distributed PCA fit, step 1: the population covariance of the
+    embedding table via ONE pass of d^2-bounded (idx, val) combiners +
+    one tiny range-sort fold — (i, j, cov) rows, 8 dp. Products promote
+    fp32 -> float64 BEFORE multiplying on both sides (the oracle CASTs
+    to DOUBLE; DuckDB would otherwise round each product to fp32)."""
+    from linkgraph.ops.pca import pca_covariance
+
+    return pca_covariance(_read(sf_dir, "embeddings", ["embedding"]))
+
+
+def q_pca_project(sf_dir: str):
+    """PCA projection onto the self-trained top-8 components:
+    (vec_id, proj[8]) — rows-only by design (eigendecomposition is not
+    SQL-expressible); pytest-oracled against numpy eigh on the exact
+    covariance with deterministic sign normalization."""
+    from linkgraph.ops.pca import pca_project
+
+    df = pca_project(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8
+    ).to_pandas()
+    df["proj"] = df["proj"].map(lambda a: [float(x) for x in a])
+    return df
+
+
 def q_fingerprint(sf_dir: str):
     from linkgraph.ops import Fingerprint
 
@@ -1597,7 +1622,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "redirects": q_redirects,
         "mis_luby": q_mis,
-        "coloring_jp": q_coloring,
         "value_quantiles": q_quantiles,
         "dedup_clusters": q_dedup_clusters,
         "window_triangles": q_window_triangles,
@@ -1621,10 +1645,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges_3": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        # distributed-PCA pair: hard-oracled covariance + rows-only
+        # projection (para_dedup and coloring_jp — stable greens whose
+        # families keep dedup_incremental/dedup_clusters/corpus_select
+        # and mis_luby — rotate past the window)
+        "pca_cov": q_pca_cov,
+        "pca_project": q_pca_project,
         "quality_filter": q_quality_filter,
         "kmeans_4": q_kmeans,
         "anchor_top3": q_anchor_top3,
-        "para_dedup": q_para_dedup,
         "lm_score": q_lm_score,
         "pii_scrub": q_pii_scrub,
         "seq_pack": q_seq_pack,
@@ -1635,6 +1664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup / quality_filter; host_graph / assortativity /
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
+        "coloring_jp": q_coloring,
+        "para_dedup": q_para_dedup,
         "data_split": q_data_split,
         "sample_per_key": q_sample_per_key,
         "fingerprint": q_fingerprint,
@@ -2891,6 +2922,25 @@ def _bpe_merges_sql(n_merges: int = 3) -> str:
     return ", ".join(parts) + " " + tail
 
 
+def _pca_cov_sql(d: int = 64) -> str:
+    """Population covariance of the embedding table, (i, j, cov) 8 dp,
+    1-based dims. CAST-to-DOUBLE before every product is the float
+    parity contract with ops/pca.py."""
+    return (
+        "WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings), "
+        f"dims AS (SELECT unnest(range(1, {d + 1})) AS i), "
+        "mu AS (SELECT i, sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) / "
+        "(SELECT n FROM n) AS m FROM embeddings, dims GROUP BY i), "
+        "ss AS (SELECT d1.i AS i, d2.i AS j, "
+        "sum(CAST(e.embedding[CAST(d1.i AS INT)] AS DOUBLE) * "
+        "CAST(e.embedding[CAST(d2.i AS INT)] AS DOUBLE)) AS s "
+        "FROM embeddings e, dims d1, dims d2 GROUP BY d1.i, d2.i) "
+        "SELECT CAST(ss.i AS BIGINT) AS i, CAST(ss.j AS BIGINT) AS j, "
+        "round(ss.s / (SELECT n FROM n) - a.m * b.m, 8) AS cov "
+        "FROM ss JOIN mu a ON a.i = ss.i JOIN mu b ON b.i = ss.j"
+    )
+
+
 def _bpe_encode_sql(n_merges: int = 3) -> str:
     """Per-doc token counts after applying n self-trained BPE merges:
     the _bpe_merges_sql levels with doc_id carried through every
@@ -3148,6 +3198,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "bpe_pairs": _bpe_pairs_sql(),
         "bpe_merges_3": _bpe_merges_sql(3),
         "bpe_encode": _bpe_encode_sql(3),
+        "pca_cov": _pca_cov_sql(64),
         "simhash_dedup": _simhash_sql(),
         "cc_labels": (
             f"WITH RECURSIVE {e},\n{_VERTS},\n{_UE},\n"

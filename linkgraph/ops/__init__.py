@@ -62,6 +62,7 @@ from .anchors import (
 from .paradedup import ChunkHashRows, para_dedup_stats
 from .lm import BigramRows, lm_score
 from .bpe import bpe_pair_counts, bpe_learn, bpe_encode_counts, word_freq
+from .pca import pca_covariance, pca_fit, pca_project
 
 __all__ = [
     "TokenCount",
@@ -86,6 +87,9 @@ __all__ = [
     "bpe_learn",
     "bpe_encode_counts",
     "word_freq",
+    "pca_covariance",
+    "pca_fit",
+    "pca_project",
     "hopping_window",
     "sessionize",
     "CountMinSketch",

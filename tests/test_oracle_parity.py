@@ -31,6 +31,7 @@ CHECKED = [
     "bpe_pairs",
     "bpe_merges_3",
     "bpe_encode",
+    "pca_cov",
     "hits_5",
     "ppr_5",
     "weighted_pagerank_5",
