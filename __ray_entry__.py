@@ -47,6 +47,10 @@ KATZ_ALPHA = 0.05
 ANCHOR_TERMS = 4
 PARA_CHUNK = 16
 TRUST_HOSTS = ("src0", "src1", "src2", "src3")
+DSIR_TARGET_LANG = "en"
+LM3_LAMBDAS = (0.6, 0.3, 0.1)
+TEMP_ALPHA = 0.7
+EIGEN_ITERS = 4
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None):
@@ -1559,6 +1563,50 @@ def q_media_features(sf_dir: str):
     return decode_features(synth_media_dataset(64)).to_pandas()
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance log-weights (target = lang='en' slice):
+    per-doc sum over unigram+bigram occurrences of ln p_target/p_raw,
+    add-one smoothed; hashed-feature sortagg pipeline, string-exact
+    SQL oracle."""
+    from linkgraph.ops.dsir import dsir_weights
+
+    return dsir_weights(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        target_lang=DSIR_TARGET_LANG,
+    ).to_pandas()
+
+
+def q_lm3_score(sf_dir: str):
+    """Interpolated (Jelinek-Mercer) trigram LM with add-one components,
+    trained on the corpus and scoring every doc's mean trigram ln p;
+    all backoff tables derive from the trigram-vocab C123 table."""
+    from linkgraph.ops.lm import lm3_score
+
+    return lm3_score(
+        _read(sf_dir, "documents", ["doc_id", "text"]), lambdas=LM3_LAMBDAS
+    ).to_pandas()
+
+
+def q_lang_temperature(sf_dir: str):
+    """Temperature-scaled (alpha) sampling quotas per language — the
+    multilingual-pretraining mix; one pre-aggregated groupby, the
+    normalization over the language-cardinality table."""
+    from linkgraph.ops.sampling import lang_temperature
+
+    return lang_temperature(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), alpha=TEMP_ALPHA
+    ).to_pandas()
+
+
+def q_eigencent(sf_dir: str):
+    """Eigenvector centrality: 4 unrolled L1-normalized power
+    iterations over the doc link graph, iteration-exact vs the
+    unrolled SQL recurrence, 8 dp."""
+    from linkgraph.algos.eigencent import eigencent_dataset
+
+    return eigencent_dataset(_doc_edges_ds(sf_dir), iters=EIGEN_ITERS).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1603,12 +1651,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_scan": q6_scan,
         "node2vec_walks_4": q_node2vec,
         "bm25_topk": q_bm25,
-        "token_zipf": q_token_zipf,
+        # round-5 session-4: DSIR importance weights, interpolated
+        # trigram LM, temperature mix, eigenvector centrality — new
+        # hard-oracled ops in the window (token_zipf, phrase_count,
+        # chunk_rag, shuffle_shards — stable r4 greens whose families
+        # keep heavy_tokens/lm_score, seq_pack and data_split — rotate
+        # past it)
+        "dsir_weights": q_dsir_weights,
+        "lm3_score": q_lm3_score,
+        "lang_temperature": q_lang_temperature,
+        "eigencent_4": q_eigencent,
         "ktruss_3": q_ktruss,
         "snapshot_churn": q_snapshot_churn,
-        "phrase_count": q_phrase_count,
-        "chunk_rag": q_chunk_rag,
-        "shuffle_shards": q_shuffle_shards,
         "window_cc": q_window_cc,
         "window_pagerank": q_window_pagerank,
         "temporal_reach": q_temporal_reach,
@@ -1666,6 +1720,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pii_scrub / seq_pack / data_split) ----
         "coloring_jp": q_coloring,
         "para_dedup": q_para_dedup,
+        "token_zipf": q_token_zipf,
+        "phrase_count": q_phrase_count,
+        "chunk_rag": q_chunk_rag,
+        "shuffle_shards": q_shuffle_shards,
         "data_split": q_data_split,
         "sample_per_key": q_sample_per_key,
         "fingerprint": q_fingerprint,
@@ -2083,6 +2141,31 @@ def _katz_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v, round(x, 8) AS katz FROM x{KATZ_ITERS}"
+    )
+
+
+def _eigencent_sql() -> str:
+    """Unrolled L1-normalized power iteration (the katz_4 pattern plus
+    a per-iteration global-sum CTE for the normalizer)."""
+    ctes = [
+        _edges_cte(),
+        _VERTS,
+        "ex0 AS (SELECT v, 1.0 AS x FROM verts)",
+    ]
+    for i in range(1, EIGEN_ITERS + 1):
+        ctes.append(
+            f"emsg{i} AS (SELECT e.dst AS v, sum(p.x) AS s FROM e "
+            f"JOIN ex{i-1} p ON e.src = p.v GROUP BY e.dst)"
+        )
+        ctes.append(f"etot{i} AS (SELECT sum(s) AS ts FROM emsg{i})")
+        ctes.append(
+            f"ex{i} AS (SELECT verts.v, coalesce(m.s, 0.0) / "
+            f"(SELECT ts FROM etot{i}) AS x "
+            f"FROM verts LEFT JOIN emsg{i} m ON verts.v = m.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, round(x, 8) AS eigencent FROM ex{EIGEN_ITERS}"
     )
 
 
@@ -3493,6 +3576,72 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
             "coalesce(a.lm_score, 0.0) AS lm_score "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
+        "dsir_weights": (
+            "WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts "
+            "FROM documents), "
+            "mx AS (SELECT max(len(ts)) AS m FROM toks), "
+            "uni AS (SELECT doc_id, lang, ts[i] AS g FROM toks, "
+            "(SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i) "
+            "WHERE i <= len(ts)), "
+            "bi AS (SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS g FROM toks, "
+            "(SELECT unnest(range(1, (SELECT m FROM mx))) AS i) WHERE i < len(ts)), "
+            "g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+            "cnt AS (SELECT g, CAST(count(*) AS DOUBLE) AS cr, "
+            f"CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) "
+            "AS DOUBLE) AS ct FROM g GROUP BY 1), "
+            "tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt, "
+            "CAST(count(*) AS DOUBLE) AS nv FROM cnt), "
+            "s AS (SELECT doc_id, "
+            "ln((cnt.ct + 1) / ((SELECT tt FROM tot) + (SELECT nv FROM tot))) - "
+            "ln((cnt.cr + 1) / ((SELECT tr FROM tot) + (SELECT nv FROM tot))) AS lr "
+            "FROM g JOIN cnt USING (g)), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "round(sum(lr), 6) AS dsir_logw FROM s GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, "
+            "coalesce(a.dsir_logw, 0.0) AS dsir_logw "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "lm3_score": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts "
+            "FROM documents), "
+            "mx AS (SELECT max(len(ts)) AS m FROM toks), "
+            "tg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3 "
+            "FROM toks, (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) "
+            "WHERE i + 1 < len(ts)), "
+            "v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS nv FROM "
+            "(SELECT unnest(ts) AS t FROM toks)), "
+            "t3 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tg), "
+            "c123 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c FROM tg "
+            "GROUP BY 1, 2, 3), "
+            "c12 AS (SELECT w1, w2, sum(c) AS c FROM c123 GROUP BY 1, 2), "
+            "c23 AS (SELECT w2, w3, sum(c) AS c FROM c123 GROUP BY 1, 2), "
+            "c2 AS (SELECT w2, sum(c) AS c FROM c123 GROUP BY 1), "
+            "c3 AS (SELECT w3, sum(c) AS c FROM c123 GROUP BY 1), "
+            "s AS (SELECT tg.doc_id, ln("
+            f"{LM3_LAMBDAS[0]} * (c123.c + 1) / (c12.c + (SELECT nv FROM v)) + "
+            f"{LM3_LAMBDAS[1]} * (c23.c + 1) / (c2.c + (SELECT nv FROM v)) + "
+            f"{LM3_LAMBDAS[2]} * (c3.c + 1) / ((SELECT n FROM t3) + "
+            "(SELECT nv FROM v))) AS lp "
+            "FROM tg JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2) "
+            "JOIN c23 USING (w2, w3) JOIN c2 USING (w2) JOIN c3 USING (w3)), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+            "round(avg(lp), 8) AS lm3_score FROM s GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams, "
+            "coalesce(a.lm3_score, 0.0) AS lm3_score "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "lang_temperature": (
+            "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1), "
+            f"t AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), {TEMP_ALPHA})) AS d, "
+            "CAST(sum(n_docs) AS DOUBLE) AS nt FROM c) "
+            "SELECT lang, n_docs, "
+            f"round(pow(CAST(n_docs AS DOUBLE), {TEMP_ALPHA}) / "
+            "(SELECT d FROM t), 8) AS weight, "
+            f"round(pow(CAST(n_docs AS DOUBLE), {TEMP_ALPHA}) / "
+            "(SELECT d FROM t) * (SELECT nt FROM t), 6) AS quota FROM c"
+        ),
+        "eigencent_4": _eigencent_sql(),
         "weighted_pagerank_5": _weighted_pagerank_sql(),
         "host_graph": (
             f"WITH {e} "

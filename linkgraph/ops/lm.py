@@ -217,6 +217,186 @@ def lm_score(docs: Dataset, num_partitions: int = 8) -> Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _exact_vocab(docs: Dataset) -> float:
+    """Exact distinct token count over all token positions, by sorted
+    run counting over per-batch-unique token hashes (the lm_score V)."""
+    vocab = docs.map_batches(_token_hash_rows, batch_format="pyarrow")
+
+    def run_starts(t: pa.Table) -> pa.Table:
+        th = t.column("th").to_numpy()
+        n = int(np.count_nonzero(np.r_[True, th[1:] != th[:-1]])) if len(th) else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    return float(
+        sum(
+            r["n"]
+            for r in vocab.sort("th")
+            .map_batches(run_starts, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+    )
+
+
+def _trigram_rows(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text) -> hashed trigram rows
+    (doc_id, h123, h12, h23, h2, h3): one row per trigram position.
+    h12/h23/h2/h3 are the backoff-context hashes — all derived in the
+    extracting batch so only int64 keys ever shuffle."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch.column("text"), " ")
+    nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    n = len(flat)
+    doc = np.repeat(batch.column("doc_id").to_numpy(), nt)
+    ends = np.cumsum(nt) - 1
+    keep = np.ones(n, bool)
+    if n:
+        keep[ends] = False  # no trigram starts at the last token...
+        keep[np.maximum(ends - 1, 0)] = False  # ...or the one before it
+        # docs with < 3 tokens contribute nothing (their 0-2 positions
+        # are all within the masked tail)
+    idx = np.flatnonzero(keep)
+    w1 = pc.take(flat, pa.array(idx))
+    w2 = pc.take(flat, pa.array(idx + 1))
+    w3 = pc.take(flat, pa.array(idx + 2))
+    g123 = pc.binary_join_element_wise(w1, w2, w3, " ")
+    g12 = pc.binary_join_element_wise(w1, w2, " ")
+    g23 = pc.binary_join_element_wise(w2, w3, " ")
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[idx]),
+            "h123": pa.array(hash64_str_signed(g123.to_numpy(zero_copy_only=False))),
+            "h12": pa.array(hash64_str_signed(g12.to_numpy(zero_copy_only=False))),
+            "h23": pa.array(hash64_str_signed(g23.to_numpy(zero_copy_only=False))),
+            "h2": pa.array(hash64_str_signed(w2.to_numpy(zero_copy_only=False))),
+            "h3": pa.array(hash64_str_signed(w3.to_numpy(zero_copy_only=False))),
+        }
+    )
+
+
+def _tri_count_partial(t: pa.Table) -> pa.Table:
+    h123 = t.column("h123").to_numpy()
+    u, first, cnt = np.unique(h123, return_index=True, return_counts=True)
+    cols = {"h123": pa.array(u)}
+    for c in ("h12", "h23", "h2", "h3"):
+        cols[c] = pa.array(t.column(c).to_numpy()[first])
+    cols["_c"] = pa.array(cnt.astype(np.int64))
+    return pa.table(cols)
+
+
+def lm3_score(
+    docs: Dataset,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    num_partitions: int = 8,
+) -> Dataset:
+    """documents(doc_id, text) -> (doc_id, n_trigrams, lm3_score):
+    interpolated (Jelinek-Mercer) trigram LM with add-one components,
+    trained on the corpus itself and scoring every document by its mean
+    trigram log-probability:
+
+      p(w3|w1 w2) = l3*(C123+1)/(C12+V) + l2*(C23+1)/(C2+V)
+                  + l1*(C3+1)/(T3+V)
+
+    where C123 = trigram count, C12 = count of (w1,w2) as trigram left
+    context (= sum over w3 of C123), C23 = count of (w2,w3) as trigram
+    right pair, C2/C3 = middle/last-token trigram-position counts, T3 =
+    total trigram positions, V = exact distinct tokens. Docs with < 3
+    tokens score 0.0 with n_trigrams = 0. Round 8 at export (the
+    lm_score precedent).
+
+    All backoff count tables derive from the trigram-vocabulary-sized
+    C123 table — never a second corpus pass; every aggregate/join is a
+    sortagg kernel on int64 hashes (see lm_score's module docstring for
+    the measured hash-groupby vs sort numbers)."""
+    l3, l2, l1 = lambdas
+    from ray.data.aggregate import Sum
+
+    from .sortagg import attach_by_key, sorted_sum_by
+
+    tg = docs.map_batches(_trigram_rows, batch_format="pyarrow").materialize()
+    v = _exact_vocab(docs)
+
+    c123 = sorted_sum_by(
+        tg.map_batches(_tri_count_partial, batch_format="pyarrow", batch_size=1 << 20),
+        key="h123",
+        sum_cols={"_c": "c123"},
+        carry_cols=["h12", "h23", "h2", "h3"],
+    ).materialize()
+    t3 = float(c123.aggregate(Sum("c123"))["sum(c123)"])
+
+    # backoff tables from the vocab-sized c123 — each one sortagg fold,
+    # then chained tagged-union attaches back onto c123
+    stats = c123
+    for key, out in (("h12", "c12"), ("h23", "c23"), ("h2", "c2"), ("h3", "c3")):
+        fold = sorted_sum_by(
+            c123.select_columns([key, "c123"]), key=key, sum_cols={"c123": out}
+        )
+        row_cols = [c for c in stats.schema().names if c != key]
+        # int64 wire dtype: counts stay exact AND every row_col of the
+        # next attach in the chain remains int64 (the union schema
+        # zero-fills row_cols as int64)
+        stats = attach_by_key(
+            stats, fold, key=key, stat_cols=[out], row_cols=row_cols,
+            stat_type=pa.int64(),
+        )
+
+    scored_rows = attach_by_key(
+        tg.select_columns(["doc_id", "h123"]),
+        stats.map_batches(
+            lambda t: t.select(["h123", "c123", "c12", "c23", "c2", "c3"]),
+            batch_format="pyarrow",
+        ),
+        key="h123",
+        stat_cols=["c123", "c12", "c23", "c2", "c3"],
+        row_cols=["doc_id"],
+        stat_type=pa.int64(),
+    )
+
+    def lp_rows(t: pa.Table) -> pa.Table:
+        c123_ = t.column("c123").to_numpy().astype(np.float64)
+        c12_ = t.column("c12").to_numpy().astype(np.float64)
+        c23_ = t.column("c23").to_numpy().astype(np.float64)
+        c2_ = t.column("c2").to_numpy().astype(np.float64)
+        c3_ = t.column("c3").to_numpy().astype(np.float64)
+        p = (
+            l3 * (c123_ + 1.0) / (c12_ + v)
+            + l2 * (c23_ + 1.0) / (c2_ + v)
+            + l1 * (c3_ + 1.0) / (t3 + v)
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "_lp": pa.array(np.log(p))})
+
+    agg = sorted_sum_by(
+        scored_rows.map_batches(lp_rows, batch_format="pyarrow", batch_size=None),
+        key="doc_id",
+        sum_cols={"_lp": "_s"},
+        count_col="n_trigrams",
+    )
+
+    out = docs.select_columns(["doc_id"]).join(
+        agg, join_type="left_outer", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.fill_null(t.column("n_trigrams"), 0).to_numpy(zero_copy_only=False)
+        s = pc.fill_null(t.column("_s"), 0.0).to_numpy(zero_copy_only=False)
+        score = np.zeros(len(n))
+        nz = n > 0
+        score[nz] = np.round(s[nz] / n[nz], 8)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_trigrams": pa.array(n.astype(np.int64)),
+                "lm3_score": pa.array(score),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 class BigramRows:
     """Back-compat callable-class wrapper over ``_bigram_rows`` (emits
     hashed (doc_id, h1, h12) rows)."""

@@ -95,3 +95,66 @@ def sample_per_key_sql(
         f"ORDER BY (({id_col} % {_M}) * {_A} + {_B}) % {_M}, {id_col}) AS rn "
         f"FROM {table}) WHERE rn <= {k}"
     )
+
+
+def lang_temperature(
+    docs: "Dataset",
+    alpha: float = 0.7,
+    budget: int | None = None,
+) -> "Dataset":
+    """Temperature-scaled sampling quotas per language — the standard
+    multilingual-pretraining mix (public recipe from the mBERT/XLM-R /
+    multilingual-T5 line of work): a language with n docs gets sampling
+    weight n^alpha / sum_l n_l^alpha, flattening the head and boosting
+    the tail (alpha=1 is proportional, alpha=0 uniform).
+
+    documents(doc_id, lang) -> one row per language:
+      (lang, n_docs, weight, quota)
+    with weight rounded to 8 dp and quota = round(weight * budget, 6)
+    expected docs (budget defaults to the corpus size, i.e. a pure
+    reweighting). Shape at 100 TB: ONE pre-aggregated groupby over
+    per-batch (lang, count) partials — #languages rows ever shuffle —
+    then the normalization is driver-side over the language-cardinality
+    table (tens of rows).
+
+    (Reference analogue: SURVEY.md §2.7 grouped + global aggregates —
+    the coupled-metric fold of update_coupled_values.)"""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t.column("lang"))
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "_c": vc.field("counts"),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=1 << 18)
+        .groupby("lang")
+        .aggregate(Sum("_c", alias_name="n_docs"))
+    )
+
+    # language-cardinality table: tens of rows — the normalization is a
+    # deliberate driver-side step (same class as PageRank's dangling
+    # scalar), NOT a corpus materialization
+    rows = counts.take_all()
+    n_total = sum(int(r["n_docs"]) for r in rows)
+    b = float(budget if budget is not None else n_total)
+    denom = sum(float(r["n_docs"]) ** alpha for r in rows)
+    langs = sorted(rows, key=lambda r: r["lang"])
+    w = [float(r["n_docs"]) ** alpha / denom for r in langs]
+    out = pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in langs], pa.string()),
+            "n_docs": pa.array([int(r["n_docs"]) for r in langs], pa.int64()),
+            "weight": pa.array(np.round(w, 8)),
+            "quota": pa.array(np.round([x * b for x in w], 6)),
+        }
+    )
+    import ray.data
+
+    return ray.data.from_arrow(out)
