@@ -340,6 +340,28 @@ def run_bench() -> dict:
         ste.run("lm_score_pages", lambda: lm_score(ptext).count())
         extra["lm_pages_per_sec"] = round(N_PAGES / eq["lm_score_pages"], 1)
 
+        # round-5 session-4: interpolated trigram LM + DSIR importance
+        # weights over the same materialized page text
+        from linkgraph.ops.dsir import dsir_weights as _dsir_weights
+        from linkgraph.ops.lm import lm3_score as _lm3_score
+
+        ste.run("lm3_score_pages", lambda: _lm3_score(ptext).count())
+        extra["lm3_pages_per_sec"] = round(N_PAGES / eq["lm3_score_pages"], 1)
+
+        def _with_lang(t):
+            import numpy as np
+
+            return t.append_column(
+                "lang",
+                pa.array(
+                    np.where(t.column("doc_id").to_numpy() % 3 == 0, "en", "xx")
+                ),
+            )
+
+        ptext_l = ptext.map_batches(_with_lang, batch_format="pyarrow")
+        ste.run("dsir_pages", lambda: _dsir_weights(ptext_l).count())
+        extra["dsir_pages_per_sec"] = round(N_PAGES / eq["dsir_pages"], 1)
+
         # composed C4+Gopher keep/drop verdict over the page text (one
         # fused per-doc pass, zero shuffle)
         from linkgraph.ops import quality_filter as _quality_filter

@@ -88,11 +88,24 @@ def main() -> None:
 
     from linkgraph.ops.corpus import corpus_select
     from linkgraph.ops.dedup import dedup_clusters
-    from linkgraph.ops.lm import lm_score
+    from linkgraph.ops.dsir import dsir_weights
+    from linkgraph.ops.lm import lm3_score, lm_score
     from linkgraph.ops.text import ngram_contamination, quality_filter
 
     for n in args.scales:
         docs = synth_docs(n).materialize()
+        # alternating pseudo-language column for dsir (target = 'en')
+        docs_l = docs.map_batches(
+            lambda t: t.append_column(
+                "lang",
+                pa.array(
+                    np.where(
+                        t.column("doc_id").to_numpy() % 3 == 0, "en", "xx"
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
         ranks = ray.data.range(n).map_batches(
             lambda b: pa.table(
                 {
@@ -109,6 +122,8 @@ def main() -> None:
             "corpus_select": lambda: corpus_select(docs, ranks).count(),
             "dedup_clusters": lambda: dedup_clusters(docs, k=3, threshold=0.7).count(),
             "bpe_merges_3": lambda: _bpe_on_letterized(docs, n),
+            "lm3_score": lambda: lm3_score(docs).count(),
+            "dsir_weights": lambda: dsir_weights(docs_l).count(),
         }
         for name, fn in ops.items():
             t0 = time.perf_counter()
