@@ -1403,6 +1403,17 @@ def q_mis(sf_dir: str):
     return out.to_pandas()
 
 
+def q_matching(sf_dir: str):
+    """Maximal matching (deterministic local-min edge priorities — MIS
+    on the line graph without building it; symmetric splitmix64 edge
+    keys, alternating unmask/endorse supersteps over the masked
+    edge-weight modes) over the symmetrized doc graph."""
+    from linkgraph.algos import maximal_matching
+
+    out, _ = maximal_matching(_doc_edges_ds(sf_dir), num_parts=NUM_PARTS)
+    return out.to_pandas()
+
+
 def q_coloring(sf_dir: str):
     """Greedy distance-1 coloring (Jones-Plassmann round-number
     variant, splitmix64 priorities) over the symmetrized doc graph."""
@@ -1676,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "redirects": q_redirects,
         "mis_luby": q_mis,
+        "max_matching": q_matching,
         "value_quantiles": q_quantiles,
         "dedup_clusters": q_dedup_clusters,
         "window_triangles": q_window_triangles,
@@ -1884,6 +1896,63 @@ def _mis_sql(rounds: int = 8) -> str:
         "WITH " + ",\n".join(ctes) + "\nSELECT verts.v AS v, "
         f"CAST(CASE WHEN verts.v IN ({union}) THEN 1 ELSE 0 END AS BIGINT) "
         "AS in_mis FROM verts"
+    )
+
+
+def _matching_sql(rounds: int = 12) -> str:
+    """Unrolled deterministic maximal matching (algos/matching.py): per
+    round, an edge is matched iff its symmetric priority
+    splitmix64(xor(splitmix64(a), splitmix64(b))) — bit-exact SQL
+    replay, the edge-key hash applied over the xor-keyed edge table —
+    is the strict minimum over active edges incident to either
+    endpoint; matched endpoints retire, as do actives with no active
+    incident edge. ``rounds`` exceeds the fixpoint at driver scale
+    (4 rounds at 500 docs, 5 at 5000); extra rounds see an empty
+    active-edge set and add nothing."""
+    ctes = [_edges_cte(), _VERTS, _UE]
+    sm, last = _sql_splitmix_ctes("mham", "verts", {"h": "v"})
+    ctes += sm
+    ctes.append(f"mhv AS MATERIALIZED (SELECT v, h FROM {last})")
+    # edge keys: the xor of endpoint hashes, exposed as `v` so the
+    # splitmix helper applies unchanged; joined back by the same xor
+    ctes.append(
+        "mek AS MATERIALIZED (SELECT DISTINCT xor(x.h, y.h) AS v FROM ue "
+        "JOIN mhv x ON x.v = ue.a JOIN mhv y ON y.v = ue.b WHERE ue.a <> ue.b)"
+    )
+    sm2, last2 = _sql_splitmix_ctes("mhpe", "mek", {"pe": "v"})
+    ctes += sm2
+    ctes.append(
+        "mpe AS MATERIALIZED (SELECT ue.a, ue.b, p.pe FROM ue "
+        "JOIN mhv x ON x.v = ue.a JOIN mhv y ON y.v = ue.b "
+        f"JOIN {last2} p ON p.v = xor(x.h, y.h) WHERE ue.a <> ue.b)"
+    )
+    prev = "verts"
+    mt_terms = []
+    for r in range(rounds):
+        ctes.append(
+            f"mae{r} AS MATERIALIZED (SELECT p.a, p.b, p.pe FROM mpe p "
+            f"JOIN {prev} x ON p.a = x.v JOIN {prev} y ON p.b = y.v)"
+        )
+        ctes.append(
+            f"mmn{r} AS MATERIALIZED (SELECT a AS v, min(pe) AS mp "
+            f"FROM mae{r} GROUP BY a)"
+        )
+        ctes.append(
+            f"mt{r} AS MATERIALIZED (SELECT DISTINCT q.a AS v FROM mae{r} q "
+            f"JOIN mmn{r} ma ON ma.v = q.a AND ma.mp = q.pe "
+            f"JOIN mmn{r} mb ON mb.v = q.b AND mb.mp = q.pe)"
+        )
+        ctes.append(
+            f"mac{r} AS MATERIALIZED (SELECT x.v FROM mmn{r} x "
+            f"WHERE x.v NOT IN (SELECT v FROM mt{r}))"
+        )
+        mt_terms.append(f"SELECT v FROM mt{r}")
+        prev = f"mac{r}"
+    union = " UNION ALL ".join(mt_terms)
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT verts.v AS v, "
+        f"CAST(CASE WHEN verts.v IN ({union}) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS matched FROM verts"
     )
 
 
@@ -3274,6 +3343,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "pagerank_ds_5": _pagerank_sql(),
         "kcore_peel": _kcore_sql(),
         "mis_luby": _mis_sql(),
+        "max_matching": _matching_sql(),
         "coloring_jp": _coloring_sql(),
         "motif_census": _motif_sql(),
         "gcn_2layer": _gcn_sql(),

@@ -24,6 +24,7 @@ from .bowtie import bowtie
 from .coloring import greedy_coloring
 from .dag import dag_levels
 from .mis import maximal_independent_set
+from .matching import MatchProgram, matching_replay, maximal_matching
 from .scc import strongly_connected_components
 from .hyperanf import hyperanf
 from .betweenness import BrandesProgram, betweenness, top_degree_sources
@@ -62,6 +63,9 @@ __all__ = [
     "dag_levels",
     "greedy_coloring",
     "maximal_independent_set",
+    "MatchProgram",
+    "matching_replay",
+    "maximal_matching",
     "strongly_connected_components",
     "BrandesProgram",
     "betweenness",

@@ -149,7 +149,15 @@ class VertexProgram:
     # mode 'cap_neg' -> message = max(value(src), -w): the NEGATED
     # max-min (bottleneck / widest-path) semiring — programs store
     # x = -bottleneck so the existing monotone min-reduce + frontier
-    # machinery applies unchanged (algos/widest.py).
+    # machinery applies unchanged (algos/widest.py). Two masked modes
+    # for edge-local symmetry breaking (min-reduce programs; the
+    # identity is the dtype max): mode 'mask0' -> message = w where
+    # value(src) == 0 else identity (an "active" source exposes its
+    # incident edge keys), mode 'eq' -> message = w where w ==
+    # value(src) else identity (a source endorses exactly the edge
+    # whose key it shipped — the handshake half of maximal matching,
+    # algos/matching.py). Programs may flip edge_weight_mode inside
+    # vertex_values(): the scatter reads it after values are computed.
     edge_weight_fn: Any = None
     edge_weight_mode: str = "add"
     # ship_dtype (sum programs only): cast scatter values to this dtype
@@ -929,6 +937,14 @@ class GraphPartition:
         if mode == "cap_neg":
             # negated bottleneck: min(bneck(src), w) == -max(-bneck, -w)
             return np.maximum(vals, -w)
+        if mode in ("mask0", "eq"):
+            ident = (
+                np.array(np.inf, w.dtype)
+                if w.dtype.kind == "f"
+                else np.array(np.iinfo(w.dtype).max, w.dtype)
+            )
+            keep = (vals == 0) if mode == "mask0" else (w == vals)
+            return np.where(keep, w, ident)
         return vals * w
 
     def _scatter_dense(self, vv: np.ndarray, red) -> dict:
