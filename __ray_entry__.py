@@ -330,6 +330,17 @@ def q_quality_by_source(sf_dir: str):
     return quality_by_source(docs).to_pandas()
 
 
+def q_curriculum(sf_dir: str):
+    """ntile(4) curriculum phases under ascending bigram-LM fluency —
+    exact global rank via ONE range sort + an O(#blocks) bounds pass
+    (ops/curriculum.py), DuckDB ntile window semantics replicated."""
+    from linkgraph.ops import curriculum_phases
+
+    return curriculum_phases(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n_phases=4
+    ).to_pandas()
+
+
 def q_pii_scrub(sf_dir: str):
     """PII detection + redaction (email -> phone -> IPv4, fixed order,
     each redacted before the next detector scans). Input text is the
@@ -1721,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_4": q_kmeans,
         "anchor_top3": q_anchor_top3,
         "lm_score": q_lm_score,
+        "curriculum": q_curriculum,
         "pii_scrub": q_pii_scrub,
         "seq_pack": q_seq_pack,
         "lp_quotient": q_lp_quotient,
@@ -2706,6 +2718,16 @@ def oracle_sql() -> dict[str, str]:
     q["eff_diameter"] = _effdiam_sql()
     q["ktruss_3"] = _ktruss_sql()
     q["pagerank_nofollow"] = _pagerank_sql("(src*7 + dst) % 5 <> 0")
+    # ntile curriculum phases over the bigram-LM fluency score: the
+    # lm_score oracle nested as a CTE, ANSI ntile window on top —
+    # exactly what ops/curriculum.py computes via one range sort plus
+    # an O(#blocks) bounds pass (no window-function machinery needed)
+    q["curriculum"] = (
+        f"WITH base AS ({q['lm_score']}) "
+        "SELECT doc_id, lm_score, "
+        "CAST(ntile(4) OVER (ORDER BY lm_score, doc_id) AS BIGINT) AS phase "
+        "FROM base"
+    )
     # triangles per tumbling hour over the deterministically-stamped
     # edge stream (Gelly WindowTriangles parity): canonical per-window
     # undirected edges, x<y<z join unrolled per window, 0-triangle

@@ -61,6 +61,7 @@ from .anchors import (
 )
 from .paradedup import ChunkHashRows, para_dedup_stats
 from .lm import BigramRows, lm_score
+from .curriculum import curriculum_phases, global_rank, ntile_of
 from .bpe import bpe_pair_counts, bpe_learn, bpe_encode_counts, word_freq
 from .pca import pca_covariance, pca_fit, pca_project
 
@@ -104,4 +105,7 @@ __all__ = [
     "para_dedup_stats",
     "BigramRows",
     "lm_score",
+    "curriculum_phases",
+    "global_rank",
+    "ntile_of",
 ]
