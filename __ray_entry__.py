@@ -1194,6 +1194,31 @@ def q_host_graph(sf_dir: str):
     return host_graph(_doc_edges_ds(sf_dir), hosts).to_pandas()
 
 
+def q_hostrank(sf_dir: str):
+    """PageRank over the collapsed host graph with link-count weights
+    (the hostrank of web-search literature): host_graph's (src_host,
+    dst_host, n_links) fed to the pure-Dataset weighted PageRank —
+    data-dependent weights take the Dataset path, id-derived weights
+    take the engine channel (see weighted_pagerank_dataset docstring).
+    String host keys end-to-end."""
+    from linkgraph.algos.dataset_impl import weighted_pagerank_dataset
+    from linkgraph.ops import host_graph
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    hosts = docs.select_columns(["doc_id", "source"]).rename_columns(
+        {"source": "host"}
+    )
+    hg = host_graph(_doc_edges_ds(sf_dir), hosts).materialize()
+    ranks = weighted_pagerank_dataset(
+        hg, src_col="src_host", dst_col="dst_host", weight_col="n_links",
+        iters=PR_ITERS, damping=DAMPING,
+    )
+    df = ranks.to_pandas()
+    return pd.DataFrame(
+        {"host": df["v"], "hr_rank": np.round(df["rank"], 8)}
+    ).sort_values("host", ignore_index=True)
+
+
 def q_reciprocity(sf_dir: str):
     """Directed-edge reciprocity (share of edges whose reverse exists)."""
     from linkgraph.ops import reciprocity
@@ -1705,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_cent": q_harmonic,
         "hyperanf_nf": q_hyperanf,
         "pagerank_nofollow": q_pagerank_nofollow,
+        "hostrank": q_hostrank,
         # new round-5 session-2 ops, rotated into the checked window
         # (lp_modularity, tfidf_top3, powerlaw_alpha move past it —
         # stable r4 greens whose families keep a representative:
@@ -1965,6 +1991,44 @@ def _matching_sql(rounds: int = 12) -> str:
         "WITH " + ",\n".join(ctes) + "\nSELECT verts.v AS v, "
         f"CAST(CASE WHEN verts.v IN ({union}) THEN 1 ELSE 0 END AS BIGINT) "
         "AS matched FROM verts"
+    )
+
+
+def _hostrank_sql() -> str:
+    """Weighted PageRank recurrence unrolled over the collapsed host
+    graph (host_graph SQL as the edge CTE, link counts as weights),
+    host strings as vertex keys throughout."""
+    d = DAMPING
+    ctes = [
+        _edges_cte(),
+        "hg AS (SELECT ds.source AS s, dd.source AS t, "
+        "CAST(count(*) AS DOUBLE) AS w FROM e "
+        "JOIN documents ds ON e.src = ds.doc_id "
+        "JOIN documents dd ON e.dst = dd.doc_id GROUP BY 1, 2)",
+        "hverts AS (SELECT DISTINCT v FROM "
+        "(SELECT s AS v FROM hg UNION ALL SELECT t AS v FROM hg))",
+        "hn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hverts)",
+        "houtw AS (SELECT s AS v, sum(w) AS w FROM hg GROUP BY s)",
+        "hr0 AS (SELECT v, 1.0/(SELECT n FROM hn) AS r FROM hverts)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = f"hr{i-1}"
+        ctes.append(
+            f"hdang{i} AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM {p} p "
+            f"LEFT JOIN houtw o ON p.v = o.v WHERE o.v IS NULL)"
+        )
+        ctes.append(
+            f"hmsg{i} AS (SELECT hg.t AS v, sum(p.r / o.w * hg.w) AS s FROM hg "
+            f"JOIN {p} p ON hg.s = p.v JOIN houtw o ON hg.s = o.v GROUP BY hg.t)"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT hverts.v, (1 - {d})/(SELECT n FROM hn) + {d} * "
+            f"(coalesce(m.s, 0.0) + (SELECT dm FROM hdang{i})/(SELECT n FROM hn)) "
+            f"AS r FROM hverts LEFT JOIN hmsg{i} m ON hverts.v = m.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS host, round(r, 8) AS hr_rank FROM hr{PR_ITERS} ORDER BY host"
     )
 
 
@@ -2718,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
     q["eff_diameter"] = _effdiam_sql()
     q["ktruss_3"] = _ktruss_sql()
     q["pagerank_nofollow"] = _pagerank_sql("(src*7 + dst) % 5 <> 0")
+    q["hostrank"] = _hostrank_sql()
     # ntile curriculum phases over the bigram-LM fluency score: the
     # lm_score oracle nested as a CTE, ANSI ntile window on top —
     # exactly what ops/curriculum.py computes via one range sort plus

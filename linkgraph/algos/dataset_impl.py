@@ -111,6 +111,121 @@ def pagerank_dataset(
     return ranks
 
 
+def weighted_pagerank_dataset(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iters: int = 5,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Fixed-iteration PageRank over DATA-DEPENDENT edge weights ->
+    (v, rank). The engine's per-edge value channel only carries
+    id-derived weights (weights live where edges live, never shipped),
+    so aggregate weights from the data — e.g. link counts of the
+    collapsed host graph (ops/graphstats.host_graph -> hostrank) — take
+    this pure-Dataset path: transition mass = w(u,v) / W_out(u). Keys
+    may be any joinable type (host STRINGS work directly; production
+    would dictionary-encode hosts to ints at ingest, the oracle story
+    here keeps the strings end-to-end). Same per-superstep shape as
+    pagerank_dataset: one hash join + per-batch combiner + groupby sum.
+    """
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+
+    def both(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = pa.concat_arrays(
+            [
+                t.column(src_col).combine_chunks().cast(t.schema.field(src_col).type),
+                t.column(dst_col).combine_chunks().cast(t.schema.field(src_col).type),
+            ]
+        )
+        return pa.table({"v": pc.unique(x)})
+
+    verts = (
+        edges.map_batches(both, batch_format="pyarrow", batch_size=1 << 20)
+        .groupby("v")
+        .count()
+        .select_columns(["v"])
+        .materialize()
+    )
+    n = verts.count()
+
+    def wfloat(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                src_col: t.column(src_col),
+                dst_col: t.column(dst_col),
+                "_w": pc.cast(t.column(weight_col), pa.float64()),
+            }
+        )
+
+    ew = edges.map_batches(wfloat, batch_format="pyarrow")
+    outw = (
+        ew.groupby(src_col).aggregate(Sum("_w", alias_name="w_out")).materialize()
+    )
+    ewd = ew.join(
+        outw, join_type="inner", num_partitions=num_partitions,
+        on=(src_col,), right_on=(src_col,), right_suffix="_r",
+    ).materialize()
+
+    ranks = verts.map_batches(
+        lambda t: t.append_column("rank", pa.array(np.full(len(t), 1.0 / n))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        sender_rank = ranks.join(
+            outw, join_type="inner", num_partitions=num_partitions,
+            on=("v",), right_on=(src_col,),
+        )
+        held = sender_rank.aggregate(Sum("rank", alias_name="s"))["s"] or 0.0
+        total = ranks.aggregate(Sum("rank", alias_name="s"))["s"]
+        dangling = total - held
+
+        msgs = ewd.join(
+            ranks, join_type="inner", num_partitions=num_partitions,
+            on=(src_col,), right_on=("v",),
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = (
+                t.column("rank").to_numpy()
+                / t.column("w_out").to_numpy()
+                * t.column("_w").to_numpy()
+            )
+            tt = pa.table({"dst": t.column(dst_col), "c": pa.array(c)})
+            g = tt.group_by("dst").aggregate([("c", "sum")])  # combiner
+            return g.rename_columns(["dst", "c"])
+
+        incoming = (
+            msgs.map_batches(contrib, batch_format="pyarrow", batch_size=1 << 20)
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="m"))
+        )
+        joined = verts.join(
+            incoming, join_type="left_outer", num_partitions=num_partitions,
+            on=("v",), right_on=("dst",),
+        )
+
+        def apply(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.fill_null(t.column("m"), 0.0).to_numpy(zero_copy_only=False)
+            r = (1 - damping) / n + damping * (m + dangling / n)
+            return pa.table({"v": t.column("v"), "rank": pa.array(r)})
+
+        ranks = joined.map_batches(apply, batch_format="pyarrow").materialize()
+    return ranks
+
+
 def cc_dataset(edges: Dataset, max_iters: int = 50, num_partitions: int | None = None) -> Dataset:
     """Min-label propagation CC with pure Dataset ops -> (v, label)."""
     if num_partitions is None:
