@@ -671,6 +671,55 @@ def run_bench() -> dict:
 
         n_reached = ste.run("temporal_reach", _tr)
         extra["temporal_reach_n_reached"] = int(n_reached)
+
+        # round-5 session-5: maximal matching (engine, local-min edge
+        # priorities), ntile curriculum phases (range sort + bounds
+        # pass), hostrank (Dataset-native weighted PR over a 1024-host
+        # collapse of the page graph)
+        from linkgraph.algos import maximal_matching as _maxmatch
+
+        def _mm():
+            out, summ = _maxmatch(edges, num_parts=NUM_PARTS)
+            n_matched = int(out.sum("matched"))
+            return n_matched, summ["rounds"]
+
+        n_matched, mm_rounds = ste.run("max_matching", _mm)
+        extra["max_matching_matched"] = n_matched
+        extra["max_matching_rounds"] = int(mm_rounds)
+
+        from linkgraph.ops import curriculum_phases as _curr
+
+        ste.run("curriculum_pages", lambda: _curr(ptext, n_phases=4).count())
+        extra["curriculum_pages_per_sec"] = round(
+            N_PAGES / eq["curriculum_pages"], 1
+        )
+
+        from linkgraph.algos.dataset_impl import weighted_pagerank_dataset
+        from linkgraph.ops import host_graph as _hostg
+
+        def _hosts(t):
+            ids = t.column("doc_id").to_numpy()
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "host": pa.array(
+                        np.char.add("h", (ids % 1024).astype("U4"))
+                    ),
+                }
+            )
+
+        hosts_ds = ptext.select_columns(["doc_id"]).map_batches(
+            _hosts, batch_format="pyarrow"
+        )
+
+        def _hr():
+            hg = _hostg(edges, hosts_ds).materialize()
+            return weighted_pagerank_dataset(
+                hg, src_col="src_host", dst_col="dst_host",
+                weight_col="n_links", iters=5,
+            ).count()
+
+        extra["hostrank_hosts"] = int(ste.run("hostrank", _hr))
     except Exception as ex:
         extra.setdefault("errors", []).append(f"r4-extras: {ex}")
     extra["extra_queries"] = {k: round(v, 3) for k, v in eq.items()}

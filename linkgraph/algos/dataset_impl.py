@@ -119,6 +119,7 @@ def weighted_pagerank_dataset(
     iters: int = 5,
     damping: float = 0.85,
     num_partitions: int | None = None,
+    local_threshold: int = 2_000_000,
 ) -> Dataset:
     """Fixed-iteration PageRank over DATA-DEPENDENT edge weights ->
     (v, rank). The engine's per-edge value channel only carries
@@ -130,11 +131,39 @@ def weighted_pagerank_dataset(
     would dictionary-encode hosts to ints at ingest, the oracle story
     here keeps the strings end-to-end). Same per-superstep shape as
     pagerank_dataset: one hash join + per-batch combiner + groupby sum.
+
+    A COLLAPSED graph is usually tiny relative to its source (10^8
+    hosts vs 10^12 pages): at <= local_threshold edge rows the
+    distributed work is the collapse itself, so the recurrence runs
+    in-driver on numpy (per-iteration Dataset joins would be pure
+    scheduling latency — measured 24 s vs <1 s on a 1024-host
+    collapse). Above the gate, the streaming join path takes over.
     """
     if num_partitions is None:
         import ray
 
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+
+    if edges.count() <= local_threshold:
+        import pandas as pd
+        import ray
+
+        df = edges.to_pandas()
+        s = df[src_col].to_numpy()
+        t = df[dst_col].to_numpy()
+        w = df[weight_col].to_numpy().astype(np.float64)
+        verts, codes = np.unique(np.concatenate([s, t]), return_inverse=True)
+        si, ti = codes[: len(s)], codes[len(s):]
+        n = len(verts)
+        outw = np.zeros(n)
+        np.add.at(outw, si, w)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            dang = r[outw == 0.0].sum()
+            m = np.zeros(n)
+            np.add.at(m, ti, r[si] / outw[si] * w)
+            r = (1 - damping) / n + damping * (m + dang / n)
+        return ray.data.from_pandas(pd.DataFrame({"v": verts, "rank": r}))
 
     def both(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -41,14 +41,18 @@ def test_weighted_pr_string_keys():
             "n_links": np.array([e[2] for e in edges]),
         }
     )
-    out = weighted_pagerank_dataset(
-        ray.data.from_arrow(t), src_col="src_host", dst_col="dst_host",
-        weight_col="n_links", iters=5, num_partitions=2,
-    ).to_pandas()
     want = numpy_wpr(edges)
-    assert len(out) == 5
-    for _, row in out.iterrows():
-        assert abs(row["rank"] - want[row["v"]]) < 1e-12, row["v"]
-    # weight-sensitivity: b receives 3x a's share vs c's 1x
-    got = dict(zip(out["v"], out["rank"]))
-    assert got["b"] > got["e"]
+    # both execution paths: in-driver (small collapsed graph) and the
+    # distributed join path (local_threshold=0 forces it)
+    for thresh in (2_000_000, 0):
+        out = weighted_pagerank_dataset(
+            ray.data.from_arrow(t), src_col="src_host", dst_col="dst_host",
+            weight_col="n_links", iters=5, num_partitions=2,
+            local_threshold=thresh,
+        ).to_pandas()
+        assert len(out) == 5
+        for _, row in out.iterrows():
+            assert abs(row["rank"] - want[row["v"]]) < 1e-12, (thresh, row["v"])
+        # weight-sensitivity: b receives 3x a's share vs c's 1x
+        got = dict(zip(out["v"], out["rank"]))
+        assert got["b"] > got["e"]
