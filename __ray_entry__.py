@@ -1450,6 +1450,17 @@ def q_matching(sf_dir: str):
     return out.to_pandas()
 
 
+def q_msf(sf_dir: str):
+    """Minimum spanning forest (distributed Borůvka, deterministic
+    distinct splitmix edge weights => UNIQUE forest) over the doc
+    graph: returns the forest's (lo, hi) edge rows. Hook/compress per
+    round, sortagg attaches, size-gated pointer collapse."""
+    from linkgraph.algos import spanning_forest
+
+    forest, _, _ = spanning_forest(_doc_edges_ds(sf_dir))
+    return forest.to_pandas()
+
+
 def q_coloring(sf_dir: str):
     """Greedy distance-1 coloring (Jones-Plassmann round-number
     variant, splitmix64 priorities) over the symmetrized doc graph."""
@@ -1724,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirects": q_redirects,
         "mis_luby": q_mis,
         "max_matching": q_matching,
+        "msf_forest": q_msf,
         "value_quantiles": q_quantiles,
         "dedup_clusters": q_dedup_clusters,
         "window_triangles": q_window_triangles,
@@ -1991,6 +2003,75 @@ def _matching_sql(rounds: int = 12) -> str:
         "WITH " + ",\n".join(ctes) + "\nSELECT verts.v AS v, "
         f"CAST(CASE WHEN verts.v IN ({union}) THEN 1 ELSE 0 END AS BIGINT) "
         "AS matched FROM verts"
+    )
+
+
+def _msf_sql(rounds: int = 7, doublings: int = 5) -> str:
+    """Unrolled distributed-Borůvka MSF (algos/msf.py): per round every
+    component's minimum-weight cross edge (weights = the matching
+    oracle's symmetric edge keys >> 1, bit-exact SQL splitmix64,
+    distinct => unique forest) joins the forest; hook to the min edge's
+    other component, break mutual-pair cycles to LEAST, pointer-double
+    ``doublings`` times (depth 2^d; measured hook depth <= 6 at driver
+    scale), relabel. ``rounds`` exceeds the driver-scale fixpoint
+    (4-5); extra rounds see no cross edges and add nothing."""
+    ctes = [_edges_cte(), _VERTS, _UE]
+    sm, last = _sql_splitmix_ctes("msfh", "verts", {"h": "v"})
+    ctes += sm
+    ctes.append(f"fhv AS MATERIALIZED (SELECT v, h FROM {last})")
+    ctes.append(
+        "fek AS MATERIALIZED (SELECT DISTINCT xor(x.h, y.h) AS v FROM ue "
+        "JOIN fhv x ON x.v = ue.a JOIN fhv y ON y.v = ue.b WHERE ue.a <> ue.b)"
+    )
+    sm2, last2 = _sql_splitmix_ctes("msfp", "fek", {"pe": "v"})
+    ctes += sm2
+    ctes.append(
+        "med AS MATERIALIZED (SELECT DISTINCT LEAST(ue.a, ue.b) AS lo, "
+        "GREATEST(ue.a, ue.b) AS hi, CAST(p.pe >> 1 AS BIGINT) AS w FROM ue "
+        "JOIN fhv x ON x.v = ue.a JOIN fhv y ON y.v = ue.b "
+        f"JOIN {last2} p ON p.v = xor(x.h, y.h) WHERE ue.a <> ue.b)"
+    )
+    ctes.append("flab0 AS MATERIALIZED (SELECT v, v AS c FROM verts)")
+    forest_terms = []
+    for r in range(rounds):
+        ctes.append(
+            f"fce{r} AS MATERIALIZED (SELECT m.lo, m.hi, m.w, la.c AS ca, "
+            f"lb.c AS cb FROM med m JOIN flab{r} la ON la.v = m.lo "
+            f"JOIN flab{r} lb ON lb.v = m.hi WHERE la.c <> lb.c)"
+        )
+        ctes.append(
+            f"fdir{r} AS MATERIALIZED (SELECT ca AS c, w, lo, hi, cb AS o "
+            f"FROM fce{r} UNION ALL SELECT cb, w, lo, hi, ca FROM fce{r})"
+        )
+        ctes.append(
+            f"fmn{r} AS MATERIALIZED (SELECT c, min(w) AS mw FROM fdir{r} "
+            "GROUP BY c)"
+        )
+        ctes.append(
+            f"fch{r} AS MATERIALIZED (SELECT d.c, d.w, d.lo, d.hi, d.o "
+            f"FROM fdir{r} d JOIN fmn{r} m ON m.c = d.c AND m.mw = d.w)"
+        )
+        forest_terms.append(f"SELECT DISTINCT lo, hi FROM fch{r}")
+        ctes.append(
+            f"fhb{r} AS MATERIALIZED (SELECT h.c AS v, "
+            "CASE WHEN g.o = h.c THEN LEAST(h.c, h.o) ELSE h.o END AS p "
+            f"FROM fch{r} h JOIN fch{r} g ON g.c = h.o)"
+        )
+        prev_d = f"fhb{r}"
+        for t in range(doublings):
+            ctes.append(
+                f"fd{r}_{t} AS MATERIALIZED (SELECT a.v, b.p FROM {prev_d} a "
+                f"JOIN {prev_d} b ON b.v = a.p)"
+            )
+            prev_d = f"fd{r}_{t}"
+        ctes.append(
+            f"flab{r + 1} AS MATERIALIZED (SELECT l.v, coalesce(d.p, l.c) AS c "
+            f"FROM flab{r} l LEFT JOIN {prev_d} d ON d.v = l.c)"
+        )
+    union = " UNION ALL ".join(forest_terms)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT lo, hi FROM ({union})"
     )
 
 
@@ -3431,6 +3512,7 @@ def _oracle_sql_base(e: str) -> dict[str, str]:
         "kcore_peel": _kcore_sql(),
         "mis_luby": _mis_sql(),
         "max_matching": _matching_sql(),
+        "msf_forest": _msf_sql(),
         "coloring_jp": _coloring_sql(),
         "motif_census": _motif_sql(),
         "gcn_2layer": _gcn_sql(),

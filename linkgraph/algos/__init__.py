@@ -25,6 +25,7 @@ from .coloring import greedy_coloring
 from .dag import dag_levels
 from .mis import maximal_independent_set
 from .matching import MatchProgram, matching_replay, maximal_matching
+from .msf import spanning_forest
 from .scc import strongly_connected_components
 from .hyperanf import hyperanf
 from .betweenness import BrandesProgram, betweenness, top_degree_sources
@@ -66,6 +67,7 @@ __all__ = [
     "MatchProgram",
     "matching_replay",
     "maximal_matching",
+    "spanning_forest",
     "strongly_connected_components",
     "BrandesProgram",
     "betweenness",

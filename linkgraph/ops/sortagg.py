@@ -90,6 +90,8 @@ def attach_by_key(
     stat_cols: list[str],
     row_cols: list[str],
     stat_type: "pa.DataType | None" = None,
+    outer: bool = False,
+    fill=0,
 ) -> Dataset:
     """Hash-join replacement: append ``stat_cols`` (from the stats
     table, ONE row per key) to every row of ``rows`` sharing the key.
@@ -98,8 +100,9 @@ def attach_by_key(
     rows with _k=1 and dummy stat columns; one sort on ``key`` lands
     each key's whole run (stats row + its data rows) in one block, and
     a vectorized per-run broadcast fills the stat columns in. Rows
-    whose key has no stats row are DROPPED (inner-join semantics);
-    stats rows with no data rows contribute nothing.
+    whose key has no stats row are DROPPED (inner-join semantics) —
+    unless ``outer=True``, in which case they are kept with ``fill``
+    in every stat column (left-outer semantics).
 
     ``stat_type`` is the wire dtype of the stat columns (the union
     schema must agree across both sides); default float64. Pass
@@ -148,11 +151,16 @@ def attach_by_key(
         stat_pos = np.full(len(starts), -1, np.int64)
         sp = np.flatnonzero(tagv == 0)
         stat_pos[run_id[sp]] = sp
-        keep = (tagv == 1) & (stat_pos[run_id] >= 0)
+        keep = (
+            (tagv == 1) if outer else (tagv == 1) & (stat_pos[run_id] >= 0)
+        )
         src = stat_pos[run_id[keep]]
         cols = {key: pa.array(k[keep])}
         for c in stat_cols:
-            cols[c] = pa.array(t.column(c).to_numpy()[src])
+            vals = t.column(c).to_numpy()[src]
+            if outer:
+                vals = np.where(src >= 0, vals, np.asarray(fill, vals.dtype))
+            cols[c] = pa.array(vals)
         for c in row_cols:
             cols[c] = pa.array(t.column(c).to_numpy()[keep])
         return pa.table(cols)
