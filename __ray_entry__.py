@@ -1768,18 +1768,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": q_pca_project,
         "quality_filter": q_quality_filter,
         "kmeans_4": q_kmeans,
-        "anchor_top3": q_anchor_top3,
-        "lm_score": q_lm_score,
         "curriculum": q_curriculum,
         "pii_scrub": q_pii_scrub,
-        "seq_pack": q_seq_pack,
-        "lp_quotient": q_lp_quotient,
-        # ---- past the driver's 50-query window (stable greens; knn_ivf,
+        # ---- past the driver's 50-query window (stable greens;
+        # anchor_top3 / lm_score / seq_pack / lp_quotient are r4 hard
+        # greens that yield their slots to the new r5 session-5 entries
+        # max_matching / msf_forest / hostrank / curriculum — lm_score
+        # correctness is additionally pinned inside the window by
+        # curriculum, whose oracle nests the lm_score SQL; knn_ivf,
         # knn_graph and embedding_dup_lsh have r3 rows-only records and
         # yield their window slots to the new hard-oracled kmeans_4 /
         # semdedup / quality_filter; host_graph / assortativity /
         # minhash_dedup have r3 records and yield theirs to the new
         # pii_scrub / seq_pack / data_split) ----
+        "anchor_top3": q_anchor_top3,
+        "lm_score": q_lm_score,
+        "seq_pack": q_seq_pack,
+        "lp_quotient": q_lp_quotient,
         "coloring_jp": q_coloring,
         "para_dedup": q_para_dedup,
         "token_zipf": q_token_zipf,

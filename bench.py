@@ -720,6 +720,16 @@ def run_bench() -> dict:
             ).count()
 
         extra["hostrank_hosts"] = int(ste.run("hostrank", _hr))
+
+        from linkgraph.algos import spanning_forest as _msf
+
+        def _msf_run():
+            forest, _, summ = _msf(edges)
+            return forest.count(), summ["rounds"]
+
+        msf_edges, msf_rounds = ste.run("msf_forest", _msf_run)
+        extra["msf_forest_edges"] = int(msf_edges)
+        extra["msf_rounds"] = int(msf_rounds)
     except Exception as ex:
         extra.setdefault("errors", []).append(f"r4-extras: {ex}")
     extra["extra_queries"] = {k: round(v, 3) for k, v in eq.items()}
