@@ -113,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("mis")
     common(p)
 
+    p = sub.add_parser("matching")
+    common(p)
+
+    p = sub.add_parser("msf")
+    common(p)
+
     p = sub.add_parser("coloring")
     common(p)
 
@@ -474,6 +480,22 @@ def main(argv: list[str] | None = None) -> int:
             )
             if args.out:
                 write_partitioned(res, args.out, tag="mis")
+            print(json.dumps({"out": args.out, "rounds": summary["rounds"]}))
+        elif args.cmd == "matching":
+            from .algos import maximal_matching
+
+            res, summary = maximal_matching(
+                edges, num_parts=args.parts, max_iters=args.max_iters
+            )
+            if args.out:
+                write_partitioned(res, args.out, tag="matching")
+            print(json.dumps({"out": args.out, "rounds": summary["rounds"]}))
+        elif args.cmd == "msf":
+            from .algos import spanning_forest
+
+            forest, _, summary = spanning_forest(edges, num_partitions=args.parts)
+            if args.out:
+                write_partitioned(forest, args.out, tag="msf")
             print(json.dumps({"out": args.out, "rounds": summary["rounds"]}))
         elif args.cmd == "coloring":
             from .algos import greedy_coloring

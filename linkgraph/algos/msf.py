@@ -113,8 +113,8 @@ def spanning_forest(
     sortagg attach (chosen = rows whose pe IS their component's min),
     a pointer-collapse over the O(#components) hook table (in-driver
     below ``local_resolve_threshold`` — at driver/bench scale the hook
-    table is tiny and per-op scheduling latency would dominate; the
-    join-free _resolve_sortagg doubling above it), and two attaches to
+    table is tiny and per-op scheduling latency would dominate; engine
+    min-label CC over the hook edges above it), and two attaches to
     relabel the edge table. Everything that scales with |E| is a
     bounded sort/groupby; driver state is O(#hooks) only under the
     gate, matching the guarded-broadcast convention (hostrank,
@@ -127,6 +127,11 @@ def spanning_forest(
     import ray
 
     I64 = pa.int64()
+    # missing-label sentinel for the outer attaches: int64 min cannot
+    # collide with a real component label (labels are vertex ids, and
+    # hashed web ids are SIGNED int64 — a -1 sentinel silently broke
+    # relabeling on negative ids, regression-tested)
+    FILL = np.iinfo(np.int64).min
 
     def canon(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy()
@@ -237,7 +242,7 @@ def spanning_forest(
         e1 = attach_by_key(
             _rename(ed, {"ca": "c"}), roots,
             key="c", stat_cols=["cn"], row_cols=["lo", "hi", "pe", "cb"],
-            stat_type=I64, outer=True, fill=-1,
+            stat_type=I64, outer=True, fill=FILL,
         )
 
         def apply_a(t: pa.Table) -> pa.Table:
@@ -248,7 +253,7 @@ def spanning_forest(
                     "lo": t.column("lo"),
                     "hi": t.column("hi"),
                     "pe": t.column("pe"),
-                    "ca": pa.array(np.where(cn >= 0, cn, c)),
+                    "ca": pa.array(np.where(cn != FILL, cn, c)),
                     "cb": t.column("cb"),
                 }
             )
@@ -259,7 +264,7 @@ def spanning_forest(
             ),
             roots,
             key="c", stat_cols=["cn"], row_cols=["lo", "hi", "pe", "ca"],
-            stat_type=I64, outer=True, fill=-1,
+            stat_type=I64, outer=True, fill=FILL,
         )
 
         def apply_b(t: pa.Table) -> pa.Table:
@@ -271,7 +276,7 @@ def spanning_forest(
                     "hi": t.column("hi"),
                     "pe": t.column("pe"),
                     "ca": t.column("ca"),
-                    "cb": pa.array(np.where(cn >= 0, cn, c)),
+                    "cb": pa.array(np.where(cn != FILL, cn, c)),
                 }
             )
 

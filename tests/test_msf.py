@@ -69,6 +69,19 @@ def test_msf_vs_kruskal(thresh):
             assert cmap[x] == cmap[y]
 
 
+def test_msf_negative_hashed_ids():
+    # hashed web ids are SIGNED int64: negative labels must survive the
+    # outer-attach fill sentinel (regression: -1 fill broke relabeling)
+    rng = np.random.default_rng(23)
+    ids = rng.integers(-(2**62), 2**62, 120).astype(np.int64)
+    pairs = rng.integers(0, 120, (300, 2))
+    edges = [(int(ids[a]), int(ids[b])) for a, b in pairs]
+    forest, labels, summ = spanning_forest(edges_ds(edges))
+    got = sorted((int(r["lo"]), int(r["hi"])) for r in forest.take_all())
+    assert got == kruskal(edges)
+    assert summ["rounds"] < 15  # converged, not max_rounds-capped
+
+
 def test_msf_sparse_forest():
     # several components + isolated-ish structure
     edges = random_edges(400, 180, seed=9)
